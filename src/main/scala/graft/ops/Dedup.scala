@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, Spark-first:
+  *
+  *  - exact: hash-groupBy on an md5 fingerprint (one shuffle, map-side
+  *    partial agg).
+  *  - MinHash + LSH: token shingles → k md5-min signatures → banded
+  *    bucket join → candidate pairs → exact Jaccard verify. The banding
+  *    turns the O(n²) pair space into per-bucket joins; at 100 TB the
+  *    bucket join shuffles only (band_key, doc_id) pairs, never text.
+  *  - SimHash: 64-bit sign-aggregated xxhash64 over tokens, computed with
+  *    a single higher-order `aggregate` over the token array (no
+  *    explode/shuffle); near-dups = equal 16-bit bands (Hamming blocking).
+  *  - n-gram Jaccard: token-set overlap via a relational
+  *    explode/join/count plan — fully expressible in ANSI SQL so an
+  *    external oracle can verify it.
+  *
+  * All hash choices are engine-portable (md5 hex) except SimHash
+  * (xxhash64, Spark-native; verified by ScalaTest instead of SQL).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc id per normalized-text fingerprint. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct tokens per doc: (id, token) rows. The building block for
+    * MinHash and Jaccard. Filters to tokens of length ≥ minTokenLen to
+    * keep join fan-out bounded on stopword-heavy corpora.
+    */
+  def docTokens(docs: DataFrame, idCol: String, textCol: String,
+                minTokenLen: Int = 1): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(TextOps.normalizeText(col(textCol)))).as("token"))
+      .filter(length(col("token")) >= minTokenLen)
+      .distinct()
+
+  /** MinHash signature columns: sig_i = min over tokens of
+    * md5(i || ":" || token). Lexicographic min over hex strings is a
+    * uniform min-hash and is bit-identical across engines.
+    */
+  def minhashSignatures(tokens: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("token")))).as(s"sig_$i"))
+    tokens.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys: split k signatures into bands of `rowsPerBand`,
+    * hash each band; docs sharing any band key become candidates.
+    */
+  def lshBands(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"sig_$i"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("bkey"))
+    }
+    sigs
+      .select(col("id"), explode(array(bands: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Candidate near-dup pairs from LSH buckets (a < b, distinct). */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard for a pair table: |A∩B| / |A∪B|.
+    * Relational formulation: join the token lists of both sides, count
+    * common tokens, combine with per-doc token counts.
+    */
+  def jaccardVerify(pairs: DataFrame, tokens: DataFrame): DataFrame = {
+    val counts = tokens.groupBy(col("id")).agg(count(lit(1)).as("n_tok"))
+    val ta = tokens.select(col("id").as("id_a"), col("token"))
+    val tb = tokens.select(col("id").as("id_b"), col("token"))
+    val common = pairs
+      .join(ta, Seq("id_a"))
+      .join(tb, Seq("id_b", "token"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_tok", "n_a"), Seq("id_a"))
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_tok", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: docs → near-dup pairs with
+    * verified Jaccard ≥ threshold.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8, rowsPerBand: Int = 2,
+                 threshold: Double = 0.5, minTokenLen: Int = 1): DataFrame = {
+    val tokens = docTokens(docs, idCol, textCol, minTokenLen)
+    val sigs = minhashSignatures(tokens, k)
+    val cands = lshCandidates(lshBands(sigs, k, rowsPerBand))
+    jaccardVerify(cands, tokens)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash: 64-bit signature from the token multiset. Computed with
+    * higher-order functions over the token array — zero shuffle, one
+    * projection. bit_j(doc) = majority over tokens of bit_j(xxhash64(tok)).
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextOps.tokens(TextOps.normalizeText(text))
+    // accumulate per-bit counts packed as 64-element int array
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, tok) => {
+        val h = xxhash64(tok)
+        transform(acc, (c, i) =>
+          c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1)
+            .otherwise(0))
+      }
+    )
+    val nTok = size(toks)
+    // majority vote per bit → packed long
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) =>
+        acc.bitwiseOR(
+          when(element_at(counts, i + 1) * 2 > nTok,
+            call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+    )
+  }
+
+  /** SimHash near-dup blocking: equal 16-bit bands ⇒ candidate pair
+    * (catches Hamming distance ≤ 3 across 4 bands by pigeonhole).
+    */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val banded = sh.select(
+      col("id"), col("sh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.bkey"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+  }
+}

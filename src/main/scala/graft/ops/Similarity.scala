@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  *  - cosine / dot product via `zip_with` + `aggregate` higher-order
+  *    functions — codegen'd, no UDF, works on any array column.
+  *  - brute-force top-k: broadcast the query vector, score every row,
+  *    one global top-k (TakeOrderedAndProject — no full sort).
+  *  - IVF-style blocked search: a coarse partitioner column (here the
+  *    `label` cell, in production a k-means cell id) restricts the pair
+  *    space; the scale path for pairwise near-dup at 100 TB.
+  *  - LSH (random hyperplanes): sign bits of dot products with
+  *    deterministic pseudo-random planes derived from a hash — bucket
+  *    join replaces the cross product entirely.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two array<float/double> columns (cast to
+    * double first: exact widening, associative enough to be reproducible
+    * for a fixed in-array order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k by cosine against one query vector. The query is a
+    * literal array (broadcast-by-value into the codegen'd projection);
+    * the plan is scan → project → TakeOrderedAndProject: no shuffle of
+    * vectors, only k rows to the driver.
+    */
+  def bruteForceTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Float], k: Int): DataFrame = {
+    val q = lit(query)
+    vecs
+      .select(col(idCol).as("vec_id"),
+        cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF-style pairwise near-neighbour pairs: only pairs sharing the
+    * coarse cell (cellCol) are scored. Shuffles by cell, so skew in cell
+    * sizes is the thing to watch — pass a salted/secondary cell at scale.
+    */
+  def blockedPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                   cellCol: String, threshold: Double): DataFrame = {
+    val l = vecs.select(col(cellCol).as("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val r = vecs.select(col(cellCol).as("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane p, dim i →
+    * a value in [-0.5, 0.5) derived from xxhash64, identical on every
+    * executor with no RNG state.
+    */
+  private def planeComponent(p: Int, i: Column): Column =
+    (call_function("xxhash64", lit(p), i).cast("double") / lit(2.0 * Long.MaxValue)) // [-0.5,0.5)
+
+  /** Random-hyperplane LSH signature: `planes` sign bits packed into a
+    * long. Docs sharing the full signature (or a band of it) are
+    * near-duplicate candidates under angular distance.
+    */
+  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+    val sigBits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, call_function("shiftleft", lit(1L), lit(p))).otherwise(lit(0L))
+    }
+    sigBits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed candidate pairs: join on the hyperplane signature. */
+  def lshCandidates(vecs: DataFrame, idCol: String, vecCol: String,
+                    planes: Int = 16): DataFrame = {
+    val sig = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneSignature(col(vecCol), planes).as("sig"))
+    val l = sig.select(col("sig"), col("id").as("id_a"), col("v").as("va"))
+    val r = sig.select(col("sig"), col("id").as("id_b"), col("v").as("vb"))
+    l.join(r, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

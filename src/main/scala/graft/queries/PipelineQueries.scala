@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** Training-data pipeline operators as verifiable queries: text analysis,
+  * deduplication (exact / MinHash-LSH / token-Jaccard / SimHash /
+  * embedding-cosine), and similarity search. Hash primitives are md5
+  * (engine-portable) wherever a SQL oracle exists; SimHash uses Spark's
+  * xxhash64 and is covered by ScalaTest instead (rows-only check here).
+  */
+object PipelineQueries {
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis -----------------------------------------------
+    "tx_token_count" -> ((s: SparkSession, dir: String) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      d.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "tx_fingerprint" -> ((s: SparkSession, dir: String) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "tx_quality" -> ((s: SparkSession, dir: String) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      TextOps.qualityFeatures(d, col("text"))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_punct"),
+          col("n_stop"), col("quality_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "tx_langid" -> ((s: SparkSession, dir: String) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      d.select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup ----------------------------------------------------------
+    "dd_exact" -> ((s: SparkSession, dir: String) => {
+      Dedup.exact(s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .orderBy(col("fp"))
+    }),
+
+    "dd_minhash_sigs" -> ((s: SparkSession, dir: String) => {
+      val tokens = Dedup.docTokens(s.read.parquet(t(dir, "documents")), "doc_id", "text")
+      Dedup.minhashSignatures(tokens, 4).orderBy(col("id"))
+    }),
+
+    "dd_minhash_lsh" -> ((s: SparkSession, dir: String) => {
+      Dedup.minhashLsh(s.read.parquet(t(dir, "documents")), "doc_id", "text",
+          k = 4, rowsPerBand = 2, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dd_jaccard_pairs" -> ((s: SparkSession, dir: String) => {
+      // token-set Jaccard over blocked candidate pairs (same source, same
+      // token count bucket) — relational formulation, SQL-verifiable
+      val d = s.read.parquet(t(dir, "documents"))
+      val tokens = Dedup.docTokens(d, "doc_id", "text")
+      val block = d.select(col("doc_id"),
+        col("source"), (TextOps.tokenCount(col("text")) / 10).cast("long").as("bkt"))
+      val pairs = block.as("a").join(block.as("b"),
+          col("a.source") === col("b.source") && col("a.bkt") === col("b.bkt") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.jaccardVerify(pairs, tokens)
+        .filter(col("jaccard") >= 0.9)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dd_simhash" -> ((s: SparkSession, dir: String) => {
+      // xxhash64-based: no SQL oracle (rows-only check); verified in ScalaTest
+      val d = s.read.parquet(t(dir, "documents"))
+      d.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dd_embedding_cosine" -> ((s: SparkSession, dir: String) => {
+      // embedding near-dup pairs, IVF-blocked by label cell
+      Similarity.blockedPairs(s.read.parquet(t(dir, "embeddings")),
+          "vec_id", "embedding", "label", threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search ---------------------------------------------
+    "sim_ann_topk" -> ((s: SparkSession, dir: String) => {
+      // brute-force cosine top-k against the vec_id=0 query vector
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+        .withColumn("cos_r", round(col("cos"), 6))
+        .select(col("vec_id"), col("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+    }),
+
+    "sim_lsh_buckets" -> ((s: SparkSession, dir: String) => {
+      // hyperplane-LSH candidates: Spark-native hash planes; rows-only check
+      Similarity.lshCandidates(s.read.parquet(t(dir, "embeddings")),
+          "vec_id", "embedding", planes = 8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- event stream (batch view of streaming semantics) ---------------
+    "ev_tumbling_window" -> ((s: SparkSession, dir: String) => {
+      // event-time tumbling window aggregation (batch equivalent of the
+      // Structured Streaming plan in graft.streaming)
+      val e = s.read.parquet(t(dir, "events"))
+      e.groupBy(date_trunc("hour", col("ts")).as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+        .orderBy(col("win"), col("event_type"))
+    }),
+
+    "ev_sessionize" -> ((s: SparkSession, dir: String) => {
+      // session id = cumulative count of >30-min gaps per user (lag window)
+      import org.apache.spark.sql.expressions.Window
+      val e = s.read.parquet(t(dir, "events"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapped = e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+      gapped.withColumn("sess_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("sess_id"))
+    }),
+
+    "ev_dedup_first" -> ((s: SparkSession, dir: String) => {
+      // keep-first dedup by (user_id, event_type) — streaming dropDuplicates
+      // semantics, deterministic batch formulation
+      import org.apache.spark.sql.expressions.Window
+      val e = s.read.parquet(t(dir, "events"))
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    })
+  )
+
+  private val tokensCte =
+    """tok AS (
+         SELECT DISTINCT id, token FROM (
+           SELECT doc_id AS id, UNNEST(regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) AS token
+           FROM documents))"""
+
+  val oracle: Map[String, String] = Map(
+    "tx_token_count" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+         FROM documents ORDER BY doc_id""",
+
+    "tx_fingerprint" ->
+      """SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "tx_quality" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  length(text) AS n_chars,
+                  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                  len(regexp_extract_all(text, '[\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e]')) AS n_punct,
+                  len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+           FROM documents)
+         SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+                (n_tokens >= 5 AND n_chars >= 20 AND n_punct * 5 <= n_tokens * 2 + 10) AS quality_ok
+         FROM f ORDER BY doc_id""",
+
+    "tx_langid" ->
+      """WITH sc AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(text, '(?i)\b(the|and|of|is|was|with)\b')) AS s_en,
+                  len(regexp_extract_all(text, '(?i)\b(el|la|los|las|es|y)\b')) AS s_es,
+                  len(regexp_extract_all(text, '(?i)\b(le|la|les|est|et|une)\b')) AS s_fr,
+                  len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|ein)\b')) AS s_de,
+                  len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+           FROM documents),
+         best AS (
+           SELECT doc_id, s_en, s_es, s_fr, s_de, s_zh,
+             CASE
+               WHEN s_zh > s_de AND s_zh > s_fr AND s_zh > s_es AND s_zh > s_en THEN 'zh'
+               WHEN s_de > s_fr AND s_de > s_es AND s_de > s_en THEN 'de'
+               WHEN s_fr > s_es AND s_fr > s_en THEN 'fr'
+               WHEN s_es > s_en THEN 'es'
+               ELSE 'en' END AS lang0,
+             greatest(s_en, s_es, s_fr, s_de, s_zh) AS m
+           FROM sc)
+         SELECT doc_id, CASE WHEN m > 0 THEN lang0 ELSE 'und' END AS pred_lang
+         FROM best ORDER BY doc_id""",
+
+    "dd_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "dd_minhash_sigs" -> s"""
+         WITH $tokensCte
+         SELECT id,
+                MIN(md5('0:' || token)) AS sig_0,
+                MIN(md5('1:' || token)) AS sig_1,
+                MIN(md5('2:' || token)) AS sig_2,
+                MIN(md5('3:' || token)) AS sig_3
+         FROM tok GROUP BY id ORDER BY id""",
+
+    "dd_minhash_lsh" -> s"""
+         WITH $tokensCte,
+         sig AS (
+           SELECT id,
+                  MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
+                  MIN(md5('2:' || token)) AS sig_2, MIN(md5('3:' || token)) AS sig_3
+           FROM tok GROUP BY id),
+         bands AS (
+           SELECT id, 0 AS band, md5(sig_0 || sig_1) AS bkey FROM sig
+           UNION ALL
+           SELECT id, 1 AS band, md5(sig_2 || sig_3) AS bkey FROM sig),
+         cand AS (
+           SELECT DISTINCT l.id AS id_a, r.id AS id_b
+           FROM bands l JOIN bands r
+             ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id),
+         cnt AS (SELECT id, COUNT(*) AS n_tok FROM tok GROUP BY id),
+         common AS (
+           SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+           FROM cand c JOIN tok a ON a.id = c.id_a
+                       JOIN tok b ON b.id = c.id_b AND b.token = a.token
+           GROUP BY c.id_a, c.id_b)
+         SELECT id_a, id_b FROM common
+           JOIN cnt ca ON ca.id = common.id_a
+           JOIN cnt cb ON cb.id = common.id_b
+         WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "dd_jaccard_pairs" -> s"""
+         WITH $tokensCte,
+         blk AS (
+           SELECT doc_id, source,
+                  len(regexp_extract_all(text, '\\S+')) // 10 AS bkt
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM blk a JOIN blk b
+             ON a.source = b.source AND a.bkt = b.bkt AND a.doc_id < b.doc_id),
+         cnt AS (SELECT id, COUNT(*) AS n_tok FROM tok GROUP BY id),
+         common AS (
+           SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+           FROM pairs p JOIN tok a ON a.id = p.id_a
+                        JOIN tok b ON b.id = p.id_b AND b.token = a.token
+           GROUP BY p.id_a, p.id_b)
+         SELECT id_a, id_b FROM common
+           JOIN cnt ca ON ca.id = common.id_a
+           JOIN cnt cb ON cb.id = common.id_b
+         WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE) >= 0.9
+         ORDER BY id_a, id_b""",
+
+    "dd_embedding_cosine" ->
+      """WITH expl AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS prod,
+                  CAST(a.embedding[i] AS DOUBLE)^2 AS sa,
+                  CAST(b.embedding[i] AS DOUBLE)^2 AS sb
+           FROM embeddings a
+           JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+           UNNEST(generate_series(1, 64)) t(i))
+         SELECT id_a, id_b FROM expl GROUP BY id_a, id_b
+         HAVING SUM(prod) / (sqrt(SUM(sa)) * sqrt(SUM(sb))) >= 0.4
+         ORDER BY id_a, id_b""",
+
+    "sim_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         expl AS (
+           SELECT e.vec_id, i,
+                  CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS prod,
+                  CAST(e.embedding[i] AS DOUBLE)^2 AS sa, CAST(q.qe[i] AS DOUBLE)^2 AS sq
+           FROM embeddings e, q, UNNEST(generate_series(1, 64)) t(i)
+           WHERE e.vec_id <> 0)
+         SELECT vec_id, round(SUM(prod) / (sqrt(SUM(sa)) * sqrt(SUM(sq))), 6) AS cos_r
+         FROM expl GROUP BY vec_id
+         ORDER BY cos_r DESC, vec_id LIMIT 10""",
+
+    "ev_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS win, event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY 1, 2 ORDER BY win, event_type""",
+
+    "ev_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 1800
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM g),
+         x AS (
+           SELECT user_id,
+                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM s)
+         SELECT user_id, sess_id, COUNT(*) AS n_events
+         FROM x GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+
+    "ev_dedup_first" ->
+      """SELECT user_id, event_type, event_id FROM (
+           SELECT user_id, event_type, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type"""
+  )
+}
