@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{RelationalQueries, PipelineQueries}
+import graft.queries.{RelationalQueries, PipelineQueries, KgQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -10,16 +10,17 @@ import graft.queries.{RelationalQueries, PipelineQueries}
   * pipeline operators; kg = the knowledge-graph construction pipeline).
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full KG construction pipeline (extract → link →
+    * materialize) on the smallest corpus; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    KgQueries.queries("kg_pipeline_triples")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ PipelineQueries.queries
+    RelationalQueries.queries ++ PipelineQueries.queries ++ KgQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ PipelineQueries.oracle
+    RelationalQueries.oracle ++ PipelineQueries.oracle ++ KgQueries.oracle
 }

@@ -1,0 +1,137 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage 3.5 — connected-components canonicalization over entity
+  * equivalence edges (north rule; NOT in the reference, whose
+  * canonicalization is purely dictionary-based — SURVEY §4.1).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14), implemented
+  * as a driver loop of DataFrame ops:
+  *
+  *   large-star: for each node u, neighbors v > u attach to
+  *               m = min(N(u) ∪ {u});  small-star: neighbors v <= u
+  *               (and u itself) attach to m.
+  *
+  * Convergence when the edge multiset stops changing (checked via a
+  * count + sum-of-hashes aggregate — one tiny action per iteration).
+  * Each iteration is shuffle-bounded by groupBy(u); high-degree hubs are
+  * exactly what large-star splits, so the algorithm self-handles skew.
+  * Lineage is cut by an eager localCheckpoint per iteration — at
+  * 10^12-doc scale the loop runs O(log d) iterations.
+  *
+  * Node ids are strings (IRIs); ordering is lexicographic, which is a
+  * total order — all the algorithm needs.
+  */
+object Canonical {
+
+  /** Input: edges(src, dst) undirected. Output: mapping(node, component)
+    * where component = min node id (lexicographic) of the component.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+
+    // symmetrize once; keep (u, v) both directions for the star steps
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = sym(e).groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"), collect_set(col("v")).as("vs"))
+      nbrs.select(col("u"), col("m"), explode(col("vs")).as("v"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .unionByName(nbrs.select(col("u").as("src"), col("m").as("dst")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val nbrs = sym(e).filter(col("v") <= col("u"))
+        .groupBy(col("u"))
+        .agg(min(col("v")).as("m"), collect_set(col("v")).as("vs"))
+      nbrs.select(col("u"), col("m"), explode(col("vs")).as("v"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .unionByName(nbrs.select(col("u").as("src"), col("m").as("dst")))
+    }
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // order-insensitive, overflow-free fingerprint of the edge set
+      val row = e.select(xxhash64(col("src"), col("dst")).as("h"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("x"))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
+
+    // localCheckpoint each iteration: truncates the logical plan (plain
+    // persist leaves Catalyst re-analyzing an exponentially growing
+    // lineage) — the standard iterative-DataFrame pattern. On a real
+    // cluster swap for reliable checkpoint() to survive executor loss.
+    var cur = canon(edges).localCheckpoint(true)
+    var sig = signature(cur)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      cur = next
+      it += 1
+    }
+    // star-contracted graph: every surviving edge is (node, root)
+    val mapping = sym(cur).groupBy(col("u").as("node"))
+      .agg(min(least(col("v"), col("u"))).as("component"))
+    // isolated representation: roots map to themselves
+    mapping
+  }
+
+  /** Entity-equivalence edges for canonicalization: two Wikidata ids are
+    * equivalent when some verbatim taxon name resolved to both (same
+    * surface form, different dictionary paths). This reproduces — and
+    * then transitively closes — the merge the reference implies by
+    * routing id-dict and name-dict lookups into the same Mapped_ID_WD
+    * space (globi_kg_generator.py:190-206).
+    */
+  def equivalenceEdges(matcherOut: DataFrame): DataFrame = {
+    val named = matcherOut
+      .filter(col("Mapped_ID_WD").isNotNull && col("Mapped_ID_WD") =!= "" &&
+        col("TaxonName").isNotNull && trim(col("TaxonName")) =!= "")
+      .select(trim(col("TaxonName")).as("name"),
+        regexp_replace(col("Mapped_ID_WD"), "Wikidata:", "").as("wd"))
+      .distinct()
+    named.as("a").join(named.as("b"), Seq("name"))
+      .filter(col("a.wd") < col("b.wd"))
+      .select(col("a.wd").as("src"), col("b.wd").as("dst"))
+      .distinct()
+  }
+
+  /** Rewrite triple subjects/objects through the canonical map (IRIs
+    * only; literals pass through). Canonical ids only exist for wd
+    * entities, so the join key is the WD-prefixed IRI.
+    */
+  def canonicalizeTriples(triples: DataFrame, mapping: DataFrame): DataFrame = {
+    val m = mapping.select(
+      concat(lit(Model.WD), col("node")).as("_n"),
+      concat(lit(Model.WD), col("component")).as("_c"))
+    triples
+      .join(broadcast(m.withColumnRenamed("_n", "_sn").withColumnRenamed("_c", "_sc")),
+        col("subj") === col("_sn"), "left")
+      .join(broadcast(m.withColumnRenamed("_n", "_on").withColumnRenamed("_c", "_oc")),
+        col("obj") === col("_on") && !col("objIsLiteral"), "left")
+      .select(
+        coalesce(col("_sc"), col("subj")).as("subj"),
+        col("pred"),
+        coalesce(col("_oc"), col("obj")).as("obj"),
+        col("objIsLiteral"), col("objDatatype"))
+      .dropDuplicates("subj", "pred", "obj", "objIsLiteral", "objDatatype")
+  }
+}

@@ -1,0 +1,220 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.normalize.Norm
+import Model._
+
+/** Stage 2 — entity linking: the reference's taxonomy matcher
+  * (src/taxonomy_matching/matcher.py) re-expressed as broadcast joins +
+  * a scored disambiguation join.
+  *
+  * Dictionary semantics made relational:
+  *  - pandas "dict build, later row wins" → groupBy(key).max_by(value, rowIdx)
+  *  - "drop_duplicates keeps first" → groupBy(all cols).min(rowIdx)
+  *  - scored argmax with first-insertion tiebreak → max_by over
+  *    struct(score, -groupIdx)  (matcher.py:264-280)
+  * Every dictionary is a small table ⇒ broadcast joins, no shuffle on
+  * the big side except the final dedup.
+  */
+object Link {
+
+  private def nonEmpty(c: Column): Column = c.isNotNull && c =!= ""
+
+  /** Prefix external-id columns positionally, normalize Wikidata URIs and
+    * strip quotes (matcher.py:108-114).
+    */
+  def prepWdSparql(wdSparql: DataFrame): DataFrame = {
+    val cols = wdSparql.columns
+    val prefixed = wdSparql.select(cols.zipWithIndex.map { case (c, idx) =>
+      val base =
+        if (idx >= 1 && idx <= 15)
+          when(col(c).isNotNull, concat(lit(externalPrefixes(idx - 1)), col(c)))
+            .otherwise(col(c))
+        else col(c)
+      regexp_replace(
+        regexp_replace(base, "http://www\\.wikidata\\.org/entity/", "Wikidata:"),
+        "\"", "").as(c)
+    }: _*)
+    prefixed
+  }
+
+  /** globi_id_map: any id column (WdID + 15 externals) → WdName;
+    * globi_id_map_wd: external id → WdID (matcher.py:117-130).
+    */
+  def idMaps(prepped: DataFrame): (DataFrame, DataFrame) = {
+    val cols = prepped.columns
+    val wdIdCol = cols.head; val wdNameCol = cols.last
+    val keyCols = cols.dropRight(1) // includes WdID (matcher.py:116)
+    val extCols = cols.drop(1).dropRight(1)
+    def melt(keys: Seq[String], valueCol: String): DataFrame =
+      keys.map { k =>
+        prepped.select(col(k).as("key"), col(valueCol).as("value"))
+          .filter(col("key").isNotNull)
+      }.reduce(_ unionByName _)
+        .groupBy(col("key"))
+        // last occurrence wins on key collision; WdID is the stable order
+        .agg(max_by(col("value"), col("value")).as("value"))
+    (melt(keyCols, wdNameCol), melt(extCols, wdIdCol))
+  }
+
+  /** Stack source/target taxon frames, normalize ids/urls, dedup keeping
+    * first occurrence, unpack rank paths (matcher.py:133-180).
+    * rowIdx: source rows get recNum, target rows get nDocs+recNum —
+    * reproduces pandas concat order without any positional state.
+    */
+  def stackTaxa(records: DataFrame, nDocs: Long): DataFrame = {
+    def side(p: String, base: Column): DataFrame =
+      records.select(
+        col(s"${p}TaxonId").as("TaxonId"),
+        col(s"${p}TaxonName").as("TaxonName"),
+        col(s"${p}TaxonPathNames").as("TaxonPathName"),
+        col(s"${p}TaxonPathRankNames").as("TaxonRankName"),
+        (col("recNum") + base).as("rowIdx"))
+    val stacked = side("source", lit(0L)).unionByName(side("target", lit(nDocs)))
+    val norm = stacked.select(
+      Seq("TaxonId", "TaxonName", "TaxonPathName", "TaxonRankName")
+        .map(c => Norm.normalizeUri(col(c)).as(c)) :+ col("rowIdx"): _*)
+    val dedup = norm
+      .groupBy(col("TaxonId"), col("TaxonName"), col("TaxonPathName"), col("TaxonRankName"))
+      .agg(min(col("rowIdx")).as("rowIdx"))
+    // rank-path unpack (matcher.py:416-427): zip ranks with names
+    // positionally, zip_longest-style "" fill when names run short
+    val ranksArr = transform(split(col("TaxonRankName"), "\\|"), r => trim(r))
+    val namesArr = transform(split(col("TaxonPathName"), "\\|"), n => trim(n))
+    val padded = transform(sequence(lit(1), size(ranksArr)),
+      i => coalesce(element_at(namesArr, i), lit("")))
+    val m = map_from_arrays(ranksArr, padded)
+    val withRanks = predefinedRanks.foldLeft(dedup.withColumn("_rankmap", m)) {
+      case (df, rank) =>
+        df.withColumn(rank, coalesce(element_at(col("_rankmap"), rank), lit("")))
+    }
+    withRanks.drop("_rankmap")
+  }
+
+  /** Initial ID-based match + status lattice (matcher.py:184-205). */
+  def initialMatch(taxa: DataFrame, idMap: DataFrame, idMapWd: DataFrame): DataFrame = {
+    val tid = trim(col("TaxonId"))
+    val tname = trim(col("TaxonName"))
+    val im = idMap.select(col("key").as("_k1"), col("value").as("Mapped_Value"))
+    val imWd = idMapWd.select(col("key").as("_k2"), col("value").as("Mapped_ID_WD"))
+    taxa
+      .join(broadcast(im), tid === col("_k1"), "left").drop("_k1")
+      .join(broadcast(imWd), tid === col("_k2"), "left").drop("_k2")
+      .withColumn("Mapped_ID", when(col("Mapped_Value").isNotNull, tid))
+      .withColumn("Match_Status",
+        when(!nonEmpty(tid), "ID-NOT-PRESENT")
+          .when(col("Mapped_Value").isNull, "ID-NOT-FOUND")
+          .when(lower(col("Mapped_Value")) === lower(tname), "NAME-MATCH-YES")
+          .otherwise("NAME-MATCH-NO"))
+  }
+
+  /** Lineage tables: normalized WdID; repeats = duplicate WdNames sorted
+    * by (WdName, WdID) with a group index; uniques = the rest
+    * (matcher.py:208-244, wikidata_fetcher.py:268-297).
+    */
+  case class LineageTables(repeats: DataFrame, uniques: DataFrame)
+
+  def lineagePrep(lineage: DataFrame): LineageTables = {
+    import org.apache.spark.sql.expressions.Window
+    val l = lineage.withColumn("WdID",
+      regexp_replace(col("WdID"), "http://www\\.wikidata\\.org/entity/", "Wikidata:"))
+    val withCnt = l.withColumn("_cnt",
+      count(lit(1)).over(Window.partitionBy(col("WdName"))))
+    val repeats = withCnt.filter(col("_cnt") > 1).drop("_cnt")
+      .withColumn("rowIdx",
+        row_number().over(Window.orderBy(col("WdName"), col("WdID"))))
+    val uniques = withCnt.filter(col("_cnt") === 1).drop("_cnt")
+    LineageTables(repeats, uniques)
+  }
+
+  /** Secondary name-based matching for ID-NOT-FOUND / ID-NOT-PRESENT
+    * rows (matcher.py:284-334): exact 6-tuple short-circuit, else the
+    * scored disambiguation join (J5), else direct unique-name lookup.
+    */
+  def secondaryMatch(matched: DataFrame, lt: LineageTables): DataFrame = {
+    val needsFix = col("Match_Status").isin("ID-NOT-FOUND", "ID-NOT-PRESENT") &&
+      nonEmpty(trim(col("TaxonName")))
+
+    val fix = matched.filter(needsFix)
+      .withColumn("_name", trim(col("TaxonName")))
+    val keep = matched.filter(!needsFix)
+
+    // distinct candidate keys among duplicates, first-occurrence ordered
+    val candKeys = lt.repeats
+      .select(Seq(col("WdName"), col("WdID"), col("rowIdx")) ++
+        Seq("family", "class", "order", "phylum", "kingdom")
+          .map(c => coalesce(col(c), lit("")).as(s"c_$c")): _*)
+      .groupBy(col("WdName"), col("c_family"), col("c_class"), col("c_order"),
+        col("c_phylum"), col("c_kingdom"))
+      .agg(min_by(col("WdID"), col("rowIdx")).as("c_wdid"),
+        min(col("rowIdx")).as("grpIdx"))
+
+    // (a) exact 6-tuple join (case-sensitive, matcher.py:260-261)
+    val exact = fix.join(broadcast(candKeys),
+        col("_name") === candKeys("WdName") &&
+          col("family") === col("c_family") && col("class") === col("c_class") &&
+          col("order") === col("c_order") && col("phylum") === col("c_phylum") &&
+          col("kingdom") === col("c_kingdom"), "left")
+      .groupBy(col("rowIdx"))
+      .agg(min_by(struct(col("c_wdid"), col("c_family"), col("c_class"),
+        col("c_order"), col("c_phylum"), col("c_kingdom")), col("grpIdx")).as("ex"))
+      .select(col("rowIdx"), col("ex"))
+
+    // (b) scored candidates on name equality (matcher.py:264-280):
+    // +1 per case-insensitive match on non-empty candidate rank
+    def sc(rowCol: String, candCol: String): Column =
+      when(nonEmpty(col(candCol)) &&
+        lower(col(candCol)) === lower(col(rowCol)), 1).otherwise(0)
+    val scored = fix.join(broadcast(candKeys), col("_name") === candKeys("WdName"))
+      .withColumn("_score",
+        sc("family", "c_family") + sc("class", "c_class") + sc("order", "c_order") +
+          sc("phylum", "c_phylum") + sc("kingdom", "c_kingdom"))
+      .groupBy(col("rowIdx"))
+      .agg(max_by(struct(col("c_wdid"), col("c_family"), col("c_class"),
+        col("c_order"), col("c_phylum"), col("c_kingdom")),
+        struct(col("_score"), (lit(0L) - col("grpIdx")).as("nIdx"))).as("scr"))
+      .select(col("rowIdx"), col("scr"))
+
+    // (c) unique-name direct lookup (matcher.py:318-326)
+    val uniq = lt.uniques.select(col("WdName").as("u_name"),
+      struct(col("WdID").as("c_wdid"),
+        coalesce(col("family"), lit("")).as("c_family"),
+        coalesce(col("class"), lit("")).as("c_class"),
+        coalesce(col("order"), lit("")).as("c_order"),
+        coalesce(col("phylum"), lit("")).as("c_phylum"),
+        coalesce(col("kingdom"), lit("")).as("c_kingdom")).as("un"))
+
+    val fixed = fix
+      .join(exact, Seq("rowIdx"), "left")
+      .join(scored, Seq("rowIdx"), "left")
+      .join(broadcast(uniq), col("_name") === col("u_name"), "left")
+      .withColumn("_win", coalesce(col("ex"), col("scr"), col("un")))
+      .withColumn("_isDupl", col("scr").isNotNull || col("ex").isNotNull)
+      .withColumn("Mapped_ID_WD",
+        when(col("_win").isNotNull, col("_win.c_wdid")).otherwise(lit(null)))
+      .withColumn("Match_Status",
+        when(col("_isDupl"), "ID-MATCHED-BY-NAME-DUPL-duplicate")
+          .when(col("un").isNotNull, "ID-MATCHED-BY-NAME-direct")
+          .otherwise(col("Match_Status")))
+    val rankUpdated = Seq(
+      ("family", "c_family"), ("class", "c_class"), ("order", "c_order"),
+      ("phylum", "c_phylum"), ("kingdom", "c_kingdom"))
+      .foldLeft(fixed) { case (df, (r, c)) =>
+        df.withColumn(r,
+          when(col("_win").isNotNull, col(s"_win.$c")).otherwise(col(r)))
+      }
+    val outCols = matched.columns.map(col)
+    rankUpdated.select(outCols: _*).unionByName(keep.select(outCols: _*))
+  }
+
+  /** Full matcher pipeline: records → matched-taxa table (matcher.py:432-478). */
+  def matchTaxa(records: DataFrame, wdSparql: DataFrame, lineage: DataFrame,
+      nDocs: Long): DataFrame = {
+    val prepped = prepWdSparql(wdSparql)
+    val (idMap, idMapWd) = idMaps(prepped)
+    val taxa = stackTaxa(records, nDocs)
+    val initial = initialMatch(taxa, idMap, idMapWd)
+    secondaryMatch(initial, lineagePrep(lineage))
+  }
+}

@@ -1,0 +1,352 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import Model._
+
+/** Stages 3+4 — triple emission and graph materialization
+  * (src/knowledge_graph/globi_kg_generator.py re-expressed Spark-first).
+  *
+  * Resolution (two-tier id→name fallback, J6) is relational: two
+  * broadcast joins + branch-ordered coalesce. Emission (one record → up
+  * to ~30 conditional triples) is a typed flatMap with broadcast
+  * vocabularies — the idiomatic Spark form of a generator/UDTF. Set
+  * semantics (the reference's per-batch rdflib.Graph + cross-batch
+  * first-seen sets, globi_kg_generator.py:78-81,122-126) become one
+  * global dropDuplicates; inverse-relation augmentation (utils.py:84-100)
+  * is a broadcast join against the 24-entry inverse map.
+  *
+  * Deviations from the reference, by design (documented for the parity
+  * harness):
+  *  - inRec{n} uses the deterministic per-document record number instead
+  *    of the pandas row position (globi_kg_generator.py:213-217) —
+  *    partition-order independence.
+  *  - sex-count blank nodes are skolemized to :SEX-{n}-{side}-{local}
+  *    IRIs (globi_kg_generator.py:293) so triple sets are comparable.
+  *  - vocabulary-matched body-part/life-stage triples are emitted into
+  *    the output graph; the reference accumulates them in
+  *    GlobiEntityMatcher.graph which is never serialized
+  *    (globi_entity_matcher.py:21,100 vs globi_kg_generator.py:326) —
+  *    we treat that as a reference bug and keep the triples.
+  */
+object Materialize {
+
+  case class ResolvedRecord(
+      doc_id: String, recNum: Long,
+      srcWd: String, srcName: String, tgtWd: String, tgtName: String,
+      interactionTypeName: String, interactionTypeId: String,
+      localityName: String, referenceDoi: String, sourceDOI: String,
+      decimalLatitude: String, decimalLongitude: String,
+      sourceBodyPartName: String, sourceBodyPartId: String,
+      sourceLifeStageName: String, sourceLifeStageId: String,
+      targetBodyPartName: String, targetBodyPartId: String,
+      targetLifeStageName: String, targetLifeStageId: String,
+      sourceSexName: String, targetSexName: String)
+
+  /** Term vocabulary (body parts + life stages concatenated into ONE
+    * dictionary, as the reference does — globi_entity_matcher.py:67) and
+    * the biological-sex map (inputs lowercased at load, :89).
+    */
+  case class TermVocab(names: Map[String, String], uris: Map[String, String],
+      sex: Map[String, String])
+
+  def termVocab(): TermVocab = {
+    val all = DataGen.bodyPartVocab ++ DataGen.lifeStageVocab
+    TermVocab(
+      names = all.filter(_._2.trim.nonEmpty).map(t => t._1 -> t._2).toMap,
+      uris = all.filter(_._3.trim.nonEmpty).map(t => t._1 -> t._3).toMap,
+      sex = DataGen.sexVocab.map(t => t._1.toLowerCase -> t._2).toMap)
+  }
+
+  // ---- wd-map dictionaries (globi_kg_generator.py:88-110) ---------------
+
+  /** Matcher output → the two resolution dictionaries. "Wikidata:" and
+    * quotes stripped from every column; empty Mapped_ID_WD rows dropped;
+    * later rows win on key collision (pandas dict-build order = ascending
+    * first-occurrence rowIdx).
+    */
+  def wdMapDicts(matcherOut: DataFrame): (DataFrame, DataFrame) = {
+    val cleaned = matcherOut.select(
+      Seq("TaxonId", "TaxonName", "Mapped_ID_WD", "Mapped_Value").map(c =>
+        regexp_replace(regexp_replace(col(c), "Wikidata:", ""), "\"", "").as(c))
+        :+ col("rowIdx"): _*)
+      .filter(col("Mapped_ID_WD").isNotNull && col("Mapped_ID_WD") =!= "")
+    def dict(keyCol: String): DataFrame =
+      cleaned.filter(col(keyCol).isNotNull && col(keyCol) =!= "")
+        .groupBy(col(keyCol).as("key"))
+        .agg(max_by(struct(col("Mapped_ID_WD").as("wd"),
+          col("Mapped_Value").as("mv")), col("rowIdx")).as("v"))
+        .select(col("key"), col("v.wd").as("wd"), col("v.mv").as("mv"))
+    (dict("TaxonId"), dict("TaxonName"))
+  }
+
+  /** Two-tier resolution (globi_kg_generator.py:184-209): raw id in the
+    * id-dict, else raw name in the name-dict, else drop; then drop
+    * self-interactions. Returns the typed resolved-record Dataset.
+    */
+  def resolve(records: DataFrame, dictId: DataFrame, dictName: DataFrame)
+      : Dataset[ResolvedRecord] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    def lookup(df: DataFrame, p: String): DataFrame = {
+      val byId = dictId.select(col("key").as(s"_${p}k1"),
+        struct(col("wd"), col("mv")).as(s"_${p}byId"))
+      val byName = dictName.select(col("key").as(s"_${p}k2"),
+        struct(col("wd"), col("mv")).as(s"_${p}byName"))
+      df.join(broadcast(byId), col(s"${p}TaxonId") === col(s"_${p}k1"), "left")
+        .join(broadcast(byName), col(s"${p}TaxonName") === col(s"_${p}k2"), "left")
+        .withColumn(s"_${p}res",
+          coalesce(col(s"_${p}byId"), col(s"_${p}byName")))
+        .withColumn(s"${p}Wd", col(s"_${p}res.wd"))
+        .withColumn(s"${p}NameM",
+          // row name wins when present (globi_kg_generator.py:192)
+          when(col(s"${p}TaxonName").isNotNull && col(s"${p}TaxonName") =!= "",
+            col(s"${p}TaxonName")).otherwise(col(s"_${p}res.mv")))
+        .drop(s"_${p}k1", s"_${p}k2", s"_${p}byId", s"_${p}byName", s"_${p}res")
+    }
+    lookup(lookup(records, "source"), "target")
+      .filter(col("sourceWd").isNotNull && col("targetWd").isNotNull &&
+        col("sourceWd") =!= col("targetWd"))
+      .select(
+        col("doc_id"), col("recNum"),
+        col("sourceWd").as("srcWd"), col("sourceNameM").as("srcName"),
+        col("targetWd").as("tgtWd"), col("targetNameM").as("tgtName"),
+        col("interactionTypeName"), col("interactionTypeId"),
+        col("localityName"), col("referenceDoi"), col("sourceDOI"),
+        col("decimalLatitude"), col("decimalLongitude"),
+        col("sourceBodyPartName"), col("sourceBodyPartId"),
+        col("sourceLifeStageName"), col("sourceLifeStageId"),
+        col("targetBodyPartName"), col("targetBodyPartId"),
+        col("targetLifeStageName"), col("targetLifeStageId"),
+        col("sourceSexName"), col("targetSexName"))
+      .as[ResolvedRecord]
+  }
+
+  // ---- per-record emission (globi_kg_generator.py:219-316) ---------------
+
+  def iri(s: String, p: String, o: String): Triple = Triple(s, p, o, false, "")
+  def lit0(s: String, p: String, o: String, dt: String = XSD_STRING): Triple =
+    Triple(s, p, o, true, dt)
+
+  /** _lookup_and_add_term (globi_entity_matcher.py:109-129): single-term
+    * dictionary lookup with de-pluralization and prefix-strip retry.
+    */
+  def lookupTerm(name: String, subj: String, pred: String, rdfType: String,
+      v: TermVocab): Seq[Triple] = {
+    def hit(term: String): Option[(String, String)] =
+      v.uris.get(term).map(u => (u, v.names(term)))
+        .orElse(v.names.get(term).map(n => (EMIBOX + Model.quote(n), n)))
+    val t0 = preprocessTerm(name)
+    val cleaned = preprocessTerm(
+      t0.replaceAll("(?i)(adult[as]?|tortere|juvenil[e]?|maybe|\\(?torete[s]?\\)?)", ""))
+    hit(t0).orElse(hit(cleaned)).toSeq.flatMap { case (uri, label) =>
+      Seq(iri(subj, pred, uri), iri(uri, RDF_TYPE, rdfType),
+        lit0(uri, RDFS_LABEL, label))
+    }
+  }
+
+  /** _add_entity_to_graph (globi_kg_generator.py:113-140): OBO-prefix id,
+    * http id, else vocabulary term match.
+    */
+  def addEntity(name: String, id: String, subj: String, pred: String,
+      rdfType: String, v: TermVocab): Seq[Triple] = {
+    if (isPresent(id)) {
+      prefixToNamespace.collectFirst {
+        case (p, ns) if id.startsWith(p) => ns + id.substring(p.length)
+      } match {
+        case Some(uri) =>
+          return Seq(iri(subj, pred, uri), iri(uri, RDF_TYPE, rdfType),
+            lit0(uri, RDFS_LABEL, Option(name).getOrElse("")))
+        case None if id.startsWith("http") =>
+          return Seq(iri(subj, pred, id), iri(id, RDF_TYPE, rdfType),
+            lit0(id, RDFS_LABEL, Option(name).getOrElse("")))
+        case None => ()
+      }
+    }
+    lookupTerm(name, subj, pred, rdfType, v)
+  }
+
+  /** count_biological_sex (globi_entity_matcher.py:131-222, count_only
+    * mode): canonicalize conjunctions/delimiters, split sub-terms, parse
+    * (count, word) pairs, map through the sex vocabulary with cleaned
+    * retry, unknown fallback; zero counts filtered.
+    */
+  def countBiologicalSex(sexString: String, sex: Map[String, String])
+      : Seq[(String, Int)] = {
+    var s = Option(sexString).getOrElse("").toLowerCase.trim
+    s = s.replaceAll("(?i)\\b(and|y)\\b", ",")
+    s = s.replaceAll("(?i)\\b(or)\\b", "")
+    s = s.replaceAll("[,;/|&]+", ",")
+    s = s.replaceAll("[\\[\\]\\(\\)\\?\\#:`]+", " ")
+    s = s.replaceAll("\\s\\s", " ")
+    val subTerms = s.split("[+.,]+", -1)
+    val numberWord = "(\\d+)\\s*([\\w-]+)|([\\w-]+)\\s*(\\d+)".r
+    val counts = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def add(uri: String, n: Int): Unit = counts(uri) = counts.getOrElse(uri, 0) + n
+    def mapTerm(word: String, n: Int): Unit = {
+      val w = preprocessTerm(word)
+      sex.get(w) match {
+        case Some(u) => add(u, n)
+        case None =>
+          val cleaned = preprocessTerm(w.replaceAll(
+            "(?i)(adult[as]?|tortere|juvenil[e]?|maybe|\\(?torete[s]?\\)?)", ""))
+          sex.get(cleaned) match {
+            case Some(u) => add(u, n)
+            case None => add(sex.getOrElse("unknown", "unknown_id"), n)
+          }
+      }
+    }
+    subTerms.foreach { term =>
+      val cleanedForMatch = term.replaceAll("[+.,]+", " ")
+      val ms = numberWord.findAllMatchIn(cleanedForMatch).toSeq
+      if (ms.nonEmpty) ms.foreach { m =>
+        val numberStr = Option(m.group(1)).filter(_.nonEmpty)
+          .orElse(Option(m.group(4)).filter(_.nonEmpty))
+        val word = Option(m.group(2)).filter(_.nonEmpty)
+          .getOrElse(Option(m.group(3)).getOrElse(""))
+        mapTerm(word.trim, numberStr.map(_.toInt).getOrElse(1))
+      }
+      else mapTerm(term.trim, 1)
+    }
+    counts.toSeq.filter(_._2 != 0)
+  }
+
+  /** All triples for one resolved record. */
+  def emit(r: ResolvedRecord, v: TermVocab): Seq[Triple] = {
+    val n = r.recNum
+    val rec = EMIBOX + s"inRec$n"
+    val srcUri = EMIBOX + s"SAMPLE-${Model.quote(r.srcWd)}-inRec$n"
+    val tgtUri = EMIBOX + s"SAMPLE-${Model.quote(r.tgtWd)}-inRec$n"
+    val out = scala.collection.mutable.ArrayBuffer[Triple]()
+
+    out += iri(rec, RDF_TYPE, EMI + "Interaction")
+    out += iri(rec, EMI + "hasSource", srcUri)
+    out += iri(rec, EMI + "hasTarget", tgtUri)
+
+    // classification (globi_kg_generator.py:228-242)
+    val tnPresent = isPresent(r.interactionTypeName)
+    val tiPresent = isPresent(r.interactionTypeId)
+    if (tnPresent && tiPresent) {
+      out += iri(rec, EMI + "isClassifiedWith", r.interactionTypeId)
+      out += iri(r.interactionTypeId, RDF_TYPE, EMI + "InteractionType")
+      out += lit0(r.interactionTypeId, RDFS_LABEL, r.interactionTypeName)
+    }
+    if (!tiPresent && tnPresent) {
+      val tUri = EMIBOX + r.interactionTypeName
+      out += iri(rec, EMI + "isClassifiedWith", tUri)
+      out += iri(tUri, RDF_TYPE, EMI + "InteractionType")
+    }
+
+    if (isPresent(r.localityName))
+      out += lit0(rec, PROV + "atLocation", r.localityName)
+    if (isPresent(r.referenceDoi))
+      out += lit0(rec, DCTERMS + "bibliographicCitation", r.referenceDoi)
+    if (isPresent(r.sourceDOI))
+      out += lit0(rec, DCTERMS + "bibliographicCitation", r.sourceDOI)
+    if (isPresent(r.decimalLatitude))
+      out += lit0(rec, WGS84 + "lat", r.decimalLatitude)
+    if (isPresent(r.decimalLongitude))
+      out += lit0(rec, WGS84 + "long", r.decimalLongitude)
+
+    def sample(uri: String, wd: String, name: String): Unit = {
+      if (isPresent(name)) {
+        out += iri(uri, RDF_TYPE, SOSA + "Sample")
+        out += lit0(uri, RDFS_LABEL, name)
+        out += iri(uri, SOSA + "isSampleOf", EMIBOX + s"ORGANISM-${Model.quote(name)}")
+      }
+      out += iri(uri, EMI + "inTaxon", WD + wd)
+    }
+    sample(srcUri, r.srcWd, r.srcName)
+    sample(tgtUri, r.tgtWd, r.tgtName)
+
+    // body parts / life stages (globi_kg_generator.py:280-288)
+    def ent(name: String, id: String, subj: String, pred: String, tp: String): Unit =
+      if (isPresent(name) || isPresent(id))
+        out ++= addEntity(name, id, subj, pred, tp, v)
+    ent(r.sourceBodyPartName, r.sourceBodyPartId, srcUri,
+      EMI + "hasAnatomicalEntity", EMI + "AnatomicalEntity")
+    ent(r.targetBodyPartName, r.targetBodyPartId, tgtUri,
+      EMI + "hasAnatomicalEntity", EMI + "AnatomicalEntity")
+    ent(r.sourceLifeStageName, r.sourceLifeStageId, srcUri,
+      EMI + "hasDevelopmentalStage", EMI + "DevelopmentalStage")
+    ent(r.targetLifeStageName, r.targetLifeStageId, tgtUri,
+      EMI + "hasDevelopmentalStage", EMI + "DevelopmentalStage")
+
+    // biological sex (globi_kg_generator.py:290-316), skolemized bnodes
+    def sexTriples(sexName: String, subj: String, side: String): Unit =
+      if (isPresent(sexName)) countBiologicalSex(sexName, v.sex).foreach {
+        case (uri, qty) =>
+          val local = uri.substring(uri.lastIndexOf('/') + 1)
+          val b = EMIBOX + s"SEX-$n-$side-$local"
+          out += iri(subj, EMI + "hasSex", b)
+          out += iri(b, QUDT + "quantityKind", uri)
+          out += lit0(b, QUDT + "numericValue", qty.toString, XSD_INTEGER)
+          out += iri(uri, RDF_TYPE, EMI + "BiologicalSex")
+      }
+    sexTriples(r.sourceSexName, srcUri, "src")
+    sexTriples(r.targetSexName, tgtUri, "tgt")
+    out.toSeq
+  }
+
+  /** Media-span triples (north-rule media resolution, FIXTURES §2.7). */
+  def mediaTriples(mediaMentions: DataFrame): DataFrame = {
+    val rec = concat(lit(EMIBOX + "inRec"), col("recNum"))
+    val m = concat(lit(EMIBOX), col("media_ref"))
+    def tr(s: Column, p: Column, o: Column, isLit: Boolean, dt: String) =
+      struct(s.as("subj"), p.as("pred"), o.as("obj"),
+        lit(isLit).as("objIsLiteral"), lit(dt).as("objDatatype"))
+    val rows = mediaMentions.filter(col("entity_id").isNotNull).select(
+      array(
+        tr(rec, lit(EMI + "hasMediaEvidence"), m, false, ""),
+        tr(m, lit(RDF_TYPE), lit(EMI + "MediaObject"), false, ""),
+        tr(m, lit(EMI + "depicts"), concat(lit(WD), col("entity_id")), false, ""),
+        tr(m, lit(RDFS_LABEL), col("caption"), true, XSD_STRING)).as("ts"))
+    rows.select(explode(col("ts")).as("t")).select(col("t.*"))
+  }
+
+  /** Inverse-relation augmentation (utils.py:84-100): broadcast join on
+    * the 24-entry inverse map, IRI objects only.
+    */
+  def addInverses(triples: DataFrame): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val inv = inverseRelations.toSeq.toDF("pred", "invPred")
+    val inverses = triples.filter(!col("objIsLiteral"))
+      .join(broadcast(inv), Seq("pred"))
+      .select(col("obj").as("subj"), col("invPred").as("pred"),
+        col("subj").as("obj"), lit(false).as("objIsLiteral"),
+        lit("").as("objDatatype"))
+    triples.unionByName(inverses)
+  }
+
+  /** Full GloBI triple materialization: resolved records → deduplicated
+    * triple table.
+    */
+  def globiTriples(resolved: Dataset[ResolvedRecord],
+      mediaMentions: Option[DataFrame] = None): DataFrame = {
+    val spark = resolved.sparkSession
+    import spark.implicits._
+    val vocab = termVocab()
+    val bc = spark.sparkContext.broadcast(vocab)
+    val base = resolved.flatMap(r => emit(r, bc.value)).toDF()
+    val withMedia = mediaMentions.map(m => base.unionByName(mediaTriples(m)))
+      .getOrElse(base)
+    addInverses(withMedia)
+      .dropDuplicates("subj", "pred", "obj", "objIsLiteral", "objDatatype")
+  }
+
+  /** Graph write: range-partition by (pred, subj) so each predicate's
+    * files are few and subject-clustered, lay out as
+    * triples/predicate=<p>/part-*.parquet (north rule). The predicate
+    * gets a filename-safe encoding.
+    */
+  def writeTriples(triples: DataFrame, outDir: String, numPartitions: Int = 32): Unit = {
+    triples
+      .withColumn("predicate", regexp_replace(col("pred"), "[^A-Za-z0-9]+", "_"))
+      .repartitionByRange(numPartitions, col("predicate"), col("subj"))
+      .sortWithinPartitions(col("predicate"), col("subj"))
+      .write.mode("overwrite")
+      .partitionBy("predicate")
+      .parquet(outDir)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path}
+import Model._
+
+/** Stage DAG driver: checkpointed, idempotently resumable KG
+  * construction (north rule; reference counterpart: the row-offset
+  * checkpoint file, globi_kg_generator.py:146-150,321-323).
+  *
+  * Each stage writes (a) its output as parquet, (b) a _MANIFEST.json
+  * sidecar carrying the stage name, an input fingerprint, per-partition
+  * row counts (lineage metrics) and wall-clock. A stage is skipped on
+  * resume iff its manifest exists and the fingerprint matches — so a
+  * killed run re-executes only the unfinished suffix of the DAG, and a
+  * finished run is a no-op. Stage outputs are immutable; reruns write
+  * via overwrite to stay idempotent.
+  */
+object Pipeline {
+
+  case class StageResult(name: String, rows: Long, partitions: Int,
+      seconds: Double, skipped: Boolean)
+
+  private def manifestPath(dir: String): Path = Paths.get(dir, "_MANIFEST.json")
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+
+  def writeManifest(dir: String, stage: String, fingerprint: String,
+      partCounts: Seq[Long], seconds: Double): Unit = {
+    val counts = partCounts.mkString("[", ",", "]")
+    val json =
+      s"""{"stage":"${jsonEscape(stage)}","fingerprint":"${jsonEscape(fingerprint)}",
+         |"rows":${partCounts.sum},"partitions":${partCounts.length},
+         |"partition_rows":$counts,"seconds":$seconds}""".stripMargin.replace("\n", "")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(manifestPath(dir), json)
+  }
+
+  def manifestMatches(dir: String, fingerprint: String): Boolean = {
+    val p = manifestPath(dir)
+    Files.exists(p) &&
+      Files.readString(p).contains(s""""fingerprint":"${jsonEscape(fingerprint)}"""")
+  }
+
+  /** Run one stage: skip when a valid manifest exists, else compute,
+    * write parquet + manifest with per-partition counts.
+    */
+  def stage(spark: SparkSession, outRoot: String, name: String,
+      fingerprint: String)(compute: => DataFrame): (DataFrame, StageResult) = {
+    val dir = s"$outRoot/$name"
+    if (manifestMatches(dir, fingerprint)) {
+      val df = spark.read.parquet(s"$dir/data")
+      (df, StageResult(name, -1L, -1, 0.0, skipped = true))
+    } else {
+      val t0 = System.nanoTime()
+      val df = compute
+      df.write.mode("overwrite").parquet(s"$dir/data")
+      val written = spark.read.parquet(s"$dir/data")
+      // per-partition lineage metrics (north rule: persisted alongside
+      // the checkpoint)
+      val partCounts = written
+        .groupBy(spark_partition_id().as("pid")).count()
+        .orderBy(col("pid")).collect().map(_.getLong(1)).toSeq
+      val secs = (System.nanoTime() - t0) / 1e9
+      writeManifest(dir, name, fingerprint, partCounts, secs)
+      (written, StageResult(name, partCounts.sum, partCounts.length, secs,
+        skipped = false))
+    }
+  }
+
+  case class RunReport(stages: Seq[StageResult], triples: Long,
+      canonicalTriples: Long)
+
+  /** Full KG construction over the deterministic corpus:
+    * datagen → extract → link → materialize → canonicalize, all
+    * checkpointed under outRoot.
+    */
+  def run(spark: SparkSession, nDocs: Long, outRoot: String,
+      partitions: Int = 32): RunReport = {
+    val fp = s"corpus:$nDocs:v1"
+    val stages = scala.collection.mutable.ArrayBuffer[StageResult]()
+
+    val (docs, s0) = stage(spark, outRoot, "00_corpus", fp) {
+      DataGen.corpus(spark, nDocs, partitions).toDF()
+    }
+    stages += s0
+
+    val (records, s1) = stage(spark, outRoot, "10_extract", fp) {
+      Extract.records(docs)
+    }
+    stages += s1
+
+    val (matched, s2) = stage(spark, outRoot, "20_link", fp) {
+      Link.matchTaxa(records, DataGen.wdSparql(spark),
+        DataGen.wdLineage(spark), nDocs)
+    }
+    stages += s2
+
+    val (triples, s3) = stage(spark, outRoot, "30_triples", fp) {
+      val (dictId, dictName) = Materialize.wdMapDicts(matched)
+      val resolved = Materialize.resolve(records, dictId, dictName)
+      val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
+      Materialize.globiTriples(resolved, Some(mm))
+    }
+    stages += s3
+
+    val (canonical, s4) = stage(spark, outRoot, "40_canonical", fp) {
+      val edges = Canonical.equivalenceEdges(matched)
+      val mapping = Canonical.connectedComponents(edges)
+      Canonical.canonicalizeTriples(triples, mapping)
+    }
+    stages += s4
+
+    // final graph layout: predicate-partitioned, range-partitioned files
+    Materialize.writeTriples(triples, s"$outRoot/50_graph",
+      numPartitions = partitions)
+
+    RunReport(stages.toSeq, triples.count(), canonical.count())
+  }
+}

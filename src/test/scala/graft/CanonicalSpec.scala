@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kg.Canonical
+
+/** Large-star/small-star connected components vs a union-find oracle on
+  * seeded random graphs (SURVEY §5.2 property tests).
+  */
+class CanonicalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def unionFind(n: Int, edges: Seq[(Int, Int)]): Map[Int, Int] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to min label
+    (0 until n).map(x => x -> find(x)).toMap
+  }
+
+  def check(n: Int, edges: Seq[(Int, Int)]): Unit = {
+    val df = edges.map { case (a, b) => (f"N$a%05d", f"N$b%05d") }.toDF("src", "dst")
+    val got = Canonical.connectedComponents(df)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val want = unionFind(n, edges)
+    // engine covers nodes that appear in edges; min-label components
+    val nodesInEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    nodesInEdges.foreach { x =>
+      assert(got(f"N$x%05d") == f"N${want(x)}%05d",
+        s"node $x: got ${got(f"N$x%05d")} want ${want(x)}")
+    }
+  }
+
+  test("CC matches union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 4) {
+      val n = 50 + trial * 40
+      val m = n * 2
+      val edges = Seq.fill(m)((rnd.nextInt(n), rnd.nextInt(n))).filter(e => e._1 != e._2)
+      check(n, edges)
+    }
+  }
+
+  test("CC handles a long path graph (worst case for label propagation)") {
+    val edges = (0 until 63).map(i => (i, i + 1))
+    check(64, edges)
+  }
+
+  test("CC handles a star hub (skew case)") {
+    val edges = (1 until 200).map(i => (0, i))
+    check(200, edges)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kg._
+
+/** Golden end-to-end: the distributed engine's triple set must equal the
+  * single-threaded oracle's (P/R = 1.0 on the deterministic corpus), the
+  * span-sequence invariant must hold per row, and the triple set must be
+  * invariant to input partitioning (SURVEY §5.2).
+  */
+class KgPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val N = 240
+
+  def engineTriples(partitions: Int): Set[Model.Triple] = {
+    val docs = DataGen.corpus(spark, N, partitions).toDF()
+    val records = Extract.records(docs)
+    val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
+      DataGen.wdLineage(spark), N)
+    val (dictId, dictName) = Materialize.wdMapDicts(matched)
+    val resolved = Materialize.resolve(records, dictId, dictName)
+    val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
+    Materialize.globiTriples(resolved, Some(mm))
+      .as[Model.Triple].collect().toSet
+  }
+
+  lazy val oracleSet: Set[Model.Triple] = Oracle.runCorpus(N)
+  lazy val engineSet: Set[Model.Triple] = engineTriples(4)
+
+  test("span-sequence invariant (kind, text, media_ref, order)") {
+    val violations = Extract.spanInvariantViolations(DataGen.corpus(spark, N, 4))
+    assert(violations.count() == 0)
+  }
+
+  test("engine triples == oracle triples (P/R = 1.0)") {
+    val missing = oracleSet -- engineSet // recall gaps
+    val extra = engineSet -- oracleSet // precision gaps
+    val show = (s: Set[Model.Triple]) => s.take(5).mkString("\n  ", "\n  ", "")
+    assert(missing.isEmpty && extra.isEmpty,
+      s"\nmissing=${missing.size}${show(missing)}\nextra=${extra.size}${show(extra)}" +
+        s"\noracle=${oracleSet.size} engine=${engineSet.size}")
+  }
+
+  test("triple set is partition-count invariant") {
+    assert(engineTriples(1) == engineSet)
+  }
+
+  test("matcher covers the status lattice") {
+    val records = Extract.records(DataGen.corpus(spark, N, 4).toDF())
+    val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
+      DataGen.wdLineage(spark), N)
+    val statuses = matched.select("Match_Status").distinct()
+      .as[String].collect().toSet
+    assert(statuses.contains("NAME-MATCH-YES"))
+    assert(statuses.contains("ID-MATCHED-BY-NAME-direct"))
+    assert(statuses.contains("ID-MATCHED-BY-NAME-DUPL-duplicate"))
+  }
+
+  test("pipeline resume skips completed stages idempotently") {
+    val out = java.nio.file.Files.createTempDirectory("kgrun").toString
+    val r1 = Pipeline.run(spark, 60, out, partitions = 4)
+    assert(r1.stages.forall(!_.skipped))
+    assert(r1.triples > 0)
+    val r2 = Pipeline.run(spark, 60, out, partitions = 4)
+    assert(r2.stages.forall(_.skipped), s"expected all skipped: ${r2.stages}")
+    assert(r2.triples == r1.triples)
+  }
+}
