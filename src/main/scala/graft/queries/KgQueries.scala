@@ -53,6 +53,11 @@ object KgQueries {
       Canonical.connectedComponents(edges).orderBy(col("node"))
     }),
 
+    "kg_trydb_triples" -> ((s: SparkSession, dir: String) => {
+      val n = nDocsFor(dir)
+      Trydb.run(s, Trydb.trydbData(s, n, 32), Trydb.trydbLineage(s), None)
+    }),
+
     // dictionary + word-boundary mention detection over documents (the
     // extraction archetype, SQL-verifiable)
     "kg_mentions" -> ((s: SparkSession, dir: String) => {
