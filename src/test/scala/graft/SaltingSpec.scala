@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Salting
+
+class SaltingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join result equals plain join under Zipf skew") {
+    // hub key 0 carries 50% of rows
+    val big = (0 until 20000).map { i =>
+      (if (i % 2 == 0) 0L else (i % 37).toLong, s"v$i")
+    }.toDF("k", "payload")
+    val small = (0 until 37).map(k => (k.toLong, s"dim$k")).toDF("k", "dim")
+
+    val plain = big.join(small, Seq("k")).select("k", "payload", "dim")
+      .collect().map(_.toSeq).toSet
+    val hot = Salting.heavyKeys(big, "k", 1000)
+    assert(hot == Seq("0"))
+    val salted = Salting.saltedJoin(big, small, "k", hot, 8)
+      .select("k", "payload", "dim").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("salted left join preserves unmatched rows") {
+    val big = (0 until 1000).map(i => ((i % 5).toLong, i)).toDF("k", "v")
+    val small = Seq((0L, "a"), (1L, "b")).toDF("k", "dim")
+    val plain = big.join(small, Seq("k"), "left").collect().map(_.toSeq).toSet
+    val salted = Salting.saltedJoin(big, small, "k", Seq("0"), 4, "left")
+      .select("k", "v", "dim").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("autoSaltedJoin falls back to plain join with no hot keys") {
+    val big = (0 until 100).map(i => (i.toLong, i)).toDF("k", "v")
+    val small = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("k", "dim")
+    assert(Salting.autoSaltedJoin(big, small, "k", threshold = 10).count() == 100)
+  }
+}

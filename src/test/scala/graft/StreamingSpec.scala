@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.ops.Multimodal
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("incremental extraction stream equals batch pipeline output") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream").toString
+    val docsDir = s"$tmp/docs"; val outDir = s"$tmp/out"; val cp = s"$tmp/cp"
+    // two "arrivals" of the corpus: files land, stream drains AvailableNow
+    graft.kg.DataGen.corpus(spark, 120, 2).toDF()
+      .write.mode("overwrite").parquet(docsDir)
+    val q = Streaming.extractionStream(spark, docsDir, outDir, cp)
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir).as[graft.kg.Model.Triple].collect().toSet
+    // batch equivalent (no media in the stream path)
+    val docs = graft.kg.DataGen.corpus(spark, 120, 2).toDF()
+    val records = graft.kg.Extract.records(docs)
+    val matched = graft.kg.Link.matchTaxa(records,
+      graft.kg.DataGen.wdSparql(spark), graft.kg.DataGen.wdLineage(spark), 1L << 40)
+    val (dictId, dictName) = graft.kg.Materialize.wdMapDicts(matched)
+    val want = graft.kg.Materialize
+      .globiTriples(graft.kg.Materialize.resolve(records, dictId, dictName))
+      .as[graft.kg.Model.Triple].collect().toSet
+    assert(got == want, s"got=${got.size} want=${want.size}")
+  }
+
+  test("watermarked windowed aggregation over event stream (memory sink)") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ → event-time type
+    val tmp = java.nio.file.Files.createTempDirectory("evs").toString
+    events.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$tmp/in")
+    val q = Streaming.windowedCounts(stream).writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$tmp/cp")
+      .format("memory").queryName("win_counts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT sum(n) FROM win_counts").head().getLong(0)
+    assert(streamed == events.count())
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) closes gap sessions") {
+    val tmp = java.nio.file.Files.createTempDirectory("sess").toString
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "click", 1.0),
+      (2L, "2024-01-01 00:10:00", 7L, "click", 1.0),
+      (3L, "2024-01-01 02:00:00", 7L, "view", 1.0), // >30min gap → closes s1
+      (4L, "2024-01-01 02:05:00", 7L, "view", 1.0))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    rows.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(rows.schema).parquet(s"$tmp/in")
+      .as[Streaming.Event]
+    val q = Streaming.sessionize(stream).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/cp")
+      .format("memory").queryName("sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val closed = spark.sql("SELECT * FROM sessions").collect()
+    assert(closed.length == 1) // first session closed by the gap
+    assert(closed.head.getAs[Int]("n_events") == 2)
+  }
+
+  test("multimodal: feature extraction, resize, frame sampling") {
+    val media = Multimodal.mediaBinary(spark, 60, 4)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 60)
+    assert(feats.forall(f => math.abs(f.features.sum - 1.0f) < 1e-3))
+    // determinism across partitionings
+    val feats1 = Multimodal.extractFeatures(Multimodal.mediaBinary(spark, 60, 1))
+      .collect().map(f => f.media_ref -> f.features.toSeq).toMap
+    assert(feats.forall(f => feats1(f.media_ref) == f.features.toSeq))
+    val resized = Multimodal.resizeStub(media, 2).collect()
+    assert(resized.forall(m => m.payload.length >= 256))
+    val frames = Multimodal.frameSample(media, frameSize = 128, everyK = 2)
+    assert(frames.count() > 0)
+    // features flow into the similarity ops
+    val ft = Multimodal.featureTable(media)
+    val pairs = graft.ops.Similarity.blockedPairs(ft.withColumn("cell", col("kind")),
+      "media_ref", "embedding", "cell", threshold = 0.99)
+    assert(pairs.count() >= 0)
+  }
+}
