@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Two-parallelism-level scaling benchmark (BASELINE.md protocol —
+  * sandbox substitute for N vs 4N executors):
+  *
+  * 1. materialize the deterministic corpus to parquet once,
+  * 2. run the identical KG pipeline (scan → extract → link → resolve →
+  *    materialize) at local[N] and local[4N] with shuffle partitions
+  *    scaled to cores,
+  * 3. report docs/sec, triples/sec and scaling efficiency
+  *    (throughput@4N / throughput@N) / 4, gate ≥ 0.8.
+  *
+  * Usage: runMain graft.ScalingBench [nDocs] [N] — defaults 150000, 8.
+  * Writes/updates BENCH.md and prints one JSON line per level plus a
+  * summary line.
+  */
+object ScalingBench {
+
+  case class Level(cores: Int, wallSec: Double, triples: Long,
+      docsPerSec: Double, triplesPerSec: Double, ccSec: Double)
+
+  def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  def pipelineCount(spark: SparkSession, docs: org.apache.spark.sql.DataFrame,
+      nDocs: Long): Long = {
+    val records = kg.Extract.records(docs)
+    val matched = kg.Link.matchTaxa(records, kg.DataGen.wdSparql(spark),
+      kg.DataGen.wdLineage(spark), nDocs)
+    val (dictId, dictName) = kg.Materialize.wdMapDicts(matched)
+    val mm = kg.Extract.mediaMentions(records, kg.DataGen.mediaMeta(spark))
+    kg.Materialize.globiTriplesFused(records, dictId, dictName, Some(mm)).count()
+  }
+
+  def runLevel(cores: Int, nDocs: Long, corpusDir: String): Level = {
+    val spark = session(cores)
+    try {
+      // JIT/codegen warmup outside the timed window (same code path,
+      // tiny input) — measures steady-state throughput, not JVM warmup
+      pipelineCount(spark, kg.DataGen.corpus(spark, 2000, cores).toDF(), 2000)
+      val t0 = System.nanoTime()
+      val docs = spark.read.parquet(corpusDir)
+      val triples = pipelineCount(spark, docs, nDocs)
+      val wall = (System.nanoTime() - t0) / 1e9
+      // canonicalization timed separately (iterative; not part of the
+      // extracted+linked/sec headline)
+      val records = kg.Extract.records(docs)
+      val matched = kg.Link.matchTaxa(records, kg.DataGen.wdSparql(spark),
+        kg.DataGen.wdLineage(spark), nDocs)
+      val t1 = System.nanoTime()
+      val edges = kg.Canonical.equivalenceEdges(matched)
+      kg.Canonical.connectedComponents(edges).count()
+      val ccSec = (System.nanoTime() - t1) / 1e9
+      Level(cores, wall, triples, nDocs / wall, triples / wall, ccSec)
+    } finally spark.stop()
+  }
+
+  def line(l: Level): String =
+    s"""{"cores":${l.cores},"wall_sec":${f"${l.wallSec}%.2f"},"triples":${l.triples},""" +
+      s""""docs_per_sec":${f"${l.docsPerSec}%.0f"},"triples_per_sec":${f"${l.triplesPerSec}%.0f"},""" +
+      s""""cc_sec":${f"${l.ccSec}%.2f"}}"""
+
+  /** Modes:
+    *   prep <nDocs> <dir>            — materialize the corpus once
+    *   level <cores> <nDocs> <dir>   — one timed level in THIS JVM
+    *   (default) <nDocs> <N>         — both levels in one JVM (quick look;
+    *     for the honest protocol run each level in its own JVM with heap
+    *     and GC threads scaled to cores — tools/scaling.sh)
+    */
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("prep") =>
+      val nDocs = args(1).toLong; val dir = args(2)
+      val prep = session(32)
+      kg.DataGen.corpus(prep, nDocs, 64).toDF()
+        .write.mode("overwrite").parquet(dir)
+      prep.stop()
+    case Some("level") =>
+      val cores = args(1).toInt; val nDocs = args(2).toLong; val dir = args(3)
+      println(line(runLevel(cores, nDocs, dir)))
+    case _ => singleJvm(args)
+  }
+
+  def singleJvm(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(150000L)
+    val n = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val tmp = Files.createTempDirectory("graft-scaling").toString
+    val corpusDir = s"$tmp/corpus"
+
+    // corpus materialized once, outside the timed path
+    val prep = session(32)
+    kg.DataGen.corpus(prep, nDocs, 64).toDF()
+      .write.mode("overwrite").parquet(corpusDir)
+    prep.stop()
+
+    val lo = runLevel(n, nDocs, corpusDir)
+    val hi = runLevel(4 * n, nDocs, corpusDir)
+    val eff = (hi.triplesPerSec / lo.triplesPerSec) / 4.0
+
+    println(line(lo)); println(line(hi))
+    println(s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},""" +
+      s""""n_cores":$n,"4n_cores":${4 * n},"n_docs":$nDocs,"gate":0.8,""" +
+      s""""pass":${eff >= 0.8}}""")
+
+    val md =
+      s"""# BENCH — scaling evidence (local[N] vs local[4N])
+         |
+         |Protocol (BASELINE.md): identical spark-submit job, identical
+         |deterministic input ($nDocs docs, corpus pre-materialized to
+         |parquet), two parallelism levels, shuffle partitions = cores.
+         |
+         |Command:
+         |```
+         |sbt "runMain graft.ScalingBench $nDocs $n"
+         |```
+         |
+         || cores | wall (s) | triples | docs/sec | triples/sec | CC (s) |
+         ||---|---|---|---|---|---|
+         || $n | ${f"${lo.wallSec}%.2f"} | ${lo.triples} | ${f"${lo.docsPerSec}%.0f"} | ${f"${lo.triplesPerSec}%.0f"} | ${f"${lo.ccSec}%.2f"} |
+         || ${4 * n} | ${f"${hi.wallSec}%.2f"} | ${hi.triples} | ${f"${hi.docsPerSec}%.0f"} | ${f"${hi.triplesPerSec}%.0f"} | ${f"${hi.ccSec}%.2f"} |
+         |
+         |**Scaling efficiency = (throughput@${4 * n} / throughput@$n) / 4 =
+         |${f"$eff%.3f"}** (gate ≥ 0.8: ${if (eff >= 0.8) "PASS" else "FAIL"})
+         |
+         |Headline metric: triples extracted+linked/sec (extraction →
+         |linking → resolution → emission → global distinct). CC
+         |canonicalization timed separately (iterative driver loop).
+         |""".stripMargin
+    Files.writeString(Paths.get("BENCH.md"), md)
+  }
+}

@@ -47,14 +47,17 @@ object Link {
     val wdIdCol = cols.head; val wdNameCol = cols.last
     val keyCols = cols.dropRight(1) // includes WdID (matcher.py:116)
     val extCols = cols.drop(1).dropRight(1)
+    // single-pass melt: one explode over the key columns (no 16-way
+    // union → one job instead of sixteen)
     def melt(keys: Seq[String], valueCol: String): DataFrame =
-      keys.map { k =>
-        prepped.select(col(k).as("key"), col(valueCol).as("value"))
-          .filter(col("key").isNotNull)
-      }.reduce(_ unionByName _)
+      prepped
+        .select(explode(array(keys.map(col): _*)).as("key"),
+          col(valueCol).as("value"))
+        .filter(col("key").isNotNull)
         .groupBy(col("key"))
         // last occurrence wins on key collision; WdID is the stable order
         .agg(max_by(col("value"), col("value")).as("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (melt(keyCols, wdNameCol), melt(extCols, wdIdCol))
   }
 
@@ -150,31 +153,29 @@ object Link {
       .agg(min_by(col("WdID"), col("rowIdx")).as("c_wdid"),
         min(col("rowIdx")).as("grpIdx"))
 
-    // (a) exact 6-tuple join (case-sensitive, matcher.py:260-261)
-    val exact = fix.join(broadcast(candKeys),
-        col("_name") === candKeys("WdName") &&
-          col("family") === col("c_family") && col("class") === col("c_class") &&
-          col("order") === col("c_order") && col("phylum") === col("c_phylum") &&
-          col("kingdom") === col("c_kingdom"), "left")
-      .groupBy(col("rowIdx"))
-      .agg(min_by(struct(col("c_wdid"), col("c_family"), col("c_class"),
-        col("c_order"), col("c_phylum"), col("c_kingdom")), col("grpIdx")).as("ex"))
-      .select(col("rowIdx"), col("ex"))
-
-    // (b) scored candidates on name equality (matcher.py:264-280):
-    // +1 per case-insensitive match on non-empty candidate rank
+    // one candidate join on name covers both the exact 6-tuple
+    // short-circuit (case-sensitive, matcher.py:260-261) and the scored
+    // argmax (+1 per case-insensitive match on non-empty candidate rank,
+    // matcher.py:264-280) — single broadcast join + single partial-agg
+    // shuffle instead of two of each
     def sc(rowCol: String, candCol: String): Column =
       when(nonEmpty(col(candCol)) &&
         lower(col(candCol)) === lower(col(rowCol)), 1).otherwise(0)
-    val scored = fix.join(broadcast(candKeys), col("_name") === candKeys("WdName"))
+    val candStruct = struct(col("c_wdid"), col("c_family"), col("c_class"),
+      col("c_order"), col("c_phylum"), col("c_kingdom"))
+    val exactFlag =
+      col("family") === col("c_family") && col("class") === col("c_class") &&
+        col("order") === col("c_order") && col("phylum") === col("c_phylum") &&
+        col("kingdom") === col("c_kingdom")
+    val duplJoined = fix.join(broadcast(candKeys), col("_name") === candKeys("WdName"))
       .withColumn("_score",
         sc("family", "c_family") + sc("class", "c_class") + sc("order", "c_order") +
           sc("phylum", "c_phylum") + sc("kingdom", "c_kingdom"))
       .groupBy(col("rowIdx"))
-      .agg(max_by(struct(col("c_wdid"), col("c_family"), col("c_class"),
-        col("c_order"), col("c_phylum"), col("c_kingdom")),
-        struct(col("_score"), (lit(0L) - col("grpIdx")).as("nIdx"))).as("scr"))
-      .select(col("rowIdx"), col("scr"))
+      .agg(
+        min_by(when(exactFlag, candStruct), when(exactFlag, col("grpIdx"))).as("ex"),
+        max_by(candStruct,
+          struct(col("_score"), (lit(0L) - col("grpIdx")).as("nIdx"))).as("scr"))
 
     // (c) unique-name direct lookup (matcher.py:318-326)
     val uniq = lt.uniques.select(col("WdName").as("u_name"),
@@ -186,8 +187,7 @@ object Link {
         coalesce(col("kingdom"), lit("")).as("c_kingdom")).as("un"))
 
     val fixed = fix
-      .join(exact, Seq("rowIdx"), "left")
-      .join(scored, Seq("rowIdx"), "left")
+      .join(duplJoined, Seq("rowIdx"), "left")
       .join(broadcast(uniq), col("_name") === col("u_name"), "left")
       .withColumn("_win", coalesce(col("ex"), col("scr"), col("un")))
       .withColumn("_isDupl", col("scr").isNotNull || col("ex").isNotNull)
@@ -208,13 +208,24 @@ object Link {
     rankUpdated.select(outCols: _*).unionByName(keep.select(outCols: _*))
   }
 
-  /** Full matcher pipeline: records → matched-taxa table (matcher.py:432-478). */
+  /** Full matcher pipeline: records → matched-taxa table (matcher.py:432-478).
+    *
+    * The stacked-dedup taxa table and the matcher output are
+    * dimension-sized (distinct taxa, not records) — they are persisted
+    * so the downstream branch joins and the four resolution broadcasts
+    * compute them once instead of re-deriving the whole upstream DAG per
+    * broadcast (the serial fraction that kills scaling efficiency).
+    */
   def matchTaxa(records: DataFrame, wdSparql: DataFrame, lineage: DataFrame,
       nDocs: Long): DataFrame = {
     val prepped = prepWdSparql(wdSparql)
     val (idMap, idMapWd) = idMaps(prepped)
     val taxa = stackTaxa(records, nDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val initial = initialMatch(taxa, idMap, idMapWd)
-    secondaryMatch(initial, lineagePrep(lineage))
+    val out = secondaryMatch(initial, lineagePrep(lineage))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize once; also frees the taxa persist for reuse
+    out
   }
 }

@@ -77,6 +77,9 @@ object Materialize {
         .agg(max_by(struct(col("Mapped_ID_WD").as("wd"),
           col("Mapped_Value").as("mv")), col("rowIdx")).as("v"))
         .select(col("key"), col("v.wd").as("wd"), col("v.mv").as("mv"))
+        // dimension-sized; each dict is broadcast twice (source + target
+        // probes) — persist so it is computed once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (dict("TaxonId"), dict("TaxonName"))
   }
 
@@ -128,6 +131,22 @@ object Materialize {
   def lit0(s: String, p: String, o: String, dt: String = XSD_STRING): Triple =
     Triple(s, p, o, true, dt)
 
+  // precompiled regex set for the hot emission path (compiling per call
+  // dominated the flatMap CPU profile)
+  private val prePostFixRe = java.util.regex.Pattern.compile(
+    "(?i)(adult[as]?|tortere|juvenil[e]?|maybe|\\(?torete[s]?\\)?)")
+  private val conj1Re = java.util.regex.Pattern.compile("(?i)\\b(and|y)\\b")
+  private val conj2Re = java.util.regex.Pattern.compile("(?i)\\b(or)\\b")
+  private val delimRe = java.util.regex.Pattern.compile("[,;/|&]+")
+  private val delim1Re = java.util.regex.Pattern.compile("[\\[\\]\\(\\)\\?\\#:`]+")
+  private val delim2Re = java.util.regex.Pattern.compile("[+.,]+")
+  private val delim3Re = java.util.regex.Pattern.compile("\\s\\s")
+  private val numberWordRe =
+    "(\\d+)\\s*([\\w-]+)|([\\w-]+)\\s*(\\d+)".r
+
+  private def stripPrePostfix(s: String): String =
+    prePostFixRe.matcher(s).replaceAll("")
+
   /** _lookup_and_add_term (globi_entity_matcher.py:109-129): single-term
     * dictionary lookup with de-pluralization and prefix-strip retry.
     */
@@ -137,8 +156,7 @@ object Materialize {
       v.uris.get(term).map(u => (u, v.names(term)))
         .orElse(v.names.get(term).map(n => (EMIBOX + Model.quote(n), n)))
     val t0 = preprocessTerm(name)
-    val cleaned = preprocessTerm(
-      t0.replaceAll("(?i)(adult[as]?|tortere|juvenil[e]?|maybe|\\(?torete[s]?\\)?)", ""))
+    val cleaned = preprocessTerm(stripPrePostfix(t0))
     hit(t0).orElse(hit(cleaned)).toSeq.flatMap { case (uri, label) =>
       Seq(iri(subj, pred, uri), iri(uri, RDF_TYPE, rdfType),
         lit0(uri, RDFS_LABEL, label))
@@ -174,13 +192,12 @@ object Materialize {
   def countBiologicalSex(sexString: String, sex: Map[String, String])
       : Seq[(String, Int)] = {
     var s = Option(sexString).getOrElse("").toLowerCase.trim
-    s = s.replaceAll("(?i)\\b(and|y)\\b", ",")
-    s = s.replaceAll("(?i)\\b(or)\\b", "")
-    s = s.replaceAll("[,;/|&]+", ",")
-    s = s.replaceAll("[\\[\\]\\(\\)\\?\\#:`]+", " ")
-    s = s.replaceAll("\\s\\s", " ")
-    val subTerms = s.split("[+.,]+", -1)
-    val numberWord = "(\\d+)\\s*([\\w-]+)|([\\w-]+)\\s*(\\d+)".r
+    s = conj1Re.matcher(s).replaceAll(",")
+    s = conj2Re.matcher(s).replaceAll("")
+    s = delimRe.matcher(s).replaceAll(",")
+    s = delim1Re.matcher(s).replaceAll(" ")
+    s = delim3Re.matcher(s).replaceAll(" ")
+    val subTerms = delim2Re.split(s, -1)
     val counts = scala.collection.mutable.LinkedHashMap[String, Int]()
     def add(uri: String, n: Int): Unit = counts(uri) = counts.getOrElse(uri, 0) + n
     def mapTerm(word: String, n: Int): Unit = {
@@ -188,8 +205,7 @@ object Materialize {
       sex.get(w) match {
         case Some(u) => add(u, n)
         case None =>
-          val cleaned = preprocessTerm(w.replaceAll(
-            "(?i)(adult[as]?|tortere|juvenil[e]?|maybe|\\(?torete[s]?\\)?)", ""))
+          val cleaned = preprocessTerm(stripPrePostfix(w))
           sex.get(cleaned) match {
             case Some(u) => add(u, n)
             case None => add(sex.getOrElse("unknown", "unknown_id"), n)
@@ -197,8 +213,8 @@ object Materialize {
       }
     }
     subTerms.foreach { term =>
-      val cleanedForMatch = term.replaceAll("[+.,]+", " ")
-      val ms = numberWord.findAllMatchIn(cleanedForMatch).toSeq
+      val cleanedForMatch = delim2Re.matcher(term).replaceAll(" ")
+      val ms = numberWordRe.findAllMatchIn(cleanedForMatch).toSeq
       if (ms.nonEmpty) ms.foreach { m =>
         val numberStr = Option(m.group(1)).filter(_.nonEmpty)
           .orElse(Option(m.group(4)).filter(_.nonEmpty))
@@ -317,6 +333,53 @@ object Materialize {
         col("subj").as("obj"), lit(false).as("objIsLiteral"),
         lit("").as("objDatatype"))
     triples.unionByName(inverses)
+  }
+
+  /** Fused resolution + emission: the two dictionaries are collected and
+    * broadcast as hash maps (exactly the reference's broadcast-dict
+    * design, globi_kg_generator.py:88-110) and one typed flatMap walks
+    * records → triples in a single pass — no resolution exchange at all.
+    *
+    * Use when the dictionaries fit executor memory (vocab-sized dims —
+    * the common case). For dictionaries beyond memory, use
+    * resolve() + globiTriples() whose broadcast joins degrade gracefully
+    * to (salted) shuffle joins.
+    */
+  def globiTriplesFused(records: DataFrame, dictId: DataFrame,
+      dictName: DataFrame, mediaMentions: Option[DataFrame] = None): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    def toMap(df: DataFrame): Map[String, (String, String)] =
+      df.collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    val bcId = spark.sparkContext.broadcast(toMap(dictId))
+    val bcName = spark.sparkContext.broadcast(toMap(dictName))
+    val bcVocab = spark.sparkContext.broadcast(termVocab())
+    val cols = Seq("doc_id", "recNum",
+      "sourceTaxonId", "sourceTaxonName", "targetTaxonId", "targetTaxonName",
+      "interactionTypeName", "interactionTypeId", "localityName",
+      "referenceDoi", "sourceDOI", "decimalLatitude", "decimalLongitude",
+      "sourceBodyPartName", "sourceBodyPartId", "sourceLifeStageName",
+      "sourceLifeStageId", "targetBodyPartName", "targetBodyPartId",
+      "targetLifeStageName", "targetLifeStageId", "sourceSexName",
+      "targetSexName")
+    val base = records.select(cols.map(col): _*).flatMap { r =>
+      def s(i: Int) = r.getString(i)
+      def resolveSide(id: String, name: String): Option[(String, String)] =
+        bcId.value.get(id).orElse(bcName.value.get(name)).map { case (wd, mv) =>
+          (wd, if (name != null && name.nonEmpty) name else mv)
+        }
+      (resolveSide(s(2), s(3)), resolveSide(s(4), s(5))) match {
+        case (Some((sWd, sName)), Some((tWd, tName))) if sWd != tWd =>
+          emit(ResolvedRecord(s(0), r.getLong(1), sWd, sName, tWd, tName,
+            s(6), s(7), s(8), s(9), s(10), s(11), s(12), s(13), s(14), s(15),
+            s(16), s(17), s(18), s(19), s(20), s(21), s(22)), bcVocab.value)
+        case _ => Nil
+      }
+    }.toDF()
+    val withMedia = mediaMentions.map(m => base.unionByName(mediaTriples(m)))
+      .getOrElse(base)
+    addInverses(withMedia)
+      .dropDuplicates("subj", "pred", "obj", "objIsLiteral", "objDatatype")
   }
 
   /** Full GloBI triple materialization: resolved records → deduplicated

@@ -48,6 +48,18 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(engineTriples(1) == engineSet)
   }
 
+  test("fused broadcast-map emission equals join-based emission") {
+    val docs = DataGen.corpus(spark, N, 4).toDF()
+    val records = Extract.records(docs)
+    val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
+      DataGen.wdLineage(spark), N)
+    val (dictId, dictName) = Materialize.wdMapDicts(matched)
+    val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
+    val fused = Materialize.globiTriplesFused(records, dictId, dictName, Some(mm))
+      .as[Model.Triple].collect().toSet
+    assert(fused == engineSet)
+  }
+
   test("matcher covers the status lattice") {
     val records = Extract.records(DataGen.corpus(spark, N, 4).toDF())
     val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),

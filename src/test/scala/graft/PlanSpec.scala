@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan quality gates (the 100 TB checklist): filters and
+  * column pruning must reach the parquet scan, dimension joins must
+  * broadcast, distinct/agg must have a map-side partial phase, and the
+  * final graph write must be range-partitioned by predicate.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  /** Final physical plan: execute first so AQE re-optimization has
+    * happened (isFinalPlan=true) — join strategies and codegen stages
+    * only appear in the final adaptive plan.
+    */
+  def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    // keep only the AQE final plan (the Initial Plan section can contain
+    // pre-reoptimization operators like SortMergeJoin)
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val df = SparkEntry.queries("s1_scan_prune")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,45.0)") ||
+      plan.contains("EqualTo(l_returnflag,R)"), plan)
+    // pruned read schema: only the needed columns reach the scan
+    assert(plan.contains("ReadSchema") &&
+      !plan.contains("l_extendedprice"), plan)
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val df = SparkEntry.queries("j1_broadcast_join")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("aggregation has a map-side partial phase") {
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("HashAggregate"), plan)
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("whole-stage codegen covers the scan→project→filter pipeline") {
+    // codegen stages render as "*(n)" in the plan tree
+    val df = SparkEntry.queries("tx_fingerprint")(spark, dir)
+    assert(planOf(df).contains("*("), planOf(df))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val df = SparkEntry.queries("w3_topk")(spark, dir)
+    assert(planOf(df).contains("TakeOrderedAndProject"), planOf(df))
+  }
+
+  test("KG resolution joins broadcast the dictionaries") {
+    val docs = graft.kg.DataGen.corpus(spark, 50, 2).toDF()
+    val records = graft.kg.Extract.records(docs)
+    val matched = graft.kg.Link.matchTaxa(records,
+      graft.kg.DataGen.wdSparql(spark), graft.kg.DataGen.wdLineage(spark), 50)
+    val (dictId, dictName) = graft.kg.Materialize.wdMapDicts(matched)
+    val resolved = graft.kg.Materialize.resolve(records, dictId, dictName)
+    val plan = planOf(resolved.toDF())
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("graph write layout: predicate directories, subject-clustered files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graph").toString
+    import spark.implicits._
+    val triples = Seq(
+      graft.kg.Model.Triple("s1", "http://p/a", "o1", false, ""),
+      graft.kg.Model.Triple("s2", "http://p/a", "o2", false, ""),
+      graft.kg.Model.Triple("s3", "http://p/b", "lit", true, "x")).toDF()
+    graft.kg.Materialize.writeTriples(triples, tmp, numPartitions = 2)
+    val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("predicate=http_p_a")), dirs.toString)
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == 3)
+  }
+}
