@@ -125,14 +125,26 @@ object Model {
     * unreserved = [A-Za-z0-9_.~-]; everything else → %XX of each UTF-8
     * byte, uppercase hex.
     */
+  private def unreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '_' || c == '.' || c == '~' || c == '-'
+
+  private val hexDigits = "0123456789ABCDEF".toCharArray
+
   def quote(s: String): String = {
-    val sb = new StringBuilder
-    s.getBytes("UTF-8").foreach { b =>
-      val c = b.toChar
-      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
-          (c >= '0' && c <= '9') || c == '_' || c == '.' || c == '~' || c == '-')
-        sb.append(c)
-      else sb.append(f"%%${b & 0xff}%02X")
+    // fast path: fully-unreserved strings (the common case for minted
+    // ids) return unchanged with no byte-array allocation
+    var i = 0; var clean = true
+    while (clean && i < s.length) { clean = unreserved(s.charAt(i)); i += 1 }
+    if (clean) return s
+    val bytes = s.getBytes("UTF-8")
+    val sb = new java.lang.StringBuilder(bytes.length * 3)
+    var j = 0
+    while (j < bytes.length) {
+      val b = bytes(j) & 0xff
+      if (unreserved(b.toChar)) sb.append(b.toChar)
+      else { sb.append('%'); sb.append(hexDigits(b >> 4)); sb.append(hexDigits(b & 0xf)) }
+      j += 1
     }
     sb.toString
   }

@@ -107,6 +107,29 @@ object KgQueries {
         .orderBy(col("node"))
     }),
 
+    // J9 — similarity best-match of free-text terms against a vocabulary
+    // (match_names_to_ontology.py:38-44; embedding-cosine replaced by an
+    // in-engine deterministic edit-distance argmin, SURVEY §2.3 J9)
+    "j9_term_similarity" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val terms = d
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 4)
+        .select(expr("substring(tok, 1, length(tok) - 1)").as("term"))
+        .distinct()
+      val v = vocab.map(_._1).toDF("label")
+      val w = Window.partitionBy(col("term"))
+        .orderBy(col("dist").asc, col("label").asc)
+      terms.crossJoin(broadcast(v))
+        .withColumn("dist", levenshtein(col("term"), col("label")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("dist") <= 2)
+        .select(col("term"), col("label"), col("dist"))
+        .orderBy(col("term"))
+    }),
+
     // SPARQL-metrics archetype over the mention-triple table
     // (metrics/query_globi_records.txt as Spark SQL)
     "kg_metrics_counts" -> ((s: SparkSession, dir: String) => {
@@ -151,6 +174,23 @@ object KgQueries {
          SELECT DISTINCT subj, pred, obj FROM (
            SELECT * FROM base UNION ALL SELECT * FROM inv)
          ORDER BY subj, pred, obj""",
+
+      "j9_term_similarity" -> {
+        val labels = vocab.map(v => s"('${v._1}')").mkString(", ")
+        s"""WITH terms AS (
+             SELECT DISTINCT substring(tok, 1, length(tok) - 1) AS term FROM (
+               SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS tok
+               FROM documents)
+             WHERE length(tok) > 4),
+           v(label) AS (SELECT * FROM (VALUES $labels)),
+           scored AS (
+             SELECT term, label, levenshtein(term, label) AS dist,
+                    ROW_NUMBER() OVER (PARTITION BY term
+                      ORDER BY levenshtein(term, label) ASC, label ASC) AS rn
+             FROM terms CROSS JOIN v)
+           SELECT term, label, dist FROM scored
+           WHERE rn = 1 AND dist <= 2 ORDER BY term"""
+      },
 
       "kg_cc_components" -> """
          WITH g AS (

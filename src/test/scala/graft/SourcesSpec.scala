@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kg.{Sources, Model}
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("verbatim TSV scan: QUOTE_NONE, backslash escape, ISO-8859-1") {
+    val tmp = java.nio.file.Files.createTempDirectory("tsv").toString
+    val file = s"$tmp/verbatim.tsv"
+    // quote chars must come through verbatim (QUOTE_NONE) and the
+    // ISO-8859-1 mojibake byte sequence must round-trip
+    val content = "sourceTaxonId\tsourceTaxonName\n" +
+      "EOL:1\tsays \"hi\"\n" +
+      "ÄŴLOBI:x\tname2\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(file),
+      content.getBytes("ISO-8859-1"))
+    val df = Sources.readVerbatimTsv(spark, file)
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "says \"hi\"")
+    assert(rows(1).getString(0).endsWith("LOBI:x"))
+  }
+
+  test("filtered gzip rewrite keeps only accepted ranks") {
+    val tmp = java.nio.file.Files.createTempDirectory("rew").toString
+    val df = Seq(("a", "species"), ("b", "genus"), ("c", "clade"))
+      .toDF("WdID", "hTaxRank")
+    Sources.filterByRank(df, "hTaxRank", Seq("species", "genus"), s"$tmp/out")
+    val back = spark.read.option("header", "true").csv(s"$tmp/out")
+    assert(back.count() == 2)
+    assert(new java.io.File(s"$tmp/out").listFiles()
+      .exists(_.getName.endsWith(".csv.gz")))
+  }
+
+  test("turtle sink: valid lines, literal escaping, gzip") {
+    val tmp = java.nio.file.Files.createTempDirectory("ttl").toString
+    val triples = Seq(
+      Model.Triple("http://x/s1", "http://x/p", "http://x/o", false, ""),
+      Model.Triple("http://x/s2", "http://x/p",
+        "line\nbreak \"q\"", true, Model.XSD_STRING),
+      Model.Triple("http://x/s3", "http://x/p", "42", true, Model.XSD_INTEGER))
+      .toDF()
+    Sources.writeTurtle(triples, s"$tmp/g", partitions = 1)
+    val lines = spark.read.text(s"$tmp/g").as[String].collect().sorted
+    assert(lines.length == 3)
+    assert(lines.exists(_ == "<http://x/s1> <http://x/p> <http://x/o> ."))
+    assert(lines.exists(_.contains("\"line\\nbreak \\\"q\\\"\"")))
+    assert(lines.exists(_.contains(s""""42"^^<${Model.XSD_INTEGER}>""")))
+  }
+
+  test("csv.gz sink round-trips the matcher output shape") {
+    val tmp = java.nio.file.Files.createTempDirectory("csv").toString
+    val df = Seq(("EOL:1", "Taxon 1", "Q1001", "NAME-MATCH-YES"))
+      .toDF("TaxonId", "TaxonName", "Mapped_ID_WD", "Match_Status")
+    Sources.writeCsvGz(df, s"$tmp/out")
+    val back = spark.read.option("header", "true").csv(s"$tmp/out")
+    assert(back.collect().head.getString(2) == "Q1001")
+  }
+}
