@@ -67,14 +67,19 @@ object Link {
     * reproduces pandas concat order without any positional state.
     */
   def stackTaxa(records: DataFrame, nDocs: Long): DataFrame = {
-    def side(p: String, base: Column): DataFrame =
-      records.select(
-        col(s"${p}TaxonId").as("TaxonId"),
-        col(s"${p}TaxonName").as("TaxonName"),
-        col(s"${p}TaxonPathNames").as("TaxonPathName"),
-        col(s"${p}TaxonPathRankNames").as("TaxonRankName"),
-        (col("recNum") + base).as("rowIdx"))
-    val stacked = side("source", lit(0L)).unionByName(side("target", lit(nDocs)))
+    // one scan: both sides as a 2-element struct array, exploded —
+    // pandas concat order reproduced by the rowIdx arithmetic, without
+    // reading the corpus twice (union of two projections = two scans)
+    def side(p: String, base: Column): Column = struct(
+      col(s"${p}TaxonId").as("TaxonId"),
+      col(s"${p}TaxonName").as("TaxonName"),
+      col(s"${p}TaxonPathNames").as("TaxonPathName"),
+      col(s"${p}TaxonPathRankNames").as("TaxonRankName"),
+      (col("recNum") + base).as("rowIdx"))
+    val stacked = records
+      .select(explode(array(side("source", lit(0L)), side("target", lit(nDocs))))
+        .as("t"))
+      .select(col("t.*"))
     val norm = stacked.select(
       Seq("TaxonId", "TaxonName", "TaxonPathName", "TaxonRankName")
         .map(c => Norm.normalizeUri(col(c)).as(c)) :+ col("rowIdx"): _*)
