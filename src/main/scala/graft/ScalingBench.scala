@@ -34,7 +34,10 @@ object ScalingBench {
       // shuffle/spill on tmpfs: a cluster has per-node local disks; a
       // single shared /tmp device serializes multi-core shuffle I/O
       .config("spark.local.dir", localDir)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // partitions ∝ cores, 8× finer so per-task aggregation state stays
+      // small (one giant hash per task = GC thrash); AQE coalesces the
+      // tail
+      .config("spark.sql.shuffle.partitions", (cores * 8).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Bucketing
+
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed self-join on the bucket key plans no Exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val triples = (0 until 5000)
+        .map(i => (s"s${i % 500}", s"p${i % 7}", s"o$i"))
+        .toDF("subj", "pred", "obj")
+      Bucketing.writeBucketed(triples, "t_bucketed", "subj", 8)
+      val joined = Bucketing.joinBucketed(spark, "t_bucketed", "t_bucketed", "subj")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"), plan)
+      // and the same join unbucketed DOES exchange
+      val plain = triples.as("a").join(triples.as("b"), "subj")
+      plain.collect()
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS t_bucketed")
+    }
+  }
+}
