@@ -227,58 +227,81 @@ object Materialize {
     counts.toSeq.filter(_._2 != 0)
   }
 
-  /** All triples for one resolved record. */
-  def emit(r: ResolvedRecord, v: TermVocab): Seq[Triple] = {
+  /** All triples for one resolved record, deduplicated within the record
+    * (the reference's per-batch rdflib.Graph set semantics cover the
+    * within-record case, e.g. referenceDoi == sourceDOI).
+    */
+  def emit(r: ResolvedRecord, v: TermVocab): Seq[Triple] =
+    emitTagged(r, v).map(_._1)
+
+  /** Emission with a sharing tag: triples whose subject is minted from
+    * this record's recNum (inRec / SAMPLE-…-inRec / SEX-n-…) are
+    * globally unique BY CONSTRUCTION once deduplicated within the
+    * record — only entity-description triples (vocabulary entities,
+    * interaction types, sex kinds: tagged shared=true) can repeat across
+    * records and need the global distinct. At 10^12 documents this
+    * removes the full-graph shuffle: the shared subset has a tiny
+    * distinct domain and collapses in map-side partial aggregation.
+    */
+  def emitTagged(r: ResolvedRecord, v: TermVocab): Seq[(Triple, Boolean)] = {
     val n = r.recNum
     val rec = EMIBOX + s"inRec$n"
     val srcUri = EMIBOX + s"SAMPLE-${Model.quote(r.srcWd)}-inRec$n"
     val tgtUri = EMIBOX + s"SAMPLE-${Model.quote(r.tgtWd)}-inRec$n"
-    val out = scala.collection.mutable.ArrayBuffer[Triple]()
+    // within-record set semantics; unique/shared subjects are disjoint
+    // domains so tagging by first insertion is sound
+    val seen = scala.collection.mutable.LinkedHashSet[(Triple, Boolean)]()
+    def uniq(t: Triple): Unit = seen += ((t, false))
+    def shared(t: Triple): Unit = seen += ((t, true))
 
-    out += iri(rec, RDF_TYPE, EMI + "Interaction")
-    out += iri(rec, EMI + "hasSource", srcUri)
-    out += iri(rec, EMI + "hasTarget", tgtUri)
+    uniq(iri(rec, RDF_TYPE, EMI + "Interaction"))
+    uniq(iri(rec, EMI + "hasSource", srcUri))
+    uniq(iri(rec, EMI + "hasTarget", tgtUri))
 
     // classification (globi_kg_generator.py:228-242)
     val tnPresent = isPresent(r.interactionTypeName)
     val tiPresent = isPresent(r.interactionTypeId)
     if (tnPresent && tiPresent) {
-      out += iri(rec, EMI + "isClassifiedWith", r.interactionTypeId)
-      out += iri(r.interactionTypeId, RDF_TYPE, EMI + "InteractionType")
-      out += lit0(r.interactionTypeId, RDFS_LABEL, r.interactionTypeName)
+      uniq(iri(rec, EMI + "isClassifiedWith", r.interactionTypeId))
+      shared(iri(r.interactionTypeId, RDF_TYPE, EMI + "InteractionType"))
+      shared(lit0(r.interactionTypeId, RDFS_LABEL, r.interactionTypeName))
     }
     if (!tiPresent && tnPresent) {
       val tUri = EMIBOX + r.interactionTypeName
-      out += iri(rec, EMI + "isClassifiedWith", tUri)
-      out += iri(tUri, RDF_TYPE, EMI + "InteractionType")
+      uniq(iri(rec, EMI + "isClassifiedWith", tUri))
+      shared(iri(tUri, RDF_TYPE, EMI + "InteractionType"))
     }
 
     if (isPresent(r.localityName))
-      out += lit0(rec, PROV + "atLocation", r.localityName)
+      uniq(lit0(rec, PROV + "atLocation", r.localityName))
     if (isPresent(r.referenceDoi))
-      out += lit0(rec, DCTERMS + "bibliographicCitation", r.referenceDoi)
+      uniq(lit0(rec, DCTERMS + "bibliographicCitation", r.referenceDoi))
     if (isPresent(r.sourceDOI))
-      out += lit0(rec, DCTERMS + "bibliographicCitation", r.sourceDOI)
+      uniq(lit0(rec, DCTERMS + "bibliographicCitation", r.sourceDOI))
     if (isPresent(r.decimalLatitude))
-      out += lit0(rec, WGS84 + "lat", r.decimalLatitude)
+      uniq(lit0(rec, WGS84 + "lat", r.decimalLatitude))
     if (isPresent(r.decimalLongitude))
-      out += lit0(rec, WGS84 + "long", r.decimalLongitude)
+      uniq(lit0(rec, WGS84 + "long", r.decimalLongitude))
 
     def sample(uri: String, wd: String, name: String): Unit = {
       if (isPresent(name)) {
-        out += iri(uri, RDF_TYPE, SOSA + "Sample")
-        out += lit0(uri, RDFS_LABEL, name)
-        out += iri(uri, SOSA + "isSampleOf", EMIBOX + s"ORGANISM-${Model.quote(name)}")
+        uniq(iri(uri, RDF_TYPE, SOSA + "Sample"))
+        uniq(lit0(uri, RDFS_LABEL, name))
+        uniq(iri(uri, SOSA + "isSampleOf", EMIBOX + s"ORGANISM-${Model.quote(name)}"))
       }
-      out += iri(uri, EMI + "inTaxon", WD + wd)
+      uniq(iri(uri, EMI + "inTaxon", WD + wd))
     }
     sample(srcUri, r.srcWd, r.srcName)
     sample(tgtUri, r.tgtWd, r.tgtName)
 
-    // body parts / life stages (globi_kg_generator.py:280-288)
+    // body parts / life stages (globi_kg_generator.py:280-288):
+    // addEntity returns [link (record-scoped), type, label (shared)]
     def ent(name: String, id: String, subj: String, pred: String, tp: String): Unit =
       if (isPresent(name) || isPresent(id))
-        out ++= addEntity(name, id, subj, pred, tp, v)
+        addEntity(name, id, subj, pred, tp, v).zipWithIndex.foreach {
+          case (t, 0) => uniq(t)
+          case (t, _) => shared(t)
+        }
     ent(r.sourceBodyPartName, r.sourceBodyPartId, srcUri,
       EMI + "hasAnatomicalEntity", EMI + "AnatomicalEntity")
     ent(r.targetBodyPartName, r.targetBodyPartId, tgtUri,
@@ -294,31 +317,43 @@ object Materialize {
         case (uri, qty) =>
           val local = uri.substring(uri.lastIndexOf('/') + 1)
           val b = EMIBOX + s"SEX-$n-$side-$local"
-          out += iri(subj, EMI + "hasSex", b)
-          out += iri(b, QUDT + "quantityKind", uri)
-          out += lit0(b, QUDT + "numericValue", qty.toString, XSD_INTEGER)
-          out += iri(uri, RDF_TYPE, EMI + "BiologicalSex")
+          uniq(iri(subj, EMI + "hasSex", b))
+          uniq(iri(b, QUDT + "quantityKind", uri))
+          uniq(lit0(b, QUDT + "numericValue", qty.toString, XSD_INTEGER))
+          shared(iri(uri, RDF_TYPE, EMI + "BiologicalSex"))
       }
     sexTriples(r.sourceSexName, srcUri, "src")
     sexTriples(r.targetSexName, tgtUri, "tgt")
-    out.toSeq
+    seen.toSeq
   }
 
-  /** Media-span triples (north-rule media resolution, FIXTURES §2.7). */
-  def mediaTriples(mediaMentions: DataFrame): DataFrame = {
+  /** Media-span triples (north-rule media resolution, FIXTURES §2.7).
+    * The record→media link is record-scoped (shared=false, assuming
+    * media_refs are distinct within a doc — the extraction guarantees
+    * span order and the corpus contract has unique refs per doc); the
+    * media-object description triples are shared.
+    */
+  def mediaTriplesTagged(mediaMentions: DataFrame): DataFrame = {
     val rec = concat(lit(EMIBOX + "inRec"), col("recNum"))
     val m = concat(lit(EMIBOX), col("media_ref"))
-    def tr(s: Column, p: Column, o: Column, isLit: Boolean, dt: String) =
+    def tr(s: Column, p: Column, o: Column, isLit: Boolean, dt: String,
+        sh: Boolean) =
       struct(s.as("subj"), p.as("pred"), o.as("obj"),
-        lit(isLit).as("objIsLiteral"), lit(dt).as("objDatatype"))
+        lit(isLit).as("objIsLiteral"), lit(dt).as("objDatatype"),
+        lit(sh).as("shared"))
     val rows = mediaMentions.filter(col("entity_id").isNotNull).select(
       array(
-        tr(rec, lit(EMI + "hasMediaEvidence"), m, false, ""),
-        tr(m, lit(RDF_TYPE), lit(EMI + "MediaObject"), false, ""),
-        tr(m, lit(EMI + "depicts"), concat(lit(WD), col("entity_id")), false, ""),
-        tr(m, lit(RDFS_LABEL), col("caption"), true, XSD_STRING)).as("ts"))
+        tr(rec, lit(EMI + "hasMediaEvidence"), m, false, "", sh = false),
+        tr(m, lit(RDF_TYPE), lit(EMI + "MediaObject"), false, "", sh = true),
+        tr(m, lit(EMI + "depicts"), concat(lit(WD), col("entity_id")), false, "",
+          sh = true),
+        tr(m, lit(RDFS_LABEL), col("caption"), true, XSD_STRING, sh = true))
+        .as("ts"))
     rows.select(explode(col("ts")).as("t")).select(col("t.*"))
   }
+
+  def mediaTriples(mediaMentions: DataFrame): DataFrame =
+    mediaTriplesTagged(mediaMentions).drop("shared")
 
   /** Inverse-relation augmentation (utils.py:84-100): broadcast join on
     * the 24-entry inverse map, IRI objects only.
@@ -362,7 +397,7 @@ object Materialize {
       "sourceLifeStageId", "targetBodyPartName", "targetBodyPartId",
       "targetLifeStageName", "targetLifeStageId", "sourceSexName",
       "targetSexName")
-    val base = records.select(cols.map(col): _*).flatMap { r =>
+    val tagged = records.select(cols.map(col): _*).flatMap { r =>
       def s(i: Int) = r.getString(i)
       def resolveSide(id: String, name: String): Option[(String, String)] =
         bcId.value.get(id).orElse(bcName.value.get(name)).map { case (wd, mv) =>
@@ -370,16 +405,28 @@ object Materialize {
         }
       (resolveSide(s(2), s(3)), resolveSide(s(4), s(5))) match {
         case (Some((sWd, sName)), Some((tWd, tName))) if sWd != tWd =>
-          emit(ResolvedRecord(s(0), r.getLong(1), sWd, sName, tWd, tName,
+          emitTagged(ResolvedRecord(s(0), r.getLong(1), sWd, sName, tWd, tName,
             s(6), s(7), s(8), s(9), s(10), s(11), s(12), s(13), s(14), s(15),
             s(16), s(17), s(18), s(19), s(20), s(21), s(22)), bcVocab.value)
+            .map(x => (x._1.subj, x._1.pred, x._1.obj, x._1.objIsLiteral,
+              x._1.objDatatype, x._2))
         case _ => Nil
       }
-    }.toDF()
-    val withMedia = mediaMentions.map(m => base.unionByName(mediaTriples(m)))
-      .getOrElse(base)
-    addInverses(withMedia)
-      .dropDuplicates("subj", "pred", "obj", "objIsLiteral", "objDatatype")
+    }.toDF("subj", "pred", "obj", "objIsLiteral", "objDatatype", "shared")
+    val withMedia = mediaMentions
+      .map(m => tagged.unionByName(mediaTriplesTagged(m)))
+      .getOrElse(tagged)
+    // split dedup: record-scoped triples are already distinct within the
+    // record and globally unique by the recNum-minted subjects; only the
+    // shared entity-description subset goes through the global distinct
+    // (tiny distinct domain → collapses map-side, near-zero shuffle)
+    val tripleCols = Seq("subj", "pred", "obj", "objIsLiteral", "objDatatype")
+    val uniquePart = withMedia.filter(!col("shared")).select(tripleCols.map(col): _*)
+    val sharedPart = withMedia.filter(col("shared")).select(tripleCols.map(col): _*)
+      .dropDuplicates(tripleCols)
+    // inverses: 1:1 with distinct record-scoped sources (shared preds
+    // have no inverse mapping) → no further dedup needed
+    addInverses(uniquePart.unionByName(sharedPart))
   }
 
   /** Full GloBI triple materialization: resolved records → deduplicated
