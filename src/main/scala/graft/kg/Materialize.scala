@@ -249,10 +249,20 @@ object Materialize {
     val srcUri = EMIBOX + s"SAMPLE-${Model.quote(r.srcWd)}-inRec$n"
     val tgtUri = EMIBOX + s"SAMPLE-${Model.quote(r.tgtWd)}-inRec$n"
     // within-record set semantics; unique/shared subjects are disjoint
-    // domains so tagging by first insertion is sound
+    // domains so tagging by first insertion is sound. Inverse-relation
+    // augmentation (utils.py:84-100) happens inline: every inverse-mapped
+    // predicate we emit is record-scoped, so the inverse inherits the
+    // tag and the whole augmentation costs zero extra passes.
     val seen = scala.collection.mutable.LinkedHashSet[(Triple, Boolean)]()
-    def uniq(t: Triple): Unit = seen += ((t, false))
-    def shared(t: Triple): Unit = seen += ((t, true))
+    def add(t: Triple, sh: Boolean): Unit = {
+      seen += ((t, sh))
+      if (!t.objIsLiteral)
+        inverseRelations.get(t.pred).foreach { inv =>
+          seen += ((Triple(t.obj, inv, t.subj, false, ""), sh))
+        }
+    }
+    def uniq(t: Triple): Unit = add(t, sh = false)
+    def shared(t: Triple): Unit = add(t, sh = true)
 
     uniq(iri(rec, RDF_TYPE, EMI + "Interaction"))
     uniq(iri(rec, EMI + "hasSource", srcUri))
@@ -416,17 +426,19 @@ object Materialize {
     val withMedia = mediaMentions
       .map(m => tagged.unionByName(mediaTriplesTagged(m)))
       .getOrElse(tagged)
+      // referenced twice below (unique/shared branches) — persist so the
+      // emission flatMap runs exactly once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // split dedup: record-scoped triples are already distinct within the
     // record and globally unique by the recNum-minted subjects; only the
     // shared entity-description subset goes through the global distinct
-    // (tiny distinct domain → collapses map-side, near-zero shuffle)
+    // (tiny distinct domain → collapses map-side, near-zero shuffle).
+    // Inverses are already inline (emitTagged).
     val tripleCols = Seq("subj", "pred", "obj", "objIsLiteral", "objDatatype")
     val uniquePart = withMedia.filter(!col("shared")).select(tripleCols.map(col): _*)
     val sharedPart = withMedia.filter(col("shared")).select(tripleCols.map(col): _*)
       .dropDuplicates(tripleCols)
-    // inverses: 1:1 with distinct record-scoped sources (shared preds
-    // have no inverse mapping) → no further dedup needed
-    addInverses(uniquePart.unionByName(sharedPart))
+    uniquePart.unionByName(sharedPart)
   }
 
   /** Full GloBI triple materialization: resolved records → deduplicated
@@ -438,10 +450,12 @@ object Materialize {
     import spark.implicits._
     val vocab = termVocab()
     val bc = spark.sparkContext.broadcast(vocab)
+    // emit() includes inverse augmentation inline; media triples carry
+    // no inverse-mapped predicates
     val base = resolved.flatMap(r => emit(r, bc.value)).toDF()
     val withMedia = mediaMentions.map(m => base.unionByName(mediaTriples(m)))
       .getOrElse(base)
-    addInverses(withMedia)
+    withMedia
       .dropDuplicates("subj", "pred", "obj", "objIsLiteral", "objDatatype")
   }
 

@@ -103,9 +103,10 @@ object Pipeline {
 
     val (triples, s3) = stage(spark, outRoot, "30_triples", fp) {
       val (dictId, dictName) = Materialize.wdMapDicts(matched)
-      val resolved = Materialize.resolve(records, dictId, dictName)
       val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
-      Materialize.globiTriples(resolved, Some(mm))
+      // fused broadcast-map path (dictionaries are dimension-sized);
+      // swap to resolve()+globiTriples() for beyond-memory dictionaries
+      Materialize.globiTriplesFused(records, dictId, dictName, Some(mm))
     }
     stages += s3
 

@@ -38,9 +38,8 @@ object KgQueries {
       val matched = Link.matchTaxa(records, DataGen.wdSparql(s),
         DataGen.wdLineage(s), n)
       val (dictId, dictName) = Materialize.wdMapDicts(matched)
-      val resolved = Materialize.resolve(records, dictId, dictName)
       val mm = Extract.mediaMentions(records, DataGen.mediaMeta(s))
-      Materialize.globiTriples(resolved, Some(mm))
+      Materialize.globiTriplesFused(records, dictId, dictName, Some(mm))
     }),
 
     "kg_pipeline_canonical" -> ((s: SparkSession, dir: String) => {
