@@ -27,4 +27,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-) ++ sys.env.get("SPARK_GC_THREADS").map(n => s"-XX:ParallelGCThreads=$n").toSeq
+) ++ sys.env.get("SPARK_GC_THREADS").map(n => s"-XX:ParallelGCThreads=$n").toSeq ++
+  sys.env.get("SPARK_GC_ALGO").map(a => s"-XX:+Use${a}GC").toSeq

@@ -48,11 +48,11 @@ object ScalingBench {
   def pipelineCount(spark: SparkSession, docs: org.apache.spark.sql.DataFrame,
       nDocs: Long): Long = {
     val records = kg.Extract.records(docs)
-    val matched = kg.Link.matchTaxa(records, kg.DataGen.wdSparql(spark),
-      kg.DataGen.wdLineage(spark), nDocs)
-    val (dictId, dictName) = kg.Materialize.wdMapDicts(matched)
+    val matched = kg.Link.matchTaxaCompact(records, kg.DataGen.wdSparqlRows,
+      kg.DataGen.lineageRows, nDocs)
+    val (idMap, nameMap) = kg.Materialize.localWdMapDicts(matched)
     val mm = kg.Extract.mediaMentions(records, kg.DataGen.mediaMeta(spark))
-    kg.Materialize.globiTriplesFused(records, dictId, dictName, Some(mm)).count()
+    kg.Materialize.globiTriplesFusedMaps(records, idMap, nameMap, Some(mm)).count()
   }
 
   def runLevel(cores: Int, nDocs: Long, corpusDir: String): Level = {
@@ -74,8 +74,8 @@ object ScalingBench {
       // canonicalization timed separately (iterative; not part of the
       // extracted+linked/sec headline)
       val records = kg.Extract.records(docs)
-      val matched = kg.Link.matchTaxa(records, kg.DataGen.wdSparql(spark),
-        kg.DataGen.wdLineage(spark), nDocs)
+      val matched = kg.Link.matchTaxaCompactDf(records, kg.DataGen.wdSparqlRows,
+        kg.DataGen.lineageRows, nDocs)
       val t1 = System.nanoTime()
       val edges = kg.Canonical.equivalenceEdges(matched)
       kg.Canonical.connectedComponents(edges).count()

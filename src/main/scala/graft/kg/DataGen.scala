@@ -48,45 +48,55 @@ object DataGen {
 
   // ---- vocabulary tables ------------------------------------------------
 
-  /** wd_sparql mapping table (FIXTURES §2.1): WdID, 15 external-id cols,
-    * WdName. Raw (un-prefixed) values; the matcher applies the positional
-    * prefixes (matcher.py:108-112).
+  /** wd_sparql mapping rows (FIXTURES §2.1): WdID, 15 external-id cols,
+    * WdName — raw (un-prefixed) values; the matcher applies the
+    * positional prefixes (matcher.py:108-112). Shared by the Spark
+    * fixture, the compact matcher, and the oracle.
     */
-  def wdSparql(spark: SparkSession): DataFrame = {
-    val cols = Seq("WdID", "eol", "gbif", "ncbi", "ott", "itis", "irmng",
-      "col", "nbn", "worms", "bold", "plazi", "apni", "msw3", "iNat",
-      "eppo", "WdName")
-    val rows = (0 until K).filter(inWdMapping).map { k =>
+  def wdSparqlRows: Seq[Seq[String]] =
+    (0 until K).filter(inWdMapping).map { k =>
       val ext = (1 to 15).map { c =>
         // external id present only for some (k, taxonomy) combos
         if ((k + c) % 3 == 0) null else s"${k * 100 + c}"
       }
-      org.apache.spark.sql.Row.fromSeq(
-        s"http://www.wikidata.org/entity/${qid(k)}" +: ext :+ taxonName(k))
+      (s"http://www.wikidata.org/entity/${qid(k)}" +: ext :+ taxonName(k)).toSeq
     }
+
+  def wdSparql(spark: SparkSession): DataFrame = {
+    val cols = Seq("WdID", "eol", "gbif", "ncbi", "ott", "itis", "irmng",
+      "col", "nbn", "worms", "bold", "plazi", "apni", "msw3", "iNat",
+      "eppo", "WdName")
     import org.apache.spark.sql.types._
     val schema = StructType(cols.map(StructField(_, StringType, nullable = true)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      spark.sparkContext.parallelize(
+        wdSparqlRows.map(org.apache.spark.sql.Row.fromSeq), 1), schema)
   }
 
-  /** Aligned lineage table (FIXTURES §2.2): all K taxa. */
-  def wdLineage(spark: SparkSession): DataFrame = {
-    import spark.implicits._
+  /** Aligned lineage rows (FIXTURES §2.2): all K taxa. */
+  def lineageRows: Seq[Seq[String]] =
     (0 until K).map { k =>
       val l = lineage(k)
-      (s"http://www.wikidata.org/entity/${qid(k)}", taxonName(k),
+      Seq(s"http://www.wikidata.org/entity/${qid(k)}", taxonName(k),
         l.kingdom, l.phylum, l.clazz, l.order, l.family, l.genus, l.species)
-    }.toDF("WdID", "WdName", "kingdom", "phylum", "class", "order",
-      "family", "genus", "species")
+    }
+
+  def wdLineage(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    lineageRows.map(r => (r(0), r(1), r(2), r(3), r(4), r(5), r(6), r(7), r(8)))
+      .toDF("WdID", "WdName", "kingdom", "phylum", "class", "order",
+        "family", "genus", "species")
   }
 
   /** Media metadata (FIXTURES §2.7): media_ref → depicted entity + caption. */
-  def mediaMeta(spark: SparkSession): DataFrame = {
-    import spark.implicits._
+  def mediaRows: Seq[(String, String, String)] =
     (0 until 24).map { m =>
       (s"MEDIA-$m", qid((m * 3) % K), s"Image $m of ${taxonName((m * 3) % K)}")
-    }.toDF("media_ref", "entity_id", "caption")
+    }
+
+  def mediaMeta(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    mediaRows.toDF("media_ref", "entity_id", "caption")
   }
 
   /** Body-part vocabulary (FIXTURES §2.8): InputTerm, BestMatch, URI

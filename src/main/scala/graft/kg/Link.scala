@@ -213,6 +213,37 @@ object Link {
     rankUpdated.select(outCols: _*).unionByName(keep.select(outCols: _*))
   }
 
+  /** Compact matcher: distributed stack+distinct (the only corpus-scale
+    * step), then the dimension-sized dictionary/scoring passes run on
+    * the driver via LocalMatcher — one collect instead of ~12 small
+    * jobs. Returns the matched rows; callers broadcast them (or build
+    * resolution maps directly). The distributed formulation below
+    * remains the beyond-driver-memory path; tests assert both equal.
+    */
+  def matchTaxaCompact(records: DataFrame, wdSparqlRows: Seq[Seq[String]],
+      lineageRows: Seq[Seq[String]], nDocs: Long): Seq[LocalMatcher.MatchedRow] = {
+    val taxa = stackTaxa(records, nDocs)
+      .select(col("TaxonId"), col("TaxonName"), col("TaxonPathName"),
+        col("TaxonRankName"), col("rowIdx"))
+      .collect()
+      .map(r => LocalMatcher.TaxaRow(r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_.rowIdx)
+    LocalMatcher.matchTaxa(taxa.toSeq, wdSparqlRows, lineageRows)
+  }
+
+  /** Compact matcher as a DataFrame (same schema consumers expect). */
+  def matchTaxaCompactDf(records: DataFrame, wdSparqlRows: Seq[Seq[String]],
+      lineageRows: Seq[Seq[String]], nDocs: Long): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    matchTaxaCompact(records, wdSparqlRows, lineageRows, nDocs)
+      .map(m => (m.taxonId, m.taxonName, m.mappedValue, m.mappedIdWd,
+        m.status, m.rowIdx))
+      .toDF("TaxonId", "TaxonName", "Mapped_Value", "Mapped_ID_WD",
+        "Match_Status", "rowIdx")
+  }
+
   /** Full matcher pipeline: records → matched-taxa table (matcher.py:432-478).
     *
     * The stacked-dedup taxa table and the matcher output are

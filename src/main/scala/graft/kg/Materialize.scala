@@ -392,12 +392,41 @@ object Materialize {
     */
   def globiTriplesFused(records: DataFrame, dictId: DataFrame,
       dictName: DataFrame, mediaMentions: Option[DataFrame] = None): DataFrame = {
-    val spark = records.sparkSession
-    import spark.implicits._
     def toMap(df: DataFrame): Map[String, (String, String)] =
       df.collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
-    val bcId = spark.sparkContext.broadcast(toMap(dictId))
-    val bcName = spark.sparkContext.broadcast(toMap(dictName))
+    globiTriplesFusedMaps(records, toMap(dictId), toMap(dictName), mediaMentions)
+  }
+
+  /** pandas-dict semantics over the compact matcher output
+    * (globi_kg_generator.py:88-110, driver-side — matched rows are
+    * dimension-sized).
+    */
+  def localWdMapDicts(matched: Seq[LocalMatcher.MatchedRow])
+      : (Map[String, (String, String)], Map[String, (String, String)]) = {
+    def clean(s: String): String =
+      if (s == null) null else s.replace("Wikidata:", "").replace("\"", "")
+    val dictId = scala.collection.mutable.LinkedHashMap[String, (String, String)]()
+    val dictName = scala.collection.mutable.LinkedHashMap[String, (String, String)]()
+    matched.sortBy(_.rowIdx).foreach { m =>
+      val wd = clean(m.mappedIdWd)
+      if (wd != null && wd.nonEmpty) {
+        val mv = clean(m.mappedValue)
+        val tid = clean(m.taxonId); val tname = clean(m.taxonName)
+        if (tid != null && tid.nonEmpty) dictId(tid) = (wd, mv)
+        if (tname != null && tname.nonEmpty) dictName(tname) = (wd, mv)
+      }
+    }
+    (dictId.toMap, dictName.toMap)
+  }
+
+  def globiTriplesFusedMaps(records: DataFrame,
+      idMap: Map[String, (String, String)],
+      nameMap: Map[String, (String, String)],
+      mediaMentions: Option[DataFrame] = None): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val bcId = spark.sparkContext.broadcast(idMap)
+    val bcName = spark.sparkContext.broadcast(nameMap)
     val bcVocab = spark.sparkContext.broadcast(termVocab())
     val cols = Seq("doc_id", "recNum",
       "sourceTaxonId", "sourceTaxonName", "targetTaxonId", "targetTaxonName",

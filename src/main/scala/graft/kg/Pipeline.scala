@@ -96,8 +96,10 @@ object Pipeline {
     stages += s1
 
     val (matched, s2) = stage(spark, outRoot, "20_link", fp) {
-      Link.matchTaxa(records, DataGen.wdSparql(spark),
-        DataGen.wdLineage(spark), nDocs)
+      // compact matcher (dimension-sized refinement on the driver);
+      // Link.matchTaxa is the beyond-driver-memory distributed path
+      Link.matchTaxaCompactDf(records, DataGen.wdSparqlRows,
+        DataGen.lineageRows, nDocs)
     }
     stages += s2
 

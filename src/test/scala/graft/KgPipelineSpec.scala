@@ -60,6 +60,30 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(fused == engineSet)
   }
 
+  test("compact (driver-local) matcher path equals the distributed path") {
+    val docs = DataGen.corpus(spark, N, 4).toDF()
+    val records = Extract.records(docs)
+    val matched = Link.matchTaxaCompact(records, DataGen.wdSparqlRows,
+      DataGen.lineageRows, N)
+    val (idMap, nameMap) = Materialize.localWdMapDicts(matched)
+    val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
+    val compact = Materialize.globiTriplesFusedMaps(records, idMap, nameMap, Some(mm))
+      .as[Model.Triple].collect().toSet
+    assert(compact == engineSet)
+    // and the matched rows themselves agree with the distributed matcher
+    val distributed = Link.matchTaxa(records, DataGen.wdSparql(spark),
+      DataGen.wdLineage(spark), N)
+      .select("TaxonId", "TaxonName", "Mapped_Value", "Mapped_ID_WD",
+        "Match_Status", "rowIdx")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSet
+    val local = matched.map(m => (m.taxonId, m.taxonName, m.mappedValue,
+      m.mappedIdWd, m.status, m.rowIdx)).toSet
+    assert(local == distributed,
+      s"only-local=${(local -- distributed).take(3)} " +
+        s"only-dist=${(distributed -- local).take(3)}")
+  }
+
   test("matcher covers the status lattice") {
     val records = Extract.records(DataGen.corpus(spark, N, 4).toDF())
     val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
