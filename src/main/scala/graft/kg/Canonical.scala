@@ -44,20 +44,25 @@ object Canonical {
       e.select(col("src").as("u"), col("dst").as("v"))
         .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
 
+    // Hub-degree-safe star steps: per-node min (a constant-size partial
+    // aggregate) joined back against the symmetrized edges — NO
+    // collect_set, so a celebrity node with 10^7 neighbors never
+    // materializes its neighbor list in one aggregation buffer. The join
+    // streams (SortMergeJoin) and AQE's skew-join splits the hub key's
+    // stream side at runtime.
     def largeStar(e: DataFrame): DataFrame = {
-      val nbrs = sym(e).groupBy(col("u"))
-        .agg(min(least(col("v"), col("u"))).as("m"), collect_set(col("v")).as("vs"))
-      nbrs.select(col("u"), col("m"), explode(col("vs")).as("v"))
+      val s = sym(e)
+      val nbrs = s.groupBy(col("u")).agg(min(least(col("v"), col("u"))).as("m"))
+      s.join(nbrs, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
         .unionByName(nbrs.select(col("u").as("src"), col("m").as("dst")))
     }
 
     def smallStar(e: DataFrame): DataFrame = {
-      val nbrs = sym(e).filter(col("v") <= col("u"))
-        .groupBy(col("u"))
-        .agg(min(col("v")).as("m"), collect_set(col("v")).as("vs"))
-      nbrs.select(col("u"), col("m"), explode(col("vs")).as("v"))
+      val s = sym(e).filter(col("v") <= col("u"))
+      val nbrs = s.groupBy(col("u")).agg(min(col("v")).as("m"))
+      s.join(nbrs, Seq("u"))
         .select(col("v").as("src"), col("m").as("dst"))
         .unionByName(nbrs.select(col("u").as("src"), col("m").as("dst")))
     }

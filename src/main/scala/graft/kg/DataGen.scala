@@ -19,7 +19,7 @@ import Model._
   */
 object DataGen {
 
-  val K = 40 // taxa in the universe
+  val K = 200 // taxa in the universe (15 duplicate-name clusters via k%13==5)
 
   /** Name index: taxa where k % 13 == 5 share their name with taxon k-1
     * (duplicate WdNames with divergent lineages → scored disambiguation,
@@ -139,21 +139,26 @@ object DataGen {
 
   val bodyPartNoisy: Seq[String] = Seq(
     "leaf", "leaves and stems", "2 wings", "(roots)", "maybe adult legs",
-    "flower; seed", "bark", "fruits", "LEAF", "stem/root", "")
+    "flower; seed", "bark", "fruits", "LEAF", "stem/root", "",
+    "tortere wing") // exercises the tortere prefix-strip arm (F7)
 
   val bodyPartIds: Seq[String] = Seq(
     "PO:0025034", "", "", "http://purl.obolibrary.org/obo/PO_0009046", "",
-    "", "XX:123", "", "", "", "")
+    "", "XX:123", "", "", "", "", "")
 
   val lifeStageNoisy: Seq[String] = Seq(
-    "adult", "larvae", "juvenile", "adults and pupas", "egg", "seedlings", "")
+    "adult", "larvae", "juvenile", "adults and pupas", "egg", "seedlings", "",
+    "juvenil pupa") // juvenil (no e) strip arm
 
   val lifeStageIds: Seq[String] = Seq(
-    "", "UBERON:0000069", "", "", "", "", "")
+    "", "UBERON:0000069", "", "", "", "", "", "")
 
   val sexNoisy: Seq[String] = Seq(
     "male", "female", "2 females and 1 male", "3 males, 2 females",
-    "maybe female", "unknown", "hermaphrodites", "m&f", "")
+    "maybe female", "unknown", "hermaphrodites", "m&f", "",
+    "females 2", // reversed number-word arm (([\w-]+)\s*(\d+))
+    "1 male and females 2", // both F6 arms in one string
+    "male or female or unknown") // multi-`or` conjunction arm (F5)
 
   // ---- record + document synthesis ---------------------------------------
 
@@ -181,7 +186,11 @@ object DataGen {
     }
     def path(k: Int, v: Long): (String, String) = {
       val l = if (v % 9 == 0 && nameIndex(k) != k) lineage(k - 1) else lineage(k)
-      if (v % 4 == 3)
+      if (v % 19 == 7)
+        // duplicate rank name with CONFLICTING values: last occurrence
+        // wins (dict(zip_longest) semantics, matcher.py:419)
+        ("kingdom|kingdom|family", s"Zz-stale|${l.kingdom}|${l.family}")
+      else if (v % 4 == 3)
         ("kingdom|family", s"${l.kingdom}|${l.family}")
       else
         ("kingdom|phylum|class|order|family|genus|species",

@@ -43,6 +43,16 @@ object Link {
     * globi_id_map_wd: external id → WdID (matcher.py:117-130).
     */
   def idMaps(prepped: DataFrame): (DataFrame, DataFrame) = {
+    // pandas melt→to_dict is LAST-occurrence-wins in COLUMN-MAJOR order
+    // (matcher.py:117-130: the melt stacks column by column, dict build
+    // keeps the later entry). Reproduce it with an explicit ordinal
+    // ordinal = colIdx * 2^40 + rowIdx and max_by(value, ordinal).
+    // rowIdx comes from monotonically_increasing_id() over the input —
+    // order-faithful for the single-file dimension reads this table
+    // comes from (partition id occupies the high bits, so multi-split
+    // reads stay ordered file-major, matching the reference's
+    // concatenated read).
+    val withIdx = prepped.withColumn("_rowIdx", monotonically_increasing_id())
     val cols = prepped.columns
     val wdIdCol = cols.head; val wdNameCol = cols.last
     val keyCols = cols.dropRight(1) // includes WdID (matcher.py:116)
@@ -50,13 +60,15 @@ object Link {
     // single-pass melt: one explode over the key columns (no 16-way
     // union → one job instead of sixteen)
     def melt(keys: Seq[String], valueCol: String): DataFrame =
-      prepped
-        .select(explode(array(keys.map(col): _*)).as("key"),
-          col(valueCol).as("value"))
+      withIdx
+        .select(explode(array(keys.zipWithIndex.map { case (k, ci) =>
+          struct(col(k).as("key"),
+            (lit(ci.toLong << 40) + col("_rowIdx")).as("ord"))
+        }: _*)).as("kv"), col(valueCol).as("value"))
+        .select(col("kv.key").as("key"), col("kv.ord").as("ord"), col("value"))
         .filter(col("key").isNotNull)
         .groupBy(col("key"))
-        // last occurrence wins on key collision; WdID is the stable order
-        .agg(max_by(col("value"), col("value")).as("value"))
+        .agg(max_by(col("value"), col("ord")).as("value"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (melt(keyCols, wdNameCol), melt(extCols, wdIdCol))
   }
@@ -87,12 +99,21 @@ object Link {
       .groupBy(col("TaxonId"), col("TaxonName"), col("TaxonPathName"), col("TaxonRankName"))
       .agg(min(col("rowIdx")).as("rowIdx"))
     // rank-path unpack (matcher.py:416-427): zip ranks with names
-    // positionally, zip_longest-style "" fill when names run short
+    // positionally, zip_longest-style "" fill when names run short.
+    // Duplicate rank names are LAST-WINS (dict(zip_longest) semantics,
+    // matcher.py:419, = LocalMatcher.extractRanks .toMap) — a plain
+    // map_from_arrays would throw under mapKeyDedupPolicy=EXCEPTION on
+    // noisy paths like "kingdom|kingdom|family".
     val ranksArr = transform(split(col("TaxonRankName"), "\\|"), r => trim(r))
     val namesArr = transform(split(col("TaxonPathName"), "\\|"), n => trim(n))
-    val padded = transform(sequence(lit(1), size(ranksArr)),
-      i => coalesce(element_at(namesArr, i), lit("")))
-    val m = map_from_arrays(ranksArr, padded)
+    val entries = transform(sequence(lit(1), size(ranksArr)), i =>
+      struct(element_at(ranksArr, i).as("k"),
+        coalesce(element_at(namesArr, i), lit("")).as("v"), i.as("i")))
+    val lastWins = filter(entries, e =>
+      !exists(entries, e2 =>
+        e2.getField("k") === e.getField("k") && e2.getField("i") > e.getField("i")))
+    val m = map_from_entries(transform(lastWins, e =>
+      struct(e.getField("k"), e.getField("v"))))
     val withRanks = predefinedRanks.foldLeft(dedup.withColumn("_rankmap", m)) {
       case (df, rank) =>
         df.withColumn(rank, coalesce(element_at(col("_rankmap"), rank), lit("")))

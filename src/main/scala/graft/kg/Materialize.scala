@@ -28,6 +28,15 @@ import Model._
   *    GlobiEntityMatcher.graph which is never serialized
   *    (globi_entity_matcher.py:21,100 vs globi_kg_generator.py:326) —
   *    we treat that as a reference bug and keep the triples.
+  *  - LABEL MULTIPLICITY: the reference emits rdf:type/rdfs:label for an
+  *    entity URI only at FIRST occurrence via cross-batch seen-sets
+  *    (intxn_type_set / entity_set, globi_kg_generator.py:122-126,
+  *    231-234), so a URI whose source rows carry conflicting labels gets
+  *    exactly one (the first batch's); this engine keeps every DISTINCT
+  *    label per URI (order-independent set semantics — first-seen is not
+  *    well-defined under distributed execution). On data where one URI
+  *    has a single label (the common case, and the datagen corpus) the
+  *    outputs are identical.
   */
 object Materialize {
 

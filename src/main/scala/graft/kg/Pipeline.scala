@@ -120,7 +120,10 @@ object Pipeline {
     stages += s4
 
     // final graph layout: predicate-partitioned, range-partitioned files
-    Materialize.writeTriples(triples, s"$outRoot/50_graph",
+    // of the CANONICAL stage output (the documented dataflow: extract →
+    // link → materialize → canonicalize → write; raw triples remain
+    // available in the 30_triples stage parquet)
+    Materialize.writeTriples(canonical, s"$outRoot/50_graph",
       numPartitions = partitions)
 
     RunReport(stages.toSeq, triples.count(), canonical.count())

@@ -75,17 +75,25 @@ object Trydb {
 
   /** (WdName, kingdom) → WdID with Plantae-then-null priority; WdID
     * stripped to the bare Q-id; later lineage rows win on key collision
-    * (dict build order = file order = WdID order).
+    * (pandas dict build order = FILE order, matcher.py:344-352) —
+    * reproduced with an explicit row ordinal from
+    * monotonically_increasing_id (order-faithful for single-file
+    * dimension reads; partition id in the high bits keeps multi-split
+    * reads file-major), NOT lexicographic WdID (false for mixed-length
+    * Q-ids).
     */
   def matchSpecies(speciesNames: DataFrame, lineage: DataFrame): DataFrame = {
-    val l = lineage.select(
-      regexp_replace(col("WdID"), "http://www\\.wikidata\\.org/entity/", "").as("wd"),
-      col("WdName"),
-      when(col("kingdom") === "", lit(null)).otherwise(col("kingdom")).as("kingdom"))
+    val l = lineage
+      .withColumn("_ord", monotonically_increasing_id())
+      .select(
+        regexp_replace(col("WdID"), "http://www\\.wikidata\\.org/entity/", "").as("wd"),
+        col("WdName"),
+        when(col("kingdom") === "", lit(null)).otherwise(col("kingdom")).as("kingdom"),
+        col("_ord"))
     def dictFor(kingdomFilter: Column, keyName: String): DataFrame =
       l.filter(kingdomFilter)
         .groupBy(col("WdName").as(keyName))
-        .agg(max_by(col("wd"), col("wd")).as(s"${keyName}_wd"))
+        .agg(max_by(col("wd"), col("_ord")).as(s"${keyName}_wd"))
     val plantae = dictFor(col("kingdom") === "Plantae", "k_pl")
     val nullK = dictFor(col("kingdom").isNull, "k_null")
     val anyName = l.select(col("WdName").as("k_any")).distinct()

@@ -39,6 +39,16 @@ object Norm {
 
   /** URI/id normalization rule table (matcher.py:160-175) applied in the
     * reference's declaration order (regex, first-match-per-rule, global).
+    *
+    * DELIBERATE PARITY DEVIATION: the reference passes these patterns to
+    * pandas.replace as LIVE regex, so in the reference
+    * "…BarcodeCluster?clusteruri=BOLD" makes the 'r' optional ("Cluste",
+    * "Cluster") and never matches the literal '?' URL, and
+    * "SingleRpt?search_topic…" likewise ("SingleRp", "SingleRpt").
+    * We treat that as a reference bug and escape the metacharacters so
+    * the rules match the literal URLs they were evidently written for.
+    * Data containing the raw id forms those live-regexes accidentally
+    * match would normalize differently here.
     */
   val uriRules: Seq[(String, String)] = Seq(
     "https://www\\.wikidata\\.org/wiki/" -> "Wikidata:",

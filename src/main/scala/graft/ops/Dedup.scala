@@ -66,45 +66,83 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
-  /** Candidate near-dup pairs from LSH buckets (a < b, distinct). */
-  def lshCandidates(bands: DataFrame): DataFrame = {
-    val l = bands.as("l"); val r = bands.as("r")
+  /** Candidate near-dup pairs from LSH buckets (a < b, distinct).
+    *
+    * maxBucket > 0 caps the per-bucket membership BEFORE the self-join:
+    * a hot band key (boilerplate text, near-empty docs) would otherwise
+    * go quadratic — one 10^5-member bucket is 10^10 pairs. Buckets over
+    * the cap are dropped whole and accounted for in `lshDroppedBuckets`;
+    * a doc dropped from one band can still pair through its other
+    * bands, and genuinely-boilerplate clusters are better handled by
+    * exact dedup upstream. maxBucket <= 0 = uncapped.
+    */
+  def lshCandidates(bands: DataFrame, maxBucket: Int = 0): DataFrame = {
+    val kept =
+      if (maxBucket <= 0) bands
+      else {
+        val sizes = bands.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= maxBucket)
+        bands.join(sizes, Seq("band", "bkey")).drop("_bsz")
+      }
+    val l = kept.as("l"); val r = kept.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
   }
 
+  /** Buckets exceeding maxBucket (the ones lshCandidates drops), with
+    * sizes — the drop-accounting side output.
+    */
+  def lshDroppedBuckets(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+
+  /** Per-doc sorted distinct-token arrays + counts: the compact verify-
+    * side representation (one row per doc, not one per token).
+    */
+  def tokenArrays(tokens: DataFrame): DataFrame =
+    tokens.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("token"))).as("toks"),
+        count(lit(1)).as("n_tok"))
+
   /** Exact token-set Jaccard for a pair table: |A∩B| / |A∪B|.
-    * Relational formulation: join the token lists of both sides, count
-    * common tokens, combine with per-doc token counts.
+    *
+    * Pair×array formulation: two hash joins bring each doc's sorted
+    * token array to the pair row, `array_intersect` computes |A∩B| in
+    * the projection — the shuffle carries one row per PAIR, not one per
+    * (pair, token): at 100 TB that is the difference between shuffling
+    * candidate pairs and shuffling the corpus token fan-out.
     */
   def jaccardVerify(pairs: DataFrame, tokens: DataFrame): DataFrame = {
-    val counts = tokens.groupBy(col("id")).agg(count(lit(1)).as("n_tok"))
-    val ta = tokens.select(col("id").as("id_a"), col("token"))
-    val tb = tokens.select(col("id").as("id_b"), col("token"))
-    val common = pairs
-      .join(ta, Seq("id_a"))
-      .join(tb, Seq("id_b", "token"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_tok", "n_a"), Seq("id_a"))
-      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_tok", "n_b"), Seq("id_b"))
+    val arrs = tokenArrays(tokens)
+    pairs
+      .join(arrs.select(col("id").as("id_a"), col("toks").as("_ta"),
+        col("n_tok").as("n_a")), Seq("id_a"))
+      .join(arrs.select(col("id").as("id_b"), col("toks").as("_tb"),
+        col("n_tok").as("n_b")), Seq("id_b"))
+      .withColumn("n_common", size(array_intersect(col("_ta"), col("_tb"))).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .drop("_ta", "_tb")
   }
 
   /** Full MinHash-LSH near-dup pipeline: docs → near-dup pairs with
-    * verified Jaccard ≥ threshold.
+    * verified Jaccard ≥ threshold. maxBucket caps LSH bucket size (see
+    * lshCandidates); dropped buckets are logged.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 8, rowsPerBand: Int = 2,
-                 threshold: Double = 0.5, minTokenLen: Int = 1): DataFrame = {
+                 threshold: Double = 0.5, minTokenLen: Int = 1,
+                 maxBucket: Int = 1000): DataFrame = {
     val tokens = docTokens(docs, idCol, textCol, minTokenLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(tokens, k)
-    val cands = lshCandidates(lshBands(sigs, k, rowsPerBand))
+    val bands = lshBands(sigs, k, rowsPerBand)
+    val cands = lshCandidates(bands, maxBucket)
     jaccardVerify(cands, tokens)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -141,16 +179,25 @@ object Dedup {
 
   /** SimHash near-dup blocking: equal 16-bit bands ⇒ candidate pair
     * (catches Hamming distance ≤ 3 across 4 bands by pigeonhole).
+    * maxBucket caps hot 16-bit-band buckets exactly as in lshCandidates.
     */
-  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 1000): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-    val banded = sh.select(
+    val banded0 = sh.select(
       col("id"), col("sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bkey"))
       }: _*)).as("bb"))
       .select(col("id"), col("sh"), col("bb.band"), col("bb.bkey"))
+    val banded =
+      if (maxBucket <= 0) banded0
+      else {
+        val sizes = banded0.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= maxBucket)
+        banded0.join(sizes, Seq("band", "bkey")).drop("_bsz")
+      }
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
         col("l.id") < col("r.id"))

@@ -22,12 +22,32 @@ object Salting {
 
   /** Keys with count > threshold on `df` — the driver-collected hot-key
     * list is expected to be tiny (broadcast into the salting exprs).
+    * Exact: full groupBy scan. Use only when df is cheap to scan twice.
     */
   def heavyKeys(df: DataFrame, key: String, threshold: Long): Seq[String] =
     df.groupBy(col(key)).count()
       .filter(col("count") > threshold)
       .select(col(key).cast("string"))
       .collect().map(_.getString(0)).toSeq
+
+  /** Sampled hot-key detection: scan `fraction` of the rows, scale the
+    * threshold. At 100 TB the exact detector costs a full shuffle before
+    * the join it protects; a 0.1% sample finds every key hot enough to
+    * matter (a key at 10× the skew threshold appears ~10·f·T times in
+    * the sample — far above the noise floor), and a missed borderline
+    * key is exactly the case AQE's runtime skew-join already covers.
+    * Deterministic seed → reproducible plans.
+    */
+  def heavyKeysSampled(df: DataFrame, key: String, threshold: Long,
+      fraction: Double = 0.001, seed: Long = 42L): Seq[String] = {
+    if (fraction >= 1.0) return heavyKeys(df, key, threshold)
+    val scaled = math.max(1L, (threshold * fraction).toLong)
+    df.sample(withReplacement = false, fraction, seed)
+      .groupBy(col(key)).count()
+      .filter(col("count") > scaled)
+      .select(col(key).cast("string"))
+      .collect().map(_.getString(0)).toSeq
+  }
 
   /** Salted inner/left equi-join of big ⋈ small on `key`.
     * Hot keys: big side gets salt = hash(row) % salts, small side is
@@ -51,11 +71,13 @@ object Salting {
     bigSalted.join(smallSalted, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
-  /** Convenience: detect hot keys on the big side, then salt-join. */
+  /** Convenience: detect hot keys on the big side (sampled — see
+    * heavyKeysSampled), then salt-join.
+    */
   def autoSaltedJoin(big: DataFrame, small: DataFrame, key: String,
       threshold: Long = 100000L, salts: Int = 16,
-      joinType: String = "inner"): DataFrame = {
-    val hot = heavyKeys(big, key, threshold)
+      joinType: String = "inner", sampleFraction: Double = 0.001): DataFrame = {
+    val hot = heavyKeysSampled(big, key, threshold, sampleFraction)
     if (hot.isEmpty) big.join(small, Seq(key), joinType)
     else saltedJoin(big, small, key, hot, salts, joinType)
   }

@@ -46,9 +46,69 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic ±1 sign pattern for one blocking plane: component i
+    * gets +1 iff (i·prime) mod 64 < 32. Arithmetic-only — bit-identical
+    * in any engine (the SQL oracle reproduces it with a CASE), unlike a
+    * hash-derived plane. Quasi-random enough for coarse blocking.
+    */
+  private def signPlaneBit(vec: Column, prime: Int): Column = {
+    val proj = aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, i) => x.cast("double") *
+          when(pmod(i * prime, lit(64)) < 32, lit(1.0)).otherwise(lit(-1.0))),
+      lit(0.0), (a, v) => a + v)
+    // round before the sign test so float re-association order (Spark
+    // array-order vs the oracle's group-by sum) cannot flip a bit
+    when(round(proj, 6) >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Coarse cell id from `primes.size` sign-plane bits (an IVF-style
+    * deterministic quantizer: cell count = 2^planes, scales with the
+    * plane count instead of the data).
+    */
+  def signCell(vec: Column, primes: Seq[Int]): Column =
+    primes.zipWithIndex
+      .map { case (pr, b) => signPlaneBit(vec, pr) * lit(1L << b) }
+      .reduce(_ + _)
+
+  /** Banded sign-LSH near-neighbour pairs: each vector gets `bands`
+    * (band, cell) keys (disjoint plane sets per band); pairs sharing any
+    * band-cell are candidates (OR-amplification recovers the recall a
+    * single cut loses), then exact cosine ≥ threshold verifies. This is
+    * the scale path for embedding near-dup: the pair space shrinks by
+    * ~2^planes per band and no cell is data-dependent (no hot `label`
+    * cell going cartesian). At 100 TB raise `planes` (cells = 2^planes)
+    * so per-cell membership stays bounded.
+    */
+  def signLshPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                   planes: Int = 4, bands: Int = 2,
+                   threshold: Double = 0.5): DataFrame = {
+    val allPrimes = Seq(3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
+    require(planes * bands <= allPrimes.size, "raise the prime table")
+    val keyed = vecs.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          signCell(col(vecCol), allPrimes.slice(b * planes, (b + 1) * planes))
+            .as("cell"))
+      }: _*)).as("bc"))
+      .select(col("id"), col("v"), col("bc.band"), col("bc.cell"))
+    val l = keyed.as("l"); val r = keyed.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.cell") === col("r.cell") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .distinct()
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** IVF-style pairwise near-neighbour pairs: only pairs sharing the
-    * coarse cell (cellCol) are scored. Shuffles by cell, so skew in cell
-    * sizes is the thing to watch — pass a salted/secondary cell at scale.
+    * coarse cell (cellCol) are scored — for a PRE-EXISTING partition
+    * column (a k-means assignment, a tenant id). Skew in cell sizes is
+    * the thing to watch; for a data-independent quantizer use
+    * signLshPairs instead.
     */
   def blockedPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    cellCol: String, threshold: Double): DataFrame = {

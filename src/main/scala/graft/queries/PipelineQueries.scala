@@ -87,9 +87,10 @@ object PipelineQueries {
     }),
 
     "dd_embedding_cosine" -> ((s: SparkSession, dir: String) => {
-      // embedding near-dup pairs, IVF-blocked by label cell
-      Similarity.blockedPairs(s.read.parquet(t(dir, "embeddings")),
-          "vec_id", "embedding", "label", threshold = 0.4)
+      // embedding near-dup pairs blocked by the deterministic sign-plane
+      // quantizer (2 bands × 4 planes = 16 cells/band, data-independent)
+      Similarity.signLshPairs(s.read.parquet(t(dir, "embeddings")),
+          "vec_id", "embedding", planes = 4, bands = 2, threshold = 0.4)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -234,9 +235,13 @@ object PipelineQueries {
            SELECT id, 0 AS band, md5(sig_0 || sig_1) AS bkey FROM sig
            UNION ALL
            SELECT id, 1 AS band, md5(sig_2 || sig_3) AS bkey FROM sig),
+         keptb AS (
+           SELECT band, bkey FROM bands GROUP BY band, bkey
+           HAVING COUNT(*) <= 1000),
+         kept AS (SELECT b.* FROM bands b JOIN keptb USING (band, bkey)),
          cand AS (
            SELECT DISTINCT l.id AS id_a, r.id AS id_b
-           FROM bands l JOIN bands r
+           FROM kept l JOIN kept r
              ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id),
          cnt AS (SELECT id, COUNT(*) AS n_tok FROM tok GROUP BY id),
          common AS (
@@ -273,13 +278,47 @@ object PipelineQueries {
          ORDER BY id_a, id_b""",
 
     "dd_embedding_cosine" ->
-      """WITH expl AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      """WITH comp AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(generate_series(1, 64)) t(i)),
+         proj AS (
+           SELECT vec_id,
+             SUM(x * (CASE WHEN ((i-1)*3)  % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p0,
+             SUM(x * (CASE WHEN ((i-1)*5)  % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p1,
+             SUM(x * (CASE WHEN ((i-1)*7)  % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p2,
+             SUM(x * (CASE WHEN ((i-1)*11) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p3,
+             SUM(x * (CASE WHEN ((i-1)*13) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p4,
+             SUM(x * (CASE WHEN ((i-1)*17) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p5,
+             SUM(x * (CASE WHEN ((i-1)*19) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p6,
+             SUM(x * (CASE WHEN ((i-1)*23) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p7
+           FROM comp GROUP BY vec_id),
+         cells AS (
+           SELECT vec_id,
+             (CASE WHEN round(p0,6)>=0 THEN 1 ELSE 0 END)
+             + 2*(CASE WHEN round(p1,6)>=0 THEN 1 ELSE 0 END)
+             + 4*(CASE WHEN round(p2,6)>=0 THEN 1 ELSE 0 END)
+             + 8*(CASE WHEN round(p3,6)>=0 THEN 1 ELSE 0 END) AS c0,
+             (CASE WHEN round(p4,6)>=0 THEN 1 ELSE 0 END)
+             + 2*(CASE WHEN round(p5,6)>=0 THEN 1 ELSE 0 END)
+             + 4*(CASE WHEN round(p6,6)>=0 THEN 1 ELSE 0 END)
+             + 8*(CASE WHEN round(p7,6)>=0 THEN 1 ELSE 0 END) AS c1
+           FROM proj),
+         bands AS (
+           SELECT vec_id, 0 AS band, c0 AS cell FROM cells
+           UNION ALL
+           SELECT vec_id, 1 AS band, c1 AS cell FROM cells),
+         cand AS (
+           SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+           FROM bands l JOIN bands r
+             ON l.band = r.band AND l.cell = r.cell AND l.vec_id < r.vec_id),
+         expl AS (
+           SELECT c.id_a, c.id_b,
                   CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS prod,
                   CAST(a.embedding[i] AS DOUBLE)^2 AS sa,
                   CAST(b.embedding[i] AS DOUBLE)^2 AS sb
-           FROM embeddings a
-           JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+           FROM cand c
+           JOIN embeddings a ON a.vec_id = c.id_a
+           JOIN embeddings b ON b.vec_id = c.id_b,
            UNNEST(generate_series(1, 64)) t(i))
          SELECT id_a, id_b FROM expl GROUP BY id_a, id_b
          HAVING SUM(prod) / (sqrt(SUM(sa)) * sqrt(SUM(sb))) >= 0.4
@@ -315,8 +354,8 @@ object PipelineQueries {
            FROM g),
          x AS (
            SELECT user_id,
-                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
            FROM s)
          SELECT user_id, sess_id, COUNT(*) AS n_events
          FROM x GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",

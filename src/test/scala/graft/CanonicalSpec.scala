@@ -52,4 +52,18 @@ class CanonicalSpec extends AnyFunSuite {
     val edges = (1 until 200).map(i => (0, i))
     check(200, edges)
   }
+
+  test("CC survives a 10^5-degree hub without a per-node neighbor buffer") {
+    // one celebrity node with 100k neighbors: the min+join star steps
+    // stream it; the old collect_set formulation materialized the whole
+    // neighbor list in one aggregation buffer
+    val n = 100001
+    val edges = (1 until n).map(i => (f"N$i%06d", "N000000")).toDF("src", "dst")
+    val mapping = Canonical.connectedComponents(edges)
+    import org.apache.spark.sql.functions._
+    val comps = mapping.select(countDistinct(col("component")).cast("long"),
+      count(lit(1)).cast("long")).head()
+    assert(comps.getLong(0) == 1L)
+    assert(comps.getLong(1) == n.toLong)
+  }
 }

@@ -48,10 +48,27 @@ class NormSpec extends AnyFunSuite {
       "" -> Map("PATO_0001827" -> 1),
       "female 3 male" -> Map("PATO_0000383" -> 3),
       "ADULTS; 2 Males" -> Map("PATO_0000384" -> 2, "PATO_0001827" -> 1),
-      "(unknown)" -> Map("PATO_0001827" -> 1))
+      "(unknown)" -> Map("PATO_0001827" -> 1),
+      // reversed number-word arm
+      "females 2" -> Map("PATO_0000383" -> 2),
+      // both F6 arms in one string
+      "1 male and females 2" -> Map("PATO_0000384" -> 1, "PATO_0000383" -> 2),
+      // multi-`or` conjunction: or-words removed, no sub-term split, the
+      // joined residue matches nothing → unknown
+      "male or female or unknown" -> Map("PATO_0001827" -> 1))
     golden.foreach { case (in, out) =>
       assert(Materialize.countBiologicalSex(in, sexMap).toMap == out, s"sex($in)")
     }
+  }
+
+  test("lookupTerm strips tortere/juvenil prefixes before the retry") {
+    val v = Materialize.termVocab()
+    val wing = Materialize.lookupTerm("tortere wing", "s:1", "p:1", "T", v)
+    assert(wing.exists(t => t.pred == "p:1" &&
+      t.obj == "http://purl.obolibrary.org/obo/UBERON_0000023"), wing.toString)
+    val pupa = Materialize.lookupTerm("juvenil pupa", "s:1", "p:1", "T", v)
+    assert(pupa.exists(t => t.pred == "p:1" &&
+      t.obj == "http://purl.obolibrary.org/obo/UBERON_0000070"), pupa.toString)
   }
 
   test("widened-null predicate matches utils.is_none_na_or_empty") {
