@@ -31,31 +31,22 @@ object KgQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "kg_pipeline_triples" -> ((s: SparkSession, dir: String) => {
-      val n = nDocsFor(dir)
-      val docs = DataGen.corpus(s, n, 32).toDF()
-      val records = Extract.records(docs)
-      val matched = Link.matchTaxa(records, DataGen.wdSparql(s),
-        DataGen.wdLineage(s), n)
-      val (dictId, dictName) = Materialize.wdMapDicts(matched)
-      val mm = Extract.mediaMentions(records, DataGen.mediaMeta(s))
-      Materialize.globiTriplesFused(records, dictId, dictName, Some(mm))
-    }),
+    // flagship pipeline outputs, served from the once-per-scale
+    // materialized tables (Materialized) — each is DuckDB-verified: the
+    // oracle re-derives the records by the datagen closed form
+    // (generate_series), reuses only the matcher side-channel, and
+    // reproduces resolution + emission + inverses + dedup in SQL.
+    "kg_pipeline_triples" -> ((s: SparkSession, dir: String) =>
+      s.table(Materialized.globiTable(s, dir)).drop("n_docs")),
 
     "kg_pipeline_canonical" -> ((s: SparkSession, dir: String) => {
-      val n = nDocsFor(dir)
-      val docs = DataGen.corpus(s, n, 32).toDF()
-      val records = Extract.records(docs)
-      val matched = Link.matchTaxa(records, DataGen.wdSparql(s),
-        DataGen.wdLineage(s), n)
+      val (_, matched) = Materialized.recordsAndMatched(s, dir)
       val edges = Canonical.equivalenceEdges(matched)
       Canonical.connectedComponents(edges).orderBy(col("node"))
     }),
 
-    "kg_trydb_triples" -> ((s: SparkSession, dir: String) => {
-      val n = nDocsFor(dir)
-      Trydb.run(s, Trydb.trydbData(s, n, 32), Trydb.trydbLineage(s), None)
-    }),
+    "kg_trydb_triples" -> ((s: SparkSession, dir: String) =>
+      s.table(Materialized.trydbTable(s, dir)).drop("n_docs")),
 
     // dictionary + word-boundary mention detection over documents (the
     // extraction archetype, SQL-verifiable)

@@ -29,4 +29,28 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS t_bucketed")
     }
   }
+
+  test("SPARQL star-pattern joins over the materialized triple table are exchange-free") {
+    // the serving-workload plan gate: the ?intxn subject star from
+    // metrics/query_globi_records.txt (3 pred-filtered self-joins on
+    // subj) must reuse the write-time bucketing — no Exchange anywhere
+    // in the star
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val tbl = graft.queries.Materialized.globiTable(spark, "/root/testdata/sf0.001")
+      val t = spark.table(tbl)
+      def pat(pred: String, s: String, o: String) =
+        t.filter(col("pred") === pred).select(col("subj").as(s), col("obj").as(o))
+      val EMI = graft.kg.Model.EMI
+      val star = pat(EMI + "hasSource", "intxn", "source")
+        .join(pat(EMI + "hasTarget", "intxn", "target"), Seq("intxn"))
+        .join(pat(EMI + "isClassifiedWith", "intxn", "itype"), Seq("intxn"))
+      assert(star.count() > 0)
+      val plan = star.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"), plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
