@@ -52,6 +52,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(lines.exists(_.contains(s""""42"^^<${Model.XSD_INTEGER}>""")))
   }
 
+  test("prefixed turtle round-trips the real pipeline triple set") {
+    import graft.kg._
+    val tmp = java.nio.file.Files.createTempDirectory("ttlp").toString
+    // the real GloBI emission output — exercises percent-encoded locals,
+    // typed literals, full-IRI fallbacks and the `a` shorthand
+    val docs = DataGen.corpus(spark, 120, 4).toDF()
+    val records = Extract.records(docs)
+    val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
+      DataGen.wdLineage(spark), 120)
+    val (dictId, dictName) = Materialize.wdMapDicts(matched)
+    val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
+    val triples = Materialize.globiTriplesFused(records, dictId, dictName, Some(mm))
+    val orig = triples.as[Model.Triple].collect().toSet
+    assert(orig.nonEmpty)
+    Sources.writeTurtlePrefixed(triples, s"$tmp/g", partitions = 3)
+    // every part file leads with the @prefix header (standalone Turtle)
+    val parts = new java.io.File(s"$tmp/g").listFiles()
+      .filter(_.getName.endsWith(".txt.gz"))
+    assert(parts.nonEmpty)
+    val firstLine = {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(parts.head))
+      val line = scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+      in.close(); line
+    }
+    assert(firstLine.startsWith("@prefix"))
+    // abbreviation actually happened
+    val text = spark.read.option("lineSep", "\n\n").text(s"$tmp/g")
+      .as[String].collect().mkString("\n\n")
+    assert(text.contains("emi:") && text.contains("wd:Q") && text.contains(" a "))
+    // round trip: parsed triple set == original triple set
+    val back = Sources.readTurtle(spark, s"$tmp/g")
+      .as[Model.Triple].collect().toSet
+    val missing = orig -- back; val extra = back -- orig
+    assert(missing.isEmpty && extra.isEmpty,
+      s"missing=${missing.size}${missing.take(3)} extra=${extra.size}${extra.take(3)}")
+  }
+
   test("csv.gz sink round-trips the matcher output shape") {
     val tmp = java.nio.file.Files.createTempDirectory("csv").toString
     val df = Seq(("EOL:1", "Taxon 1", "Q1001", "NAME-MATCH-YES"))
