@@ -85,21 +85,32 @@ object Similarity {
                    threshold: Double = 0.5): DataFrame = {
     val allPrimes = Seq(3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
     require(planes * bands <= allPrimes.size, "raise the prime table")
+    // candidate generation carries ONLY ids: the band self-join and the
+    // pair dedup shuffle (id, band, cell) rows, never vectors; the
+    // per-vector norm is computed once, so the verify stage is one dot
+    // product per pair (not three)
     val keyed = vecs.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
+      col(idCol).as("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           signCell(col(vecCol), allPrimes.slice(b * planes, (b + 1) * planes))
             .as("cell"))
       }: _*)).as("bc"))
-      .select(col("id"), col("v"), col("bc.band"), col("bc.cell"))
+      .select(col("id"), col("bc.band"), col("bc.cell"))
     val l = keyed.as("l"); val r = keyed.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.cell") === col("r.cell") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.v").as("va"), col("r.v").as("vb"))
+    val cands = l.join(r,
+        col("l.band") === col("r.band") && col("l.cell") === col("r.cell") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-      .withColumn("cos", cosine(col("va"), col("vb")))
+    val arrs = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("n"))
+    cands
+      .join(arrs.select(col("id").as("id_a"), col("v").as("_va"), col("n").as("_na")),
+        Seq("id_a"))
+      .join(arrs.select(col("id").as("id_b"), col("v").as("_vb"), col("n").as("_nb")),
+        Seq("id_b"))
+      .withColumn("cos", dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

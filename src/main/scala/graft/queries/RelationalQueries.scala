@@ -312,9 +312,16 @@ object RelationalQueries {
     }),
 
     "f9_format_uri" -> ((s: SparkSession, dir: String) => {
-      // percent-encoding parity with python urllib.parse.quote (utils.py:104-106)
+      // percent-encoding parity with python urllib.parse.quote
+      // (utils.py:104-106). The appended constant tail forces the
+      // reserved-char, multibyte-UTF-8, and unreserved-passthrough
+      // branches through the driver gate on every row (part names alone
+      // only exercise the space branch); the oracle carries the
+      // hand-encoded expected tail.
       val p = s.read.parquet(t(dir, "part"))
-      p.select(col("p_partkey"), Norm.formatUri(col("p_name")).as("encoded"))
+      p.select(col("p_partkey"),
+          Norm.formatUri(concat(col("p_name"), lit("/x?&#Ĝ +*~._-")))
+            .as("encoded"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -528,8 +535,9 @@ object RelationalQueries {
          FROM low ORDER BY token""",
 
     "f9_format_uri" ->
-      """SELECT p_partkey, replace(p_name, ' ', '%20') AS encoded FROM part
-         ORDER BY p_partkey""",
+      """SELECT p_partkey,
+                replace(p_name, ' ', '%20') || '%2Fx%3F%26%23%C4%9C%20%2B%2A~._-' AS encoded
+         FROM part ORDER BY p_partkey""",
 
     "f10_numeric_literal" ->
       """WITH r AS (

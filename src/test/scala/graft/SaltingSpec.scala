@@ -38,4 +38,22 @@ class SaltingSpec extends AnyFunSuite {
     val small = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("k", "dim")
     assert(Salting.autoSaltedJoin(big, small, "k", threshold = 10).count() == 100)
   }
+
+  test("sampled hot-key detection finds the hub without a full scan") {
+    // hub key 0 carries 50% of 200k rows; a 1% sample must find it and
+    // only it, and the salted join over the sampled hot list must equal
+    // the plain join
+    val big = (0 until 200000).map { i =>
+      (if (i % 2 == 0) 0L else (i % 97).toLong, i)
+    }.toDF("k", "v")
+    val small = (0 until 97).map(k => (k.toLong, s"d$k")).toDF("k", "dim")
+    val hot = Salting.heavyKeysSampled(big, "k", threshold = 20000,
+      fraction = 0.01)
+    assert(hot == Seq("0"), hot.toString)
+    val plain = big.join(small, Seq("k")).count()
+    val salted = Salting.saltedJoin(big, small, "k", hot, 8).count()
+    assert(salted == plain)
+    // fraction >= 1 degrades to the exact detector
+    assert(Salting.heavyKeysSampled(big, "k", 20000, fraction = 1.0) == Seq("0"))
+  }
 }
