@@ -265,6 +265,58 @@ object Link {
         "Match_Status", "rowIdx")
   }
 
+  /** Adaptive matcher: counts the DISTINCT taxa table (the only thing
+    * the compact path collects) and picks the driver-local refinement
+    * when it is genuinely dimension-sized, else the fully distributed
+    * formulation — the caller no longer has to assert the
+    * fits-in-driver assumption. The count reuses the persisted taxa
+    * table, so the guard costs one cheap action, not a second
+    * corpus-scale pass. Both paths are asserted equal in
+    * KgPipelineSpec.
+    */
+  def matchTaxaAdaptive(records: DataFrame, wdSparqlRows: Seq[Seq[String]],
+      lineageRows: Seq[Seq[String]], nDocs: Long,
+      maxDriverRows: Long = 2000000L): DataFrame = {
+    val spark = records.sparkSession
+    val taxa = stackTaxa(records, nDocs)
+      .select(col("TaxonId"), col("TaxonName"), col("TaxonPathName"),
+        col("TaxonRankName"), col("rowIdx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out =
+      if (taxa.count() <= maxDriverRows) {
+        import spark.implicits._
+        val rows = taxa.collect()
+          .map(r => LocalMatcher.TaxaRow(r.getString(0), r.getString(1),
+            r.getString(2), r.getString(3), r.getLong(4)))
+          .sortBy(_.rowIdx)
+        LocalMatcher.matchTaxa(rows.toSeq, wdSparqlRows, lineageRows)
+          .map(m => (m.taxonId, m.taxonName, m.mappedValue, m.mappedIdWd,
+            m.status, m.rowIdx))
+          .toDF("TaxonId", "TaxonName", "Mapped_Value", "Mapped_ID_WD",
+            "Match_Status", "rowIdx")
+      } else {
+        // beyond driver memory: rebuild the dimension DataFrames from
+        // the same fixture rows and run the distributed formulation
+        import org.apache.spark.sql.types.{StructField, StructType, StringType}
+        val wdCols = Seq("WdID", "eol", "gbif", "ncbi", "ott", "itis",
+          "irmng", "col", "nbn", "worms", "bold", "plazi", "apni", "msw3",
+          "iNat", "eppo", "WdName")
+        val wdSchema = StructType(wdCols.map(StructField(_, StringType, true)))
+        val wd = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            wdSparqlRows.map(org.apache.spark.sql.Row.fromSeq), 1), wdSchema)
+        val linCols = Seq("WdID", "WdName", "kingdom", "phylum", "class",
+          "order", "family", "genus", "species")
+        val linSchema = StructType(linCols.map(StructField(_, StringType, true)))
+        val lin = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            lineageRows.map(org.apache.spark.sql.Row.fromSeq), 1), linSchema)
+        matchTaxa(records, wd, lin, nDocs)
+      }
+    taxa.unpersist()
+    out
+  }
+
   /** Full matcher pipeline: records → matched-taxa table (matcher.py:432-478).
     *
     * The stacked-dedup taxa table and the matcher output are

@@ -96,9 +96,10 @@ object Pipeline {
     stages += s1
 
     val (matched, s2) = stage(spark, outRoot, "20_link", fp) {
-      // compact matcher (dimension-sized refinement on the driver);
-      // Link.matchTaxa is the beyond-driver-memory distributed path
-      Link.matchTaxaCompactDf(records, DataGen.wdSparqlRows,
+      // adaptive: driver-local refinement while the distinct-taxa table
+      // is dimension-sized, distributed matcher beyond that — the
+      // row-count guard replaces the caller-asserted assumption
+      Link.matchTaxaAdaptive(records, DataGen.wdSparqlRows,
         DataGen.lineageRows, nDocs)
     }
     stages += s2

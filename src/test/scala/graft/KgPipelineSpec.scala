@@ -84,6 +84,20 @@ class KgPipelineSpec extends AnyFunSuite {
         s"only-dist=${(distributed -- local).take(3)}")
   }
 
+  test("adaptive matcher: forced-distributed equals compact") {
+    val records = Extract.records(DataGen.corpus(spark, N, 4).toDF())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("TaxonId", "TaxonName", "Mapped_Value", "Mapped_ID_WD",
+        "Match_Status", "rowIdx").collect().map(_.toSeq).toSet
+    val compact = rows(Link.matchTaxaAdaptive(records, DataGen.wdSparqlRows,
+      DataGen.lineageRows, N)) // default guard → driver-local path
+    val distributed = rows(Link.matchTaxaAdaptive(records, DataGen.wdSparqlRows,
+      DataGen.lineageRows, N, maxDriverRows = 0)) // force distributed
+    assert(compact == distributed,
+      s"only-compact=${(compact -- distributed).take(3)} " +
+        s"only-dist=${(distributed -- compact).take(3)}")
+  }
+
   test("matcher covers the status lattice") {
     val records = Extract.records(DataGen.corpus(spark, N, 4).toDF())
     val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
