@@ -148,6 +148,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Engine-portable SimHash: 60-bit signature from the token multiset,
+    * token hash = first 15 hex chars of md5 (fits a signed long, and any
+    * SQL engine can reproduce it — the DuckDB oracle hash-verifies this
+    * one, unlike the xxhash64 variant below). One md5 per token: the
+    * hash array is materialized FIRST (transform), then the bit-count
+    * aggregate runs over longs — no per-bit hash recomputation.
+    */
+  def simhashPortable(text: Column): Column = {
+    val toks = TextOps.tokens(TextOps.normalizeText(text))
+    val hs = transform(toks, tok =>
+      conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))
+    val counts = aggregate(
+      hs,
+      array_repeat(lit(0), 60),
+      (acc, h) =>
+        transform(acc, (c, i) =>
+          c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1)
+            .otherwise(0)))
+    val nTok = size(toks)
+    aggregate(
+      sequence(lit(0), lit(59)),
+      lit(0L),
+      (acc, i) =>
+        acc.bitwiseOR(
+          when(element_at(counts, i + 1) * 2 > nTok,
+            call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
+  }
+
   /** SimHash: 64-bit signature from the token multiset. Computed with
     * higher-order functions over the token array — zero shuffle, one
     * projection. bit_j(doc) = majority over tokens of bit_j(xxhash64(tok)).

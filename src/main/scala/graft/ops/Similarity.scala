@@ -83,8 +83,8 @@ object Similarity {
   def signLshPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    planes: Int = 4, bands: Int = 2,
                    threshold: Double = 0.5): DataFrame = {
-    val allPrimes = Seq(3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
-    require(planes * bands <= allPrimes.size, "raise the prime table")
+    require(planes * bands <= lshPrimes.size, "raise the prime table")
+    val allPrimes = lshPrimes
     // candidate generation carries ONLY ids: the band self-join and the
     // pair dedup shuffle (id, band, cell) rows, never vectors; the
     // per-vector norm is computed once, so the verify stage is one dot
@@ -134,26 +134,19 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: plane p, dim i →
-    * a value in [-0.5, 0.5) derived from xxhash64, identical on every
-    * executor with no RNG state.
-    */
-  private def planeComponent(p: Int, i: Column): Column =
-    (call_function("xxhash64", lit(p), i).cast("double") / lit(2.0 * Long.MaxValue)) // [-0.5,0.5)
+  private val lshPrimes =
+    Seq(3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
 
-  /** Random-hyperplane LSH signature: `planes` sign bits packed into a
-    * long. Docs sharing the full signature (or a band of it) are
-    * near-duplicate candidates under angular distance.
+  /** Hyperplane LSH signature: `planes` sign bits packed into a long,
+    * using the same deterministic ±1 prime-sign plane family as
+    * signCell — arithmetic-only, so the DuckDB oracle reproduces it
+    * bit-exactly (an earlier xxhash64-derived variant was Spark-only).
+    * Docs sharing the full signature (or a band of it) are near-dup
+    * candidates under angular distance.
     */
   def hyperplaneSignature(vec: Column, planes: Int): Column = {
-    val sigBits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, call_function("shiftleft", lit(1L), lit(p))).otherwise(lit(0L))
-    }
-    sigBits.reduce((a, b) => a.bitwiseOR(b))
+    require(planes <= lshPrimes.size, "raise the prime table")
+    signCell(vec, lshPrimes.take(planes))
   }
 
   /** LSH-bucketed candidate pairs: join on the hyperplane signature. */

@@ -80,9 +80,11 @@ object PipelineQueries {
     }),
 
     "dd_simhash" -> ((s: SparkSession, dir: String) => {
-      // xxhash64-based: no SQL oracle (rows-only check); verified in ScalaTest
+      // engine-portable 60-bit md5 SimHash — hash-verified by the DuckDB
+      // oracle (the xxhash64 variant stays as the Spark-native fast path,
+      // covered by ScalaTest)
       val d = s.read.parquet(t(dir, "documents"))
-      d.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      d.select(col("doc_id"), Dedup.simhashPortable(col("text")).as("sh"))
         .orderBy(col("doc_id"))
     }),
 
@@ -275,6 +277,56 @@ object PipelineQueries {
            JOIN cnt ca ON ca.id = common.id_a
            JOIN cnt cb ON cb.id = common.id_b
          WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE) >= 0.9
+         ORDER BY id_a, id_b""",
+
+    "dd_simhash" ->
+      """WITH tk AS (
+           SELECT doc_id AS id,
+                  UNNEST(regexp_extract_all(
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                    '\S+')) AS token
+           FROM documents),
+         h AS (SELECT id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv FROM tk),
+         cnt AS (SELECT id, COUNT(*) AS n FROM tk GROUP BY id),
+         bits AS (
+           SELECT id, j, SUM((hv >> j) & 1) AS ones
+           FROM h, UNNEST(generate_series(0, 59)) t(j)
+           GROUP BY id, j),
+         sig AS (
+           SELECT b.id,
+                  CAST(SUM(CASE WHEN b.ones * 2 > c.n
+                                THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh
+           FROM bits b JOIN cnt c ON c.id = b.id GROUP BY b.id)
+         SELECT id AS doc_id, sh FROM sig ORDER BY doc_id""",
+
+    "sim_lsh_buckets" ->
+      """WITH comp AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(generate_series(1, 64)) t(i)),
+         proj AS (
+           SELECT vec_id,
+             SUM(x * (CASE WHEN ((i-1)*3)  % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p0,
+             SUM(x * (CASE WHEN ((i-1)*5)  % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p1,
+             SUM(x * (CASE WHEN ((i-1)*7)  % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p2,
+             SUM(x * (CASE WHEN ((i-1)*11) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p3,
+             SUM(x * (CASE WHEN ((i-1)*13) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p4,
+             SUM(x * (CASE WHEN ((i-1)*17) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p5,
+             SUM(x * (CASE WHEN ((i-1)*19) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p6,
+             SUM(x * (CASE WHEN ((i-1)*23) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p7
+           FROM comp GROUP BY vec_id),
+         sig AS (
+           SELECT vec_id,
+               (CASE WHEN round(p0,6)>=0 THEN 1   ELSE 0 END)
+             + (CASE WHEN round(p1,6)>=0 THEN 2   ELSE 0 END)
+             + (CASE WHEN round(p2,6)>=0 THEN 4   ELSE 0 END)
+             + (CASE WHEN round(p3,6)>=0 THEN 8   ELSE 0 END)
+             + (CASE WHEN round(p4,6)>=0 THEN 16  ELSE 0 END)
+             + (CASE WHEN round(p5,6)>=0 THEN 32  ELSE 0 END)
+             + (CASE WHEN round(p6,6)>=0 THEN 64  ELSE 0 END)
+             + (CASE WHEN round(p7,6)>=0 THEN 128 ELSE 0 END) AS sig
+           FROM proj)
+         SELECT l.vec_id AS id_a, r.vec_id AS id_b
+         FROM sig l JOIN sig r ON l.sig = r.sig AND l.vec_id < r.vec_id
          ORDER BY id_a, id_b""",
 
     "dd_embedding_cosine" ->
