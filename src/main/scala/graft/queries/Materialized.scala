@@ -72,8 +72,12 @@ object Materialized {
       val n = KgQueries.nDocsFor(dir)
       val docs = DataGen.corpus(spark, n, 32).toDF()
       val records = Extract.records(docs).persist(StorageLevel.MEMORY_AND_DISK)
-      val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
-        DataGen.wdLineage(spark), n)
+      // the guarded production path: driver-local dictionary refinement
+      // while the distinct-taxa table is dimension-sized, distributed
+      // matcher beyond (compact == distributed is pinned in
+      // KgPipelineSpec)
+      val matched = Link.matchTaxaAdaptive(records, DataGen.wdSparqlRows,
+        DataGen.lineageRows, n)
       matched
         .select(col("TaxonId"), col("TaxonName"), col("Mapped_Value"),
           col("Mapped_ID_WD"), col("Match_Status"), col("rowIdx"))
