@@ -80,5 +80,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("percent_encode"),
       new ExpressionInfo(classOf[PercentEncode].getName, "percent_encode"),
       (exprs: Seq[Expression]) => PercentEncode(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("turtle_literal"),
+      new ExpressionInfo(classOf[TurtleLiteral].getName, "turtle_literal"),
+      (exprs: Seq[Expression]) => TurtleLiteral(exprs.head, exprs(1))))
   }
 }

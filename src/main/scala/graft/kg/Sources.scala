@@ -59,24 +59,26 @@ object Sources {
     * a per-partition projection; output is gzip text, one file per
     * range partition ordered by (pred, subj) like the parquet layout.
     */
-  def turtleLiteral(value: String, datatype: String): String = {
-    val escaped = value.flatMap {
-      case '\\' => "\\\\"
-      case '"' => "\\\""
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c => c.toString
-    }
-    if (datatype == Model.XSD_STRING || datatype.isEmpty) s""""$escaped""""
-    else s""""$escaped"^^<$datatype>"""
+  def turtleLiteral(value: String, datatype: String): String =
+    graft.functions.TurtleLiterals.render(
+      org.apache.spark.unsafe.types.UTF8String.fromString(value),
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        Option(datatype).getOrElse(""))).toString
+
+  /** Literal rendering as a native Catalyst expression (codegen'd —
+    * replaces the former scalar UDF, the engine's last).
+    */
+  private def turtleLit(spark: SparkSession, value: org.apache.spark.sql.Column,
+      datatype: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    graft.functions.TurtleLiteral.register(spark)
+    graft.functions.TurtleLiteral(value, datatype)
   }
 
   def writeTurtle(triples: DataFrame, outPath: String, partitions: Int = 8): Unit = {
     val line = concat(
       lit("<"), col("subj"), lit("> <"), col("pred"), lit("> "),
       when(col("objIsLiteral"),
-        udfTurtleLit(col("obj"), col("objDatatype")))
+        turtleLit(triples.sparkSession, col("obj"), col("objDatatype")))
         .otherwise(concat(lit("<"), col("obj"), lit(">"))),
       lit(" ."))
     triples
@@ -87,11 +89,6 @@ object Sources {
       .option("compression", "gzip")
       .text(outPath)
   }
-
-  // literal escaping needs per-char logic → one small scalar UDF on the
-  // literal branch only (IRIs stay pure-Catalyst)
-  private val udfTurtleLit =
-    org.apache.spark.sql.functions.udf(turtleLiteral _)
 
   // ---- S6b — prefix-abbreviated Turtle + round-trip parser --------------
 
@@ -160,7 +157,7 @@ object Sources {
     val spark = triples.sparkSession
     import spark.implicits._
     val objCol = when(col("objIsLiteral"),
-      udfTurtleLit(col("obj"), col("objDatatype")))
+      turtleLit(spark, col("obj"), col("objDatatype")))
       .otherwise(abbrevIri(col("obj")))
     val predCol = when(col("pred") === Model.RDF_TYPE, lit("a"))
       .otherwise(abbrevIri(col("pred")))

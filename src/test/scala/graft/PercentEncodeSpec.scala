@@ -37,4 +37,29 @@ class PercentEncodeSpec extends AnyFunSuite {
       .select(PercentEncode(col("v"))).head()
     assert(r.isNullAt(0))
   }
+
+  test("turtle_literal native expression: eval==codegen==scala impl, codegen'd") {
+    import graft.functions.TurtleLiteral
+    import graft.kg.Sources
+    TurtleLiteral.register(spark)
+    val lits = Seq(
+      ("plain", Model.XSD_STRING),
+      ("line\nbreak \"q\" \\ tab\t", Model.XSD_STRING),
+      ("42", Model.XSD_INTEGER),
+      ("12.5", Model.XSD_DOUBLE),
+      ("no-dt", ""))
+    val df = spark.range(lits.length)
+      .select(
+        element_at(typedLit(lits.map(_._1)), col("id").cast("int") + 1).as("v"),
+        element_at(typedLit(lits.map(_._2)), col("id").cast("int") + 1).as("dt"))
+      .select(col("v"), col("dt"), TurtleLiteral(col("v"), col("dt")).as("r"))
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    lits.foreach { case (v, dt) =>
+      assert(got((v, dt)) == Sources.turtleLiteral(v, dt), s"case '$v'^^$dt")
+    }
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+    assert(spark.sql("SELECT turtle_literal('a\"b', '') AS r").head().getString(0)
+      == "\"a\\\"b\"")
+  }
 }
