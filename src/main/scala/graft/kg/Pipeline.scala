@@ -76,6 +76,55 @@ object Pipeline {
   case class RunReport(stages: Seq[StageResult], triples: Long,
       canonicalTriples: Long)
 
+  /** Table-native entry point (north rule: the pipeline runs OVER
+    * Iceberg tables): read the interleaved document corpus from a
+    * snapshot table (optionally at a pinned snapshot — a re-run against
+    * the same snapshot is reproducible regardless of later appends) and
+    * publish the canonical graph as a new snapshot of an output table,
+    * predicate-partitioned. Returns (run report, graph snapshot id).
+    */
+  def runFromTable(spark: SparkSession, docsTableDir: String,
+      outRoot: String, graphTableDir: String,
+      snapshot: Option[Long] = None, partitions: Int = 32)
+      : (RunReport, Long) = {
+    import graft.sources.SnapshotTable
+    val snap = snapshot.getOrElse(SnapshotTable.currentSnapshot(docsTableDir))
+    val docs = SnapshotTable.read(spark, docsTableDir, Some(snap))
+    val nDocs = docs.count()
+    val fp = s"table:$docsTableDir@$snap:docs:$nDocs:v1"
+    val stages = scala.collection.mutable.ArrayBuffer[StageResult]()
+
+    val (records, s1) = stage(spark, outRoot, "10_extract", fp) {
+      Extract.records(docs)
+    }
+    stages += s1
+    val (matched, s2) = stage(spark, outRoot, "20_link", fp) {
+      Link.matchTaxaAdaptive(records, DataGen.wdSparqlRows,
+        DataGen.lineageRows, nDocs)
+    }
+    stages += s2
+    val (triples, s3) = stage(spark, outRoot, "30_triples", fp) {
+      val (dictId, dictName) = Materialize.wdMapDicts(matched)
+      val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
+      Materialize.globiTriplesFused(records, dictId, dictName, Some(mm))
+    }
+    stages += s3
+    val (canonical, s4) = stage(spark, outRoot, "40_canonical", fp) {
+      val edges = Canonical.equivalenceEdges(matched)
+      val mapping = Canonical.connectedComponents(edges)
+      Canonical.canonicalizeTriples(triples, mapping)
+    }
+    stages += s4
+
+    val graphSnap = SnapshotTable.write(
+      canonical
+        .withColumn("predicate", regexp_replace(col("pred"), "[^A-Za-z0-9]+", "_"))
+        .repartitionByRange(partitions, col("predicate"), col("subj"))
+        .sortWithinPartitions(col("predicate"), col("subj")),
+      graphTableDir, mode = "overwrite", partitionBy = Seq("predicate"))
+    (RunReport(stages.toSeq, triples.count(), canonical.count()), graphSnap)
+  }
+
   /** Full KG construction over the deterministic corpus:
     * datagen → extract → link → materialize → canonicalize, all
     * checkpointed under outRoot.

@@ -50,6 +50,23 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(schema.contains("spans") && schema.contains("media_ref"))
   }
 
+  test("table-native pipeline: snapshot in, predicate-partitioned graph snapshot out") {
+    import graft.kg.Pipeline
+    val base = java.nio.file.Files.createTempDirectory("snappipe").toString
+    val docsDir = s"$base/docs"; val graphDir = s"$base/graph"
+    SnapshotTable.write(DataGen.corpus(spark, 60, 4).toDF(), docsDir)
+    val (report, snap) = Pipeline.runFromTable(spark, docsDir,
+      s"$base/stages", graphDir, partitions = 4)
+    assert(report.canonicalTriples > 0 && snap == 1L)
+    val graph = SnapshotTable.read(spark, graphDir)
+    assert(graph.count() == report.canonicalTriples)
+    assert(graph.columns.contains("predicate"))
+    // a second corpus snapshot does not disturb the published graph read
+    SnapshotTable.write(DataGen.corpus(spark, 80, 4).toDF(), docsDir,
+      mode = "overwrite")
+    assert(SnapshotTable.read(spark, graphDir).count() == report.canonicalTriples)
+  }
+
   test("partitioned snapshot write keeps partition columns readable") {
     val dir = java.nio.file.Files.createTempDirectory("snappart").toString + "/t"
     val df = (0 until 100).map(i => (s"id$i", s"p${i % 3}", i)).toDF("id", "p", "v")
