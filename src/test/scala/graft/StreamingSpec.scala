@@ -71,6 +71,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.head.getAs[Int]("n_events") == 2)
   }
 
+  test("streaming ingestion appends snapshots to the Iceberg-layout table") {
+    import graft.sources.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("snapsink").toString
+    val inDir = s"$tmp/in"; val tableDir = s"$tmp/table"; val cp = s"$tmp/cp"
+    val docs = graft.kg.DataGen.corpus(spark, 90, 3).toDF()
+    docs.write.mode("overwrite").parquet(inDir)
+    // foreachBatch → one append snapshot per micro-batch: the streaming
+    // checkpoint gives at-least-once batch delivery and the snapshot
+    // commit (atomic version-hint swap) makes each batch's publish
+    // all-or-nothing
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        SnapshotTable.write(batch, tableDir, mode = "append"): Unit
+      }
+      .start()
+    q.awaitTermination()
+    assert(SnapshotTable.read(spark, tableDir).count() == 90)
+    val hist = SnapshotTable.history(tableDir)
+    assert(hist.nonEmpty && hist.last.rows == 90)
+    assert(hist.tail.forall(_.operation == "append"))
+  }
+
   test("multimodal: feature extraction, resize, frame sampling") {
     val media = Multimodal.mediaBinary(spark, 60, 4)
     val feats = Multimodal.extractFeatures(media).collect()
