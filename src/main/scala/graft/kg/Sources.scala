@@ -141,12 +141,12 @@ object Sources {
     * subject-grouped blocks with `;` predicate lists, 4-space indent,
     * rdf:type as `a`, one blank line between blocks, @prefix header at
     * the top of every part file (each part is standalone valid Turtle —
-    * re-declared prefixes are legal). Known formatting deviations from
-    * rdflib, documented for the parity harness: predicate order within
-    * a block is lexicographic (rdflib puts rdf:type first), and typed
-    * numeric literals keep the "lex"^^xsd:… form instead of rdflib's
-    * bare-number shorthand. Round-trip triple-set equality is the
-    * contract (SourcesSpec).
+    * re-declared prefixes are legal). Predicate order within a block
+    * follows rdflib's convention (rdf:type first, then lexicographic).
+    * Known formatting deviation from rdflib, documented for the parity
+    * harness: typed numeric literals keep the "lex"^^xsd:… form instead
+    * of rdflib's bare-number shorthand. Round-trip triple-set equality
+    * is the contract (SourcesSpec).
     *
     * Plan shape: range-partition + sort by subject, one groupBy(subj)
     * into sorted (pred, obj) arrays — the only shuffle; block rendering
@@ -161,12 +161,17 @@ object Sources {
       .otherwise(abbrevIri(col("obj")))
     val predCol = when(col("pred") === Model.RDF_TYPE, lit("a"))
       .otherwise(abbrevIri(col("pred")))
+    // predicate order within a block: rdf:type ('a') first, then
+    // lexicographic — rdflib's predicateOrder puts rdf:type first; the
+    // rank field makes sort_array reproduce that
     val blocks = triples
       .select(abbrevIri(col("subj")).as("s"), predCol.as("p"), objCol.as("o"))
       // one corpus-scale hash shuffle for the subject grouping, then a
       // block-scale range repartition for the sorted file layout
       .groupBy(col("s"))
-      .agg(sort_array(collect_list(struct(col("p"), col("o")))).as("po"))
+      .agg(sort_array(collect_list(struct(
+        when(col("p") === "a", 0).otherwise(1).as("rank"),
+        col("p"), col("o")))).as("po"))
       .repartitionByRange(partitions, col("s"))
       .select(concat(
         col("s"), lit(" "),

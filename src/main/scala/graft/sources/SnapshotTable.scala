@@ -45,15 +45,24 @@ object SnapshotTable {
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   }
 
+  /** The idempotency key recorded by snapshot `snap`, if any. */
+  def committedKey(dir: String, snap: Long): Option[String] = {
+    val p = Paths.get(dir, "metadata", s"v$snap.json")
+    if (!Files.exists(p)) None
+    else """"idempotency_key":"([^"]*)"""".r
+      .findFirstMatchIn(Files.readString(p)).map(_.group(1)).filter(_.nonEmpty)
+  }
+
   private def commit(dir: String, snap: Long, operation: String,
       parent: Long, schemaDdl: String, partitionBy: Seq[String],
-      files: Long, rows: Long): Unit = {
+      files: Long, rows: Long, idempotencyKey: String): Unit = {
     val meta = Paths.get(dir, "metadata")
     Files.createDirectories(meta)
     val json =
       s"""{"format_version":1,"snapshot_id":$snap,"parent_snapshot_id":$parent,
          |"operation":"$operation","schema":"${jsonEscape(schemaDdl)}",
          |"partition_spec":[${partitionBy.map(c => s""""$c"""").mkString(",")}],
+         |"idempotency_key":"${jsonEscape(idempotencyKey)}",
          |"manifest":"manifests/snap-$snap","data_files":$files,"rows":$rows}"""
         .stripMargin.replace("\n", "")
     Files.writeString(meta.resolve(s"v$snap.json"), json)
@@ -68,14 +77,27 @@ object SnapshotTable {
     * manifest lists only the new files) or "append" (parent manifest ∪
     * new files). Data files of previous snapshots are never touched —
     * time travel stays valid.
+    *
+    * `idempotencyKey` makes the publish exactly-once under replays: a
+    * streaming foreachBatch that re-delivers a batch after a failure
+    * passes the batch id here, and a key already recorded by the
+    * CURRENT snapshot short-circuits to that snapshot instead of
+    * appending a duplicate (the Iceberg commit-conflict analogue for
+    * the linear single-writer history this format keeps).
     */
   def write(df: DataFrame, dir: String, mode: String = "overwrite",
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, idempotencyKey: String = ""): Long = {
     val spark = df.sparkSession
     val parent = currentSnapshot(dir)
+    if (idempotencyKey.nonEmpty && parent > 0 &&
+        committedKey(dir, parent).contains(idempotencyKey))
+      return parent
     val snap = parent + 1
+    // overwrite, not errorifexists: a crash between the data write and
+    // the version-hint swap leaves an UNCOMMITTED snap-<id> dir that no
+    // reader can see — the retry must be able to reclaim it
     val dataDir = s"$dir/data/snap-$snap"
-    val writer = df.write.mode("errorifexists")
+    val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir)
     // manifest entries: every data file + its row count (per-file stats)
@@ -87,12 +109,12 @@ object SnapshotTable {
       if (mode == "append" && parent > 0)
         spark.read.parquet(s"$dir/manifests/snap-$parent").unionByName(newEntries)
       else newEntries
-    manifest.coalesce(1).write.mode("errorifexists")
+    manifest.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/manifests/snap-$snap")
     val stats = spark.read.parquet(s"$dir/manifests/snap-$snap")
       .agg(count(lit(1)), coalesce(sum(col("rows")), lit(0L))).head()
     commit(dir, snap, mode, parent, df.schema.toDDL, partitionBy,
-      stats.getLong(0), stats.getLong(1))
+      stats.getLong(0), stats.getLong(1), idempotencyKey)
     snap
   }
 
@@ -116,6 +138,41 @@ object SnapshotTable {
           .parquet(fs.map(_._1).toSeq: _*)
       }
       .reduce(_.unionByName(_))
+  }
+
+  /** Table maintenance: expire all snapshots except the newest
+    * `keepLast`, deleting data files no retained manifest references
+    * (the Iceberg expire-snapshots analogue — at 100 TB the orphaned
+    * files of superseded overwrites are the storage cost that grows
+    * without this). Returns (expired snapshot ids, deleted data files).
+    */
+  def expireSnapshots(spark: SparkSession, dir: String,
+      keepLast: Int = 1): (Seq[Long], Long) = {
+    val all = history(dir).map(_.id)
+    val keep = all.takeRight(math.max(keepLast, 1)).toSet
+    val expire = all.filterNot(keep)
+    if (expire.isEmpty) return (Nil, 0L)
+    def files(snaps: Iterable[Long]): Set[String] =
+      snaps.toSeq.flatMap { s =>
+        spark.read.parquet(s"$dir/manifests/snap-$s")
+          .select(col("path")).collect().map(_.getString(0))
+      }.toSet
+    val retained = files(keep)
+    val orphans = files(expire) -- retained
+    orphans.foreach { f =>
+      val p = if (f.startsWith("file:")) Paths.get(new java.net.URI(f))
+              else Paths.get(f)
+      Files.deleteIfExists(p)
+    }
+    expire.foreach { s =>
+      import scala.jdk.CollectionConverters._
+      val m = Paths.get(s"$dir/manifests/snap-$s")
+      if (Files.exists(m))
+        Files.walk(m).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(Paths.get(dir, "metadata", s"v$s.json"))
+    }
+    (expire, orphans.size.toLong)
   }
 
   /** Snapshot history from the versioned metadata. */

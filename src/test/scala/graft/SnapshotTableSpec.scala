@@ -50,6 +50,33 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(schema.contains("spans") && schema.contains("media_ref"))
   }
 
+  test("idempotency key makes replayed publishes exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("snapidem").toString + "/t"
+    val df = (0 until 20).map(i => (s"id$i", i)).toDF("id", "v")
+    val s1 = SnapshotTable.write(df, dir, mode = "append", idempotencyKey = "batch-0")
+    // a foreachBatch replay of the same batch id must not append again
+    val s2 = SnapshotTable.write(df, dir, mode = "append", idempotencyKey = "batch-0")
+    assert(s1 == 1L && s2 == 1L)
+    assert(SnapshotTable.read(spark, dir).count() == 20)
+    val s3 = SnapshotTable.write(df, dir, mode = "append", idempotencyKey = "batch-1")
+    assert(s3 == 2L)
+    assert(SnapshotTable.read(spark, dir).count() == 40)
+  }
+
+  test("expireSnapshots deletes orphaned files, keeps retained reads valid") {
+    val dir = java.nio.file.Files.createTempDirectory("snapexp").toString + "/t"
+    val a = (0 until 30).map(i => (s"a$i", i)).toDF("id", "v")
+    val b = (0 until 50).map(i => (s"b$i", i)).toDF("id", "v")
+    SnapshotTable.write(a, dir) // snap 1
+    SnapshotTable.write(b, dir, mode = "append") // snap 2: a ∪ b
+    SnapshotTable.write(b, dir) // snap 3: only b's NEW files
+    val (expired, deleted) = SnapshotTable.expireSnapshots(spark, dir, keepLast = 1)
+    assert(expired == Seq(1L, 2L))
+    assert(deleted > 0) // snap-1 and snap-2's unreferenced files are gone
+    assert(SnapshotTable.read(spark, dir).count() == 50)
+    assert(SnapshotTable.history(dir).map(_.id) == Seq(3L))
+  }
+
   test("table-native pipeline: snapshot in, predicate-partitioned graph snapshot out") {
     import graft.kg.Pipeline
     val base = java.nio.file.Files.createTempDirectory("snappipe").toString

@@ -87,7 +87,10 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation", cp)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        SnapshotTable.write(batch, tableDir, mode = "append"): Unit
+        // batch id as idempotency key: a replayed batch after a failure
+        // short-circuits instead of double-appending (exactly-once publish)
+        SnapshotTable.write(batch, tableDir, mode = "append",
+          idempotencyKey = s"batch-$id"): Unit
       }
       .start()
     q.awaitTermination()
