@@ -428,7 +428,13 @@ object Materialize {
     (dictId.toMap, dictName.toMap)
   }
 
-  def globiTriplesFusedMaps(records: DataFrame,
+  /** Fused emission keeping the sharing tag (shared=true ⇒ the triple's
+    * subject is content-derived and may repeat across records; false ⇒
+    * minted from this record's recNum, globally unique by construction).
+    * Consumers: globiTriplesFusedMaps (split dedup) and the incremental
+    * maintenance path (anti-join only the shared subset).
+    */
+  def globiTriplesFusedTagged(records: DataFrame,
       idMap: Map[String, (String, String)],
       nameMap: Map[String, (String, String)],
       mediaMentions: Option[DataFrame] = None): DataFrame = {
@@ -461,11 +467,18 @@ object Materialize {
         case _ => Nil
       }
     }.toDF("subj", "pred", "obj", "objIsLiteral", "objDatatype", "shared")
-    val withMedia = mediaMentions
+    mediaMentions
       .map(m => tagged.unionByName(mediaTriplesTagged(m)))
       .getOrElse(tagged)
-      // referenced twice below (unique/shared branches) — persist so the
-      // emission flatMap runs exactly once
+  }
+
+  def globiTriplesFusedMaps(records: DataFrame,
+      idMap: Map[String, (String, String)],
+      nameMap: Map[String, (String, String)],
+      mediaMentions: Option[DataFrame] = None): DataFrame = {
+    // referenced twice below (unique/shared branches) — persist so the
+    // emission flatMap runs exactly once
+    val withMedia = globiTriplesFusedTagged(records, idMap, nameMap, mediaMentions)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // split dedup: record-scoped triples are already distinct within the
     // record and globally unique by the recNum-minted subjects; only the

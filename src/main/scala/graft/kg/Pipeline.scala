@@ -125,6 +125,158 @@ object Pipeline {
     (RunReport(stages.toSeq, triples.count(), canonical.count()), graphSnap)
   }
 
+  case class IncrementalResult(processedDocsSnapshot: Long,
+      graphSnapshot: Long, rowsWritten: Long, mode: String)
+
+  /** Incremental maintenance of the RAW triple table, EXACT by
+    * construction (incremental output == full rebuild, asserted in
+    * SnapshotTableSpec):
+    *
+    * The dictionaries are order-sensitive (pandas last-wins over the
+    * global sources-then-targets mention order), so naive
+    * delta-with-delta-dicts processing silently diverges from a full
+    * rebuild on duplicate-name keys — this implementation instead
+    * mirrors the reference's actual incremental unit (dictionaries
+    * global, EMISSION batched, globi_kg_generator.py:88-110 vs 146-171):
+    *
+    *  1. an accumulated DISTINCT-TAXA state (dimension-sized) keeps
+    *     every mention 4-tuple with its global first-occurrence ordinal
+    *     (isTarget·2^40 + recNum — exactly the full rebuild's
+    *     sources-then-targets order, stable under appends);
+    *  2. each increment merges the delta's taxa (min-ordinal) and
+    *     re-runs the driver-local matcher on the state → the FINAL
+    *     dictionaries, identical to a full rebuild's;
+    *  3. a PROBE state keeps every distinct (taxonId, taxonName)
+    *     resolution probe ever seen; if no old probe resolves
+    *     DIFFERENTLY under the final dictionaries than under the
+    *     previous ones (covers changed winners, new ids shadowing old
+    *     name matches, and new entries matching previously dropped
+    *     records), previously emitted triples are still exactly what
+    *     the final dictionaries would emit → FAST PATH: emit only the
+    *     delta records, anti-join the shared subset, append;
+    *  4. otherwise old emissions are stale → detected, and the run
+    *     REBUILDS from the full docs table (overwrite snapshot) — the
+    *     correctness-first fallback.
+    *
+    * Scope: maintains the PRE-canonicalization table. CC
+    * canonicalization is a global fixpoint (new equivalence edges merge
+    * previously distinct components retroactively) and stays a periodic
+    * global job (runFromTable) — the standard incremental/batch split.
+    */
+  def incrementalFromTable(spark: SparkSession, docsTableDir: String,
+      rawGraphTableDir: String): IncrementalResult = {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val keyPrefix = "docs-snap-"
+    val taxaStateDir = s"$rawGraphTableDir-state/taxa"
+    val probesStateDir = s"$rawGraphTableDir-state/probes"
+    val docsSnap = SnapshotTable.currentSnapshot(docsTableDir)
+    val graphSnap = SnapshotTable.currentSnapshot(rawGraphTableDir)
+    val lastProcessed =
+      if (graphSnap == 0) 0L
+      else SnapshotTable.committedKey(rawGraphTableDir, graphSnap)
+        .filter(_.startsWith(keyPrefix))
+        .map(_.stripPrefix(keyPrefix).toLong).getOrElse(0L)
+    if (docsSnap <= lastProcessed)
+      return IncrementalResult(0L, graphSnap, 0L, "noop")
+
+    val taxaCols = Seq("TaxonId", "TaxonName", "TaxonPathName",
+      "TaxonRankName", "rowIdx")
+    def collectTaxa(df: DataFrame): Seq[LocalMatcher.TaxaRow] =
+      df.select(taxaCols.map(col): _*).collect()
+        .map(r => LocalMatcher.TaxaRow(r.getString(0), r.getString(1),
+          r.getString(2), r.getString(3), r.getLong(4)))
+        .sortBy(_.rowIdx).toSeq
+    def dictsOf(taxa: Seq[LocalMatcher.TaxaRow])
+        : (Map[String, (String, String)], Map[String, (String, String)]) =
+      Materialize.localWdMapDicts(
+        LocalMatcher.matchTaxa(taxa, DataGen.wdSparqlRows, DataGen.lineageRows))
+
+    // 1-2: merge delta taxa into the accumulated state, derive dicts
+    val delta = SnapshotTable.readDelta(spark, docsTableDir, lastProcessed,
+      Some(docsSnap))
+    val deltaRecords = Extract.records(delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // base 2^40: rowIdx = recNum (source) / 2^40 + recNum (target) — the
+    // global sources-then-targets ordinal, append-stable
+    val deltaTaxa = Link.stackTaxa(deltaRecords, 1L << 40)
+      .select(taxaCols.map(col): _*)
+    val oldTaxaDf =
+      if (SnapshotTable.currentSnapshot(taxaStateDir) > 0)
+        Some(SnapshotTable.read(spark, taxaStateDir))
+      else None
+    val mergedTaxaDf = oldTaxaDf.map(_.unionByName(deltaTaxa)).getOrElse(deltaTaxa)
+      .groupBy(col("TaxonId"), col("TaxonName"), col("TaxonPathName"),
+        col("TaxonRankName"))
+      .agg(min(col("rowIdx")).as("rowIdx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (newId, newName) = dictsOf(collectTaxa(mergedTaxaDf))
+    val (oldId, oldName) = oldTaxaDf.map(t => dictsOf(collectTaxa(t)))
+      .getOrElse((Map.empty[String, (String, String)],
+        Map.empty[String, (String, String)]))
+
+    // 3-4: stale-emission detection — any OLD probe whose resolution
+    // differs between the previous and the final dictionaries
+    def res(id: Map[String, (String, String)], nm: Map[String, (String, String)],
+        p: (String, String)): Option[(String, String)] =
+      id.get(p._1).orElse(nm.get(p._2))
+    val oldProbes: Set[(String, String)] =
+      if (SnapshotTable.currentSnapshot(probesStateDir) > 0)
+        SnapshotTable.read(spark, probesStateDir)
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      else Set.empty
+    val needRebuild = graphSnap > 0 && oldProbes.exists(p =>
+      res(oldId, oldName, p) != res(newId, newName, p))
+
+    val emitRecords =
+      if (needRebuild)
+        Extract.records(SnapshotTable.read(spark, docsTableDir, Some(docsSnap)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else deltaRecords
+    val mm = Extract.mediaMentions(emitRecords, DataGen.mediaMeta(spark))
+    val tagged = Materialize
+      .globiTriplesFusedTagged(emitRecords, newId, newName, Some(mm))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tripleCols = Seq("subj", "pred", "obj", "objIsLiteral", "objDatatype")
+    val uniquePart = tagged.filter(!col("shared")).select(tripleCols.map(col): _*)
+    val sharedPart = tagged.filter(col("shared")).select(tripleCols.map(col): _*)
+      .dropDuplicates(tripleCols)
+    val (outDf, mode) =
+      if (needRebuild || graphSnap == 0)
+        (uniquePart.unionByName(sharedPart), if (needRebuild) "rebuild" else "append")
+      else {
+        val sharedNew = sharedPart.join(
+          SnapshotTable.read(spark, rawGraphTableDir)
+            .select(tripleCols.map(col): _*), tripleCols, "left_anti")
+        (uniquePart.unionByName(sharedNew), "append")
+      }
+    val persisted = outDf
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val written = persisted.count()
+    val newGraphSnap = SnapshotTable.write(persisted, rawGraphTableDir,
+      mode = if (mode == "rebuild") "overwrite" else "append",
+      idempotencyKey = s"$keyPrefix$docsSnap")
+
+    // persist the new states: merged taxa + all distinct probes seen
+    SnapshotTable.write(mergedTaxaDf, taxaStateDir, mode = "overwrite",
+      idempotencyKey = s"$keyPrefix$docsSnap")
+    val deltaProbes = deltaRecords.select(
+      array(
+        struct(col("sourceTaxonId").as("id"), col("sourceTaxonName").as("name")),
+        struct(col("targetTaxonId").as("id"), col("targetTaxonName").as("name")))
+        .as("ps"))
+      .select(explode(col("ps")).as("p")).select(col("p.id"), col("p.name"))
+      .distinct()
+    val newProbes = oldProbes.toSeq.toDF("id", "name")
+      .unionByName(deltaProbes).distinct()
+    SnapshotTable.write(newProbes, probesStateDir, mode = "overwrite",
+      idempotencyKey = s"$keyPrefix$docsSnap")
+
+    tagged.unpersist(); deltaRecords.unpersist(); persisted.unpersist()
+    mergedTaxaDf.unpersist()
+    IncrementalResult(docsSnap, newGraphSnap, written, mode)
+  }
+
   /** Full KG construction over the deterministic corpus:
     * datagen → extract → link → materialize → canonicalize, all
     * checkpointed under outRoot.

@@ -140,6 +140,29 @@ object SnapshotTable {
       .reduce(_.unionByName(_))
   }
 
+  /** Incremental read: only the data files ADDED after `sinceSnapshot`
+    * (manifest entries keep the snapshot that wrote them), up to
+    * `snapshot` (default latest). The incremental-maintenance primitive:
+    * at 10^12 docs a new snapshot's delta is read without touching the
+    * accumulated corpus files.
+    */
+  def readDelta(spark: SparkSession, dir: String, sinceSnapshot: Long,
+      snapshot: Option[Long] = None): DataFrame = {
+    val snap = snapshot.getOrElse(currentSnapshot(dir))
+    require(snap > sinceSnapshot, s"no delta: $snap <= $sinceSnapshot")
+    val entries = spark.read.parquet(s"$dir/manifests/snap-$snap")
+      .filter(col("snapshot_id") > sinceSnapshot)
+      .select(col("path"), col("snapshot_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(entries.nonEmpty, s"snapshot $snap added no files after $sinceSnapshot")
+    entries.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (sid, fs) =>
+        spark.read.option("basePath", s"$dir/data/snap-$sid")
+          .parquet(fs.map(_._1).toSeq: _*)
+      }
+      .reduce(_.unionByName(_))
+  }
+
   /** Table maintenance: expire all snapshots except the newest
     * `keepLast`, deleting data files no retained manifest references
     * (the Iceberg expire-snapshots analogue — at 100 TB the orphaned

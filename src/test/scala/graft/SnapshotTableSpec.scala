@@ -94,6 +94,89 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, graphDir).count() == report.canonicalTriples)
   }
 
+  test("incremental maintenance equals the full rebuild (raw triple set)") {
+    import graft.kg.{Pipeline, Extract, Link, Materialize, DataGen, Model}
+    val base = java.nio.file.Files.createTempDirectory("snapincr").toString
+    val docsDir = s"$base/docs"; val graphDir = s"$base/graph"
+    val all = DataGen.corpus(spark, 100, 4).toDF()
+    // snapshot 1: first 60 docs; incremental run 1
+    SnapshotTable.write(all.filter(col("doc_id") < "DOC-000000060"), docsDir)
+    val r1 = Pipeline.incrementalFromTable(spark, docsDir, graphDir)
+    assert(r1.processedDocsSnapshot == 1L && r1.graphSnapshot == 1L &&
+      r1.rowsWritten > 0 && r1.mode == "append")
+    // snapshot 2: append the remaining 40; the stale-emission detector
+    // decides append-vs-rebuild; either way the RESULT must equal a full
+    // rebuild (the dup-name dictionary keys in this corpus are exactly
+    // the case where naive delta-dicts diverge)
+    SnapshotTable.write(all.filter(col("doc_id") >= "DOC-000000060"), docsDir,
+      mode = "append")
+    val r2 = Pipeline.incrementalFromTable(spark, docsDir, graphDir)
+    assert(r2.processedDocsSnapshot == 2L && r2.graphSnapshot == 2L &&
+      r2.rowsWritten > 0)
+    // re-invocation without new data is a no-op
+    val r3 = Pipeline.incrementalFromTable(spark, docsDir, graphDir)
+    assert(r3.mode == "noop" && r3.graphSnapshot == 2L && r3.rowsWritten == 0L)
+
+    val got = SnapshotTable.read(spark, graphDir)
+      .as[Model.Triple].collect().toSet
+    // full rebuild over the complete corpus
+    val records = Extract.records(all)
+    val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
+      DataGen.wdLineage(spark), 100)
+    val (dictId, dictName) = Materialize.wdMapDicts(matched)
+    val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
+    val want = Materialize.globiTriplesFused(records, dictId, dictName, Some(mm))
+      .as[Model.Triple].collect().toSet
+    val missing = want -- got; val extra = got -- want
+    assert(missing.isEmpty && extra.isEmpty,
+      s"missing=${missing.size}${missing.take(3)} extra=${extra.size}${extra.take(3)}")
+    // and the appended rows carry no duplicates (exact set semantics)
+    assert(SnapshotTable.read(spark, graphDir).count() == got.size)
+  }
+
+  test("incremental fast path: dictionary-stable appends never rebuild") {
+    import graft.kg.{Pipeline, DataGen, Model}
+    val base = java.nio.file.Files.createTempDirectory("snapfast").toString
+    val docsDir = s"$base/docs"; val graphDir = s"$base/graph"
+    // handcrafted records whose mentions repeat across snapshots: the
+    // final dictionaries never change, so increment 2 must take the
+    // append path (no rebuild)
+    def doc(i: Long): Model.Document = {
+      def side(k: Int) = (s"EOL:${k * 100 + 1}", DataGen.taxonName(k))
+      val (sid, sn) = side(1); val (tid, tn) = side(2)
+      val l1 = DataGen.lineage(1); val l2 = DataGen.lineage(2)
+      val r = Model.VerbatimRecord(
+        doc_id = f"DOC-$i%09d", recNum = i,
+        sourceTaxonId = sid, sourceTaxonName = sn,
+        sourceTaxonPathNames = s"${l1.kingdom}|${l1.family}",
+        sourceTaxonPathRankNames = "kingdom|family",
+        targetTaxonId = tid, targetTaxonName = tn,
+        targetTaxonPathNames = s"${l2.kingdom}|${l2.family}",
+        targetTaxonPathRankNames = "kingdom|family",
+        interactionTypeName = "eats",
+        interactionTypeId = "http://purl.obolibrary.org/obo/RO_0002470",
+        localityName = "", referenceDoi = "", sourceDOI = "",
+        decimalLatitude = "", decimalLongitude = "",
+        sourceBodyPartName = "leaf", sourceBodyPartId = "PO:0025034",
+        sourceLifeStageName = "adult", sourceLifeStageId = "",
+        targetBodyPartName = "", targetBodyPartId = "",
+        targetLifeStageName = "", targetLifeStageId = "",
+        sourceSexName = "male", targetSexName = "",
+        mediaRefs = Nil)
+      Model.Document(r.doc_id, DataGen.renderSpans(r))
+    }
+    SnapshotTable.write((0L until 10L).map(doc).toDF(), docsDir)
+    val r1 = Pipeline.incrementalFromTable(spark, docsDir, graphDir)
+    assert(r1.mode == "append" && r1.rowsWritten > 0)
+    SnapshotTable.write((10L until 20L).map(doc).toDF(), docsDir, mode = "append")
+    val r2 = Pipeline.incrementalFromTable(spark, docsDir, graphDir)
+    assert(r2.mode == "append", s"expected fast path, got ${r2.mode}")
+    // record-scoped triples for the 10 new docs + zero re-emitted shared
+    val graph = SnapshotTable.read(spark, graphDir)
+    assert(graph.count() == graph.distinct().count()) // exact set semantics
+    assert(graph.filter(col("subj") === "https://w3id.org/emi/abox#inRec15").count() > 0)
+  }
+
   test("partitioned snapshot write keeps partition columns readable") {
     val dir = java.nio.file.Files.createTempDirectory("snappart").toString + "/t"
     val df = (0 until 100).map(i => (s"id$i", s"p${i % 3}", i)).toDF("id", "p", "v")
