@@ -163,6 +163,89 @@ object Pipeline {
     * previously distinct components retroactively) and stays a periodic
     * global job (runFromTable) — the standard incremental/batch split.
     */
+  /** Incremental maintenance of the CANONICAL triple table, layered on
+    * incrementalFromTable (which keeps the raw table + dictionary
+    * states exact):
+    *
+    *  - the equivalence mapping is recomputed per increment from the
+    *    accumulated matched state (it is dimension-sized — CC runs over
+    *    distinct-name equivalence edges, never the corpus);
+    *  - a MAPPING state detects whether any previously-relevant node's
+    *    effective component changed (including a node that used to be
+    *    identity-mapped and just joined a component): published
+    *    canonical IRIs would be stale → re-canonicalize the full raw
+    *    table (overwrite snapshot);
+    *  - otherwise only the raw rows this increment appended are
+    *    canonicalized and appended (anti-joined for set semantics).
+    *
+    * Exactness (incremental canonical == full runFromTable canonical)
+    * is test-pinned in SnapshotTableSpec.
+    */
+  def incrementalCanonicalFromTable(spark: SparkSession, docsTableDir: String,
+      rawGraphTableDir: String, canonicalTableDir: String): IncrementalResult = {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val mappingStateDir = s"$canonicalTableDir-state/mapping"
+    val prevRawSnap = SnapshotTable.currentSnapshot(rawGraphTableDir)
+    val raw = incrementalFromTable(spark, docsTableDir, rawGraphTableDir)
+    val canonSnap = SnapshotTable.currentSnapshot(canonicalTableDir)
+    if (raw.mode == "noop" && canonSnap > 0)
+      return IncrementalResult(0L, canonSnap, 0L, "noop")
+
+    // full mapping from the accumulated matched state (dimension-sized)
+    val taxaStateDir = s"$rawGraphTableDir-state/taxa"
+    val taxa = SnapshotTable.read(spark, taxaStateDir)
+      .select(col("TaxonId"), col("TaxonName"), col("TaxonPathName"),
+        col("TaxonRankName"), col("rowIdx")).collect()
+      .map(r => LocalMatcher.TaxaRow(r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getLong(4))).sortBy(_.rowIdx)
+    val matchedRows = LocalMatcher.matchTaxa(taxa.toSeq,
+      DataGen.wdSparqlRows, DataGen.lineageRows)
+    val matchedDf = matchedRows
+      .map(m => (m.taxonId, m.taxonName, m.mappedValue, m.mappedIdWd,
+        m.status, m.rowIdx))
+      .toDF("TaxonId", "TaxonName", "Mapped_Value", "Mapped_ID_WD",
+        "Match_Status", "rowIdx")
+    val mapping = Canonical.connectedComponents(
+      Canonical.equivalenceEdges(matchedDf))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val prevMapping: Map[String, String] =
+      if (SnapshotTable.currentSnapshot(mappingStateDir) > 0)
+        SnapshotTable.read(spark, mappingStateDir)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      else Map.empty
+    def eff(m: Map[String, String])(n: String) = m.getOrElse(n, n)
+    val mappingChanged = (mapping.keySet ++ prevMapping.keySet)
+      .exists(n => eff(prevMapping)(n) != eff(mapping)(n))
+
+    val mappingDf = mapping.toSeq.toDF("node", "component")
+    val tripleCols = Seq("subj", "pred", "obj", "objIsLiteral", "objDatatype")
+    val (outDf, mode) =
+      if (raw.mode == "rebuild" || mappingChanged || canonSnap == 0)
+        (Canonical.canonicalizeTriples(
+          SnapshotTable.read(spark, rawGraphTableDir).select(tripleCols.map(col): _*),
+          mappingDf), "rebuild")
+      else {
+        val deltaRaw = SnapshotTable.readDelta(spark, rawGraphTableDir,
+          prevRawSnap).select(tripleCols.map(col): _*)
+        val canonDelta = Canonical.canonicalizeTriples(deltaRaw, mappingDf)
+        (canonDelta.join(SnapshotTable.read(spark, canonicalTableDir)
+          .select(tripleCols.map(col): _*), tripleCols, "left_anti"), "append")
+      }
+    val persisted = outDf
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val written = persisted.count()
+    val newSnap = SnapshotTable.write(persisted, canonicalTableDir,
+      mode = if (mode == "rebuild") "overwrite" else "append",
+      idempotencyKey = s"raw-snap-${raw.graphSnapshot}")
+    if (mapping.nonEmpty)
+      SnapshotTable.write(mappingDf, mappingStateDir, mode = "overwrite",
+        idempotencyKey = s"raw-snap-${raw.graphSnapshot}")
+    persisted.unpersist()
+    IncrementalResult(raw.processedDocsSnapshot, newSnap, written,
+      if (raw.mode == "rebuild") "rebuild" else mode)
+  }
+
   def incrementalFromTable(spark: SparkSession, docsTableDir: String,
       rawGraphTableDir: String): IncrementalResult = {
     import graft.sources.SnapshotTable

@@ -163,6 +163,25 @@ object SnapshotTable {
       .reduce(_.unionByName(_))
   }
 
+  /** Table maintenance: rewrite the current snapshot's (possibly many
+    * small) data files into `numFiles` files as a new snapshot with
+    * identical logical content — the small-file compaction a streaming
+    * append workload needs (each micro-batch appends its own files;
+    * unmaintained, scans degrade to millions of tiny reads). Old
+    * snapshots stay time-travelable until expireSnapshots reclaims
+    * them. Returns the new snapshot id.
+    */
+  def compact(spark: SparkSession, dir: String, numFiles: Int,
+      partitionBy: Seq[String] = Nil): Long = {
+    val current = read(spark, dir)
+    write(
+      if (partitionBy.nonEmpty)
+        current.repartition(numFiles, partitionBy.map(col): _*)
+      else current.repartition(numFiles),
+      dir, mode = "overwrite", partitionBy = partitionBy,
+      idempotencyKey = s"compact-of-${currentSnapshot(dir)}")
+  }
+
   /** Table maintenance: expire all snapshots except the newest
     * `keepLast`, deleting data files no retained manifest references
     * (the Iceberg expire-snapshots analogue — at 100 TB the orphaned

@@ -63,6 +63,30 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, dir).count() == 40)
   }
 
+  test("compaction rewrites small files without changing content") {
+    val dir = java.nio.file.Files.createTempDirectory("snapcomp").toString + "/t"
+    // simulate a streaming append workload: 5 tiny snapshots
+    (0 until 5).foreach { b =>
+      SnapshotTable.write(
+        (0 until 20).map(i => (s"b$b-r$i", i)).toDF("id", "v")
+          .repartition(4),
+        dir, mode = "append", idempotencyKey = s"b$b")
+    }
+    val before = SnapshotTable.read(spark, dir)
+    val beforeRows = before.collect().map(_.toSeq).toSet
+    val beforeFiles = before.select(input_file_name()).distinct().count()
+    assert(beforeFiles >= 10)
+    val snap = SnapshotTable.compact(spark, dir, numFiles = 2)
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.collect().map(_.toSeq).toSet == beforeRows)
+    assert(after.select(input_file_name()).distinct().count() <= 2)
+    // compaction is idempotent via its key
+    assert(SnapshotTable.compact(spark, dir, 2) == snap + 1) // new current ⇒ new key
+    // expire everything but the latest: the table is now 2 files total on disk
+    SnapshotTable.expireSnapshots(spark, dir, keepLast = 1)
+    assert(SnapshotTable.read(spark, dir).collect().map(_.toSeq).toSet == beforeRows)
+  }
+
   test("expireSnapshots deletes orphaned files, keeps retained reads valid") {
     val dir = java.nio.file.Files.createTempDirectory("snapexp").toString + "/t"
     val a = (0 until 30).map(i => (s"a$i", i)).toDF("id", "v")
@@ -132,6 +156,38 @@ class SnapshotTableSpec extends AnyFunSuite {
       s"missing=${missing.size}${missing.take(3)} extra=${extra.size}${extra.take(3)}")
     // and the appended rows carry no duplicates (exact set semantics)
     assert(SnapshotTable.read(spark, graphDir).count() == got.size)
+  }
+
+  test("incremental CANONICAL maintenance equals the full canonical rebuild") {
+    import graft.kg.{Pipeline, Extract, Link, Materialize, Canonical, DataGen, Model}
+    val base = java.nio.file.Files.createTempDirectory("snapcanon").toString
+    val docsDir = s"$base/docs"; val rawDir = s"$base/raw"; val canonDir = s"$base/canon"
+    val all = DataGen.corpus(spark, 100, 4).toDF()
+    SnapshotTable.write(all.filter(col("doc_id") < "DOC-000000060"), docsDir)
+    val c1 = Pipeline.incrementalCanonicalFromTable(spark, docsDir, rawDir, canonDir)
+    assert(c1.rowsWritten > 0)
+    SnapshotTable.write(all.filter(col("doc_id") >= "DOC-000000060"), docsDir,
+      mode = "append")
+    val c2 = Pipeline.incrementalCanonicalFromTable(spark, docsDir, rawDir, canonDir)
+    assert(c2.rowsWritten > 0)
+    val c3 = Pipeline.incrementalCanonicalFromTable(spark, docsDir, rawDir, canonDir)
+    assert(c3.mode == "noop")
+
+    val got = SnapshotTable.read(spark, canonDir).as[Model.Triple].collect().toSet
+    // full canonical rebuild over the complete corpus
+    val records = Extract.records(all)
+    val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
+      DataGen.wdLineage(spark), 100)
+    val (dictId, dictName) = Materialize.wdMapDicts(matched)
+    val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
+    val triples = Materialize.globiTriplesFused(records, dictId, dictName, Some(mm))
+    val mapping = Canonical.connectedComponents(Canonical.equivalenceEdges(matched))
+    val want = Canonical.canonicalizeTriples(triples, mapping)
+      .as[Model.Triple].collect().toSet
+    val missing = want -- got; val extra = got -- want
+    assert(missing.isEmpty && extra.isEmpty,
+      s"missing=${missing.size}${missing.take(3)} extra=${extra.size}${extra.take(3)}")
+    assert(SnapshotTable.read(spark, canonDir).count() == got.size)
   }
 
   test("incremental fast path: dictionary-stable appends never rebuild") {
