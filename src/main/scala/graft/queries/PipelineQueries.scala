@@ -97,6 +97,26 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- multimodal (binary payload → features, decode-stub seam) -------
+    "mm_features" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.Multimodal
+      // payload count scales with the sf (docs/10); the binary payloads
+      // never shuffle — features extracted in the scan stage, then one
+      // row per (media_ref, histogram bucket) for the SQL compare
+      val n = (graft.queries.KgQueries.nDocsFor(dir) / 10).toInt
+      val feats = Multimodal.extractFeatures(Multimodal.mediaBinary(s, n, 8))
+        .toDF()
+      // integer bucket counts (share × n_bytes recovers them exactly):
+      // float32 shares rounded to 6 decimals can flip against the
+      // oracle's exact rationals near boundaries; counts cannot
+      feats.select(col("media_ref"), col("kind"), col("n_bytes"),
+          posexplode(col("features")).as(Seq("bucket", "share")))
+        .withColumn("cnt",
+          round(col("share").cast("double") * col("n_bytes")).cast("long"))
+        .drop("share")
+        .orderBy(col("media_ref"), col("bucket"))
+    }),
+
     // ---- similarity search ---------------------------------------------
     "sim_ann_topk" -> ((s: SparkSession, dir: String) => {
       // brute-force cosine top-k against the vec_id=0 query vector
@@ -278,6 +298,29 @@ object PipelineQueries {
            JOIN cnt cb ON cb.id = common.id_b
          WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE) >= 0.9
          ORDER BY id_a, id_b""",
+
+    "mm_features" ->
+      """WITH m AS (
+           SELECT UNNEST(generate_series(0,
+             (SELECT COUNT(*) // 3 FROM orders) // 10 - 1)) AS i),
+         b AS (
+           SELECT i, ['image','audio','video'][(i%3)+1] AS kind,
+                  512 + (i%7)*128 AS len
+           FROM m),
+         bytes AS (
+           SELECT i, kind, len,
+                  ((i*2654435761 + j*40503) >> 7) & 255 AS byte
+           FROM b, UNNEST(generate_series(0, 1279)) t(j) WHERE j < len),
+         h AS (
+           SELECT i, bucket, COUNT(*) AS cnt FROM (
+             SELECT i, byte >> 4 AS bucket FROM bytes)
+           GROUP BY i, bucket),
+         allb AS (
+           SELECT i, kind, len, bk FROM b, UNNEST(generate_series(0, 15)) u(bk))
+         SELECT 'MEDIA-' || allb.i AS media_ref, kind, len AS n_bytes,
+                bk AS bucket, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt
+         FROM allb LEFT JOIN h ON h.i = allb.i AND h.bucket = allb.bk
+         ORDER BY media_ref, bucket""",
 
     "dd_simhash" ->
       """WITH tk AS (

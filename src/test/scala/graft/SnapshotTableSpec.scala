@@ -233,6 +233,40 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(graph.filter(col("subj") === "https://w3id.org/emi/abox#inRec15").count() > 0)
   }
 
+  test("model check: random append/overwrite/compact sequence matches an in-memory model") {
+    val rnd = new scala.util.Random(20260816L)
+    val dir = java.nio.file.Files.createTempDirectory("snapmodel").toString + "/t"
+    var model = Map.empty[Long, Set[(String, Int)]] // snapshot → expected content
+    var current = Set.empty[(String, Int)]
+    var nextRow = 0
+    (0 until 12).foreach { _ =>
+      val batch = (0 until 5 + rnd.nextInt(20)).map { _ =>
+        nextRow += 1; (s"r$nextRow", rnd.nextInt(1000))
+      }.toSet
+      rnd.nextInt(3) match {
+        case 0 =>
+          val s = SnapshotTable.write(batch.toSeq.toDF("id", "v"), dir,
+            mode = "append")
+          current = current ++ batch; model += s -> current
+        case 1 =>
+          val s = SnapshotTable.write(batch.toSeq.toDF("id", "v"), dir,
+            mode = "overwrite")
+          current = batch; model += s -> current
+        case 2 if model.nonEmpty =>
+          val s = SnapshotTable.compact(spark, dir, numFiles = 2)
+          model += s -> current
+        case _ => ()
+      }
+    }
+    // every retained snapshot time-travels to exactly its model content
+    model.foreach { case (snap, want) =>
+      val got = SnapshotTable.read(spark, dir, Some(snap))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(got == want, s"snapshot $snap: got ${got.size} want ${want.size}")
+    }
+    assert(SnapshotTable.history(dir).map(_.id) == model.keys.toSeq.sorted)
+  }
+
   test("partitioned snapshot write keeps partition columns readable") {
     val dir = java.nio.file.Files.createTempDirectory("snappart").toString + "/t"
     val df = (0 until 100).map(i => (s"id$i", s"p${i % 3}", i)).toDF("id", "p", "v")

@@ -90,6 +90,47 @@ class SourcesSpec extends AnyFunSuite {
       s"missing=${missing.size}${missing.take(3)} extra=${extra.size}${extra.take(3)}")
   }
 
+  test("prefixed turtle round-trip survives adversarial literals (seeded random)") {
+    // escape-hostile literal content: quotes, backslashes, newlines,
+    // tabs, the writer's own block separator fragments, typed-literal
+    // syntax, unicode — plus IRIs that both abbreviate and fall back to
+    // the <full> form
+    val rnd = new scala.util.Random(20260816L)
+    val litPieces = Seq("\"", "\\", "\n", "\r", "\t", " ;", " .", "^^",
+      "\\n", " ;\n", "a", "Ĝ∂", "x y", "<", ">", "%20", "'", "")
+    val nsPool = Seq(Model.EMIBOX, Model.EMI, Model.WD,
+      "http://example.org/raw path#" /* space → never abbreviated */)
+    def randLit(): String =
+      (0 until rnd.nextInt(6)).map(_ => litPieces(rnd.nextInt(litPieces.size)))
+        .mkString
+    def randIri(): String = {
+      val ns = nsPool(rnd.nextInt(nsPool.size))
+      val local =
+        if (rnd.nextBoolean()) s"L${rnd.nextInt(50)}"
+        else s"L(${rnd.nextInt(50)})" // parens → PN_LOCAL-invalid → <full>
+      ns.replace("raw path", "rawpath") + local
+    }
+    val dts = Seq(Model.XSD_STRING, Model.XSD_DOUBLE, Model.XSD_INTEGER,
+      Model.XSD + "anyURI")
+    val triples = (0 until 300).map { _ =>
+      if (rnd.nextBoolean())
+        Model.Triple(randIri(), randIri(), randLit(), true,
+          dts(rnd.nextInt(dts.size)))
+      else Model.Triple(randIri(), randIri(), randIri(), false, "")
+    }.distinct
+    val df = triples.toDF()
+    val tmp = java.nio.file.Files.createTempDirectory("ttlrand").toString
+    Sources.writeTurtlePrefixed(df, s"$tmp/g", partitions = 3)
+    val back = Sources.readTurtle(spark, s"$tmp/g")
+      .as[Model.Triple].collect().toSet
+    // plain xsd:string literals read back as xsd:string (the writer's
+    // RDF 1.1 plain form) — already the input's form here
+    val want = triples.toSet
+    val missing = want -- back; val extra = back -- want
+    assert(missing.isEmpty && extra.isEmpty,
+      s"missing=${missing.size}${missing.take(3)} extra=${extra.size}${extra.take(3)}")
+  }
+
   test("csv.gz sink round-trips the matcher output shape") {
     val tmp = java.nio.file.Files.createTempDirectory("csv").toString
     val df = Seq(("EOL:1", "Taxon 1", "Q1001", "NAME-MATCH-YES"))
