@@ -87,4 +87,35 @@ class PlanSpec extends AnyFunSuite {
     val back = spark.read.parquet(tmp)
     assert(back.count() == 3)
   }
+
+  test("filters push down through snapshot-table reads") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("snapplan").toString + "/t"
+    val df = (0 until 2000).map(i => (s"id$i", i % 50, s"payload$i"))
+      .toDF("id", "k", "payload")
+    SnapshotTable.write(df, t)
+    val q = SnapshotTable.read(spark, t).filter(col("k") === 7).select("id")
+    val plan = planOf(q)
+    // manifest-listed file reads are still a parquet scan: predicate
+    // reaches PushedFilters and the projection prunes the ReadSchema
+    assert(plan.contains("PushedFilters: [") && plan.contains("k"), plan)
+    assert(plan.contains("ReadSchema") && !plan.contains("payload"), plan)
+  }
+
+  test("LSH bucket cap bounds the candidate join (no quadratic hot bucket)") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // one poisoned band key holding 3000 docs (boilerplate cluster) plus
+    // 500 well-spread docs: uncapped, the hot bucket alone is ~4.5M
+    // candidate pairs; capped, it contributes zero and only the spread
+    // buckets pair up
+    val hot = (0 until 3000).map(i => (s"h$i", 0, "HOTKEY"))
+    val cold = (0 until 500).map(i => (s"c$i", 0, s"ck${i / 2}"))
+    val bands = (hot ++ cold).toDF("id", "band", "bkey")
+    val capped = Dedup.lshCandidates(bands, maxBucket = 100)
+    assert(capped.count() == 250) // 250 cold buckets of 2 → 1 pair each
+    val dropped = Dedup.lshDroppedBuckets(bands, 100).collect()
+    assert(dropped.length == 1 && dropped.head.getLong(2) == 3000L)
+  }
 }
