@@ -142,11 +142,12 @@ object Sources {
     * rdf:type as `a`, one blank line between blocks, @prefix header at
     * the top of every part file (each part is standalone valid Turtle —
     * re-declared prefixes are legal). Predicate order within a block
-    * follows rdflib's convention (rdf:type first, then lexicographic).
-    * Known formatting deviation from rdflib, documented for the parity
-    * harness: typed numeric literals keep the "lex"^^xsd:… form instead
-    * of rdflib's bare-number shorthand. Round-trip triple-set equality
-    * is the contract (SourcesSpec).
+    * follows rdflib's convention (rdf:type first, then lexicographic),
+    * and numeric literals use rdflib's bare shorthand when the lexical
+    * form makes the datatype recoverable (xsd:integer with an INTEGER
+    * lexical, xsd:double with an exponent lexical — Turtle's own
+    * datatype inference rules), else the explicit "lex"^^xsd:… form.
+    * Round-trip triple-set equality is the contract (SourcesSpec).
     *
     * Plan shape: range-partition + sort by subject, one groupBy(subj)
     * into sorted (pred, obj) arrays — the only shuffle; block rendering
@@ -156,8 +157,16 @@ object Sources {
       partitions: Int = 8): Unit = {
     val spark = triples.sparkSession
     import spark.implicits._
+    // bare numeric shorthand — only where Turtle's numeric grammar maps
+    // the token back to exactly this datatype (INTEGER ⇒ xsd:integer,
+    // DOUBLE-with-exponent ⇒ xsd:double), so the round trip is lossless
+    val bareInt = col("objDatatype") === Model.XSD_INTEGER &&
+      col("obj").rlike("^[+-]?[0-9]+$")
+    val bareDouble = col("objDatatype") === Model.XSD_DOUBLE &&
+      col("obj").rlike("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)[eE][+-]?[0-9]+$")
     val objCol = when(col("objIsLiteral"),
-      turtleLit(spark, col("obj"), col("objDatatype")))
+      when(bareInt || bareDouble, col("obj"))
+        .otherwise(turtleLit(spark, col("obj"), col("objDatatype"))))
       .otherwise(abbrevIri(col("obj")))
     val predCol = when(col("pred") === Model.RDF_TYPE, lit("a"))
       .otherwise(abbrevIri(col("pred")))
@@ -257,7 +266,11 @@ object Sources {
                 if (rest.startsWith("^^")) expand(rest.substring(2).trim)
                 else Model.XSD_STRING
               (subj, pred, lex, true, dt)
-            } else (subj, pred, expand(o), false, "")
+            } else if (o.matches("[+-]?[0-9]+"))
+              (subj, pred, o, true, Model.XSD_INTEGER) // Turtle INTEGER
+            else if (o.matches("[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)[eE][+-]?[0-9]+"))
+              (subj, pred, o, true, Model.XSD_DOUBLE) // Turtle DOUBLE
+            else (subj, pred, expand(o), false, "")
           }
       }
       .toDF("subj", "pred", "obj", "objIsLiteral", "objDatatype")

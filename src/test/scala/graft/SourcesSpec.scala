@@ -112,12 +112,22 @@ class SourcesSpec extends AnyFunSuite {
     }
     val dts = Seq(Model.XSD_STRING, Model.XSD_DOUBLE, Model.XSD_INTEGER,
       Model.XSD + "anyURI")
-    val triples = (0 until 300).map { _ =>
+    // numeric-shorthand boundary cases: bare when the lexical recovers
+    // the datatype, quoted-typed otherwise
+    val numeric = Seq(
+      Model.Triple(randIri(), randIri(), "42", true, Model.XSD_INTEGER),
+      Model.Triple(randIri(), randIri(), "-7", true, Model.XSD_INTEGER),
+      Model.Triple(randIri(), randIri(), "3.0E+4", true, Model.XSD_DOUBLE),
+      Model.Triple(randIri(), randIri(), "1e5", true, Model.XSD_DOUBLE),
+      Model.Triple(randIri(), randIri(), "42", true, Model.XSD_DOUBLE), // int lexical, double dt → typed form
+      Model.Triple(randIri(), randIri(), "1.5", true, Model.XSD_DOUBLE), // no exponent → typed form
+      Model.Triple(randIri(), randIri(), "42", true, Model.XSD_STRING)) // plain string "42"
+    val triples = ((0 until 300).map { _ =>
       if (rnd.nextBoolean())
         Model.Triple(randIri(), randIri(), randLit(), true,
           dts(rnd.nextInt(dts.size)))
       else Model.Triple(randIri(), randIri(), randIri(), false, "")
-    }.distinct
+    } ++ numeric).distinct
     val df = triples.toDF()
     val tmp = java.nio.file.Files.createTempDirectory("ttlrand").toString
     Sources.writeTurtlePrefixed(df, s"$tmp/g", partitions = 3)
