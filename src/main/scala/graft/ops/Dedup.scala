@@ -30,6 +30,27 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Word n-gram shingles as an array column (the classic MinHash unit:
+    * shingles capture local word order, so reordered boilerplate stops
+    * colliding). Empty array when the doc has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(TextOps.normalizeText(text))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array())
+  }
+
+  /** Distinct shingles per doc: (id, token) rows — drop-in replacement
+    * for docTokens as the MinHash/Jaccard unit.
+    */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("token"))
+      .distinct()
+
   /** Distinct tokens per doc: (id, token) rows. The building block for
     * MinHash and Jaccard. Filters to tokens of length ≥ minTokenLen to
     * keep join fan-out bounded on stopword-heavy corpora.

@@ -62,6 +62,20 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dd_shingle_lsh" -> ((s: SparkSession, dir: String) => {
+      // word-trigram shingles → MinHash → banded LSH → exact Jaccard —
+      // the order-sensitive near-dup variant (reordered boilerplate no
+      // longer collides)
+      val tokens = Dedup.docShingles(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", n = 3)
+      val sigs = Dedup.minhashSignatures(tokens, 4)
+      val cands = Dedup.lshCandidates(Dedup.lshBands(sigs, 4, 2), maxBucket = 1000)
+      Dedup.jaccardVerify(cands, tokens)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dd_jaccard_pairs" -> ((s: SparkSession, dir: String) => {
       // token-set Jaccard over blocked candidate pairs (same source, same
       // token count bucket) — relational formulation, SQL-verifiable
@@ -186,6 +200,49 @@ object PipelineQueries {
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) AS token
            FROM documents))"""
 
+  private val shinglesCte =
+    """tarr AS (
+         SELECT doc_id AS id, regexp_extract_all(
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS ts
+         FROM documents),
+       tok AS (
+         SELECT DISTINCT id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS token
+         FROM tarr, UNNEST(generate_series(1, len(ts) - 2)) t(i))"""
+
+  /** The MinHash(4)/2-band/cap-1000 LSH + exact-Jaccard verify body,
+    * parameterized by the token CTE (word tokens or shingles).
+    */
+  private def lshVerifySql(tokCte: String, threshold: String): String = s"""
+         WITH $tokCte,
+         sig AS (
+           SELECT id,
+                  MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
+                  MIN(md5('2:' || token)) AS sig_2, MIN(md5('3:' || token)) AS sig_3
+           FROM tok GROUP BY id),
+         bands AS (
+           SELECT id, 0 AS band, md5(sig_0 || sig_1) AS bkey FROM sig
+           UNION ALL
+           SELECT id, 1 AS band, md5(sig_2 || sig_3) AS bkey FROM sig),
+         keptb AS (
+           SELECT band, bkey FROM bands GROUP BY band, bkey
+           HAVING COUNT(*) <= 1000),
+         kept AS (SELECT b.* FROM bands b JOIN keptb USING (band, bkey)),
+         cand AS (
+           SELECT DISTINCT l.id AS id_a, r.id AS id_b
+           FROM kept l JOIN kept r
+             ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id),
+         cnt AS (SELECT id, COUNT(*) AS n_tok FROM tok GROUP BY id),
+         common AS (
+           SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+           FROM cand c JOIN tok a ON a.id = c.id_a
+                       JOIN tok b ON b.id = c.id_b AND b.token = a.token
+           GROUP BY c.id_a, c.id_b)
+         SELECT id_a, id_b FROM common
+           JOIN cnt ca ON ca.id = common.id_a
+           JOIN cnt cb ON cb.id = common.id_b
+         WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE) >= $threshold
+         ORDER BY id_a, id_b"""
+
   val oracle: Map[String, String] = Map(
     "tx_token_count" ->
       """SELECT doc_id,
@@ -246,36 +303,9 @@ object PipelineQueries {
                 MIN(md5('3:' || token)) AS sig_3
          FROM tok GROUP BY id ORDER BY id""",
 
-    "dd_minhash_lsh" -> s"""
-         WITH $tokensCte,
-         sig AS (
-           SELECT id,
-                  MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
-                  MIN(md5('2:' || token)) AS sig_2, MIN(md5('3:' || token)) AS sig_3
-           FROM tok GROUP BY id),
-         bands AS (
-           SELECT id, 0 AS band, md5(sig_0 || sig_1) AS bkey FROM sig
-           UNION ALL
-           SELECT id, 1 AS band, md5(sig_2 || sig_3) AS bkey FROM sig),
-         keptb AS (
-           SELECT band, bkey FROM bands GROUP BY band, bkey
-           HAVING COUNT(*) <= 1000),
-         kept AS (SELECT b.* FROM bands b JOIN keptb USING (band, bkey)),
-         cand AS (
-           SELECT DISTINCT l.id AS id_a, r.id AS id_b
-           FROM kept l JOIN kept r
-             ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id),
-         cnt AS (SELECT id, COUNT(*) AS n_tok FROM tok GROUP BY id),
-         common AS (
-           SELECT c.id_a, c.id_b, COUNT(*) AS n_common
-           FROM cand c JOIN tok a ON a.id = c.id_a
-                       JOIN tok b ON b.id = c.id_b AND b.token = a.token
-           GROUP BY c.id_a, c.id_b)
-         SELECT id_a, id_b FROM common
-           JOIN cnt ca ON ca.id = common.id_a
-           JOIN cnt cb ON cb.id = common.id_b
-         WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE) >= 0.8
-         ORDER BY id_a, id_b""",
+    "dd_minhash_lsh" -> lshVerifySql(tokensCte, "0.8"),
+
+    "dd_shingle_lsh" -> lshVerifySql(shinglesCte, "0.8"),
 
     "dd_jaccard_pairs" -> s"""
          WITH $tokensCte,
