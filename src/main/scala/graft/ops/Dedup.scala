@@ -30,17 +30,22 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word n-gram shingles as an array column (the classic MinHash unit:
-    * shingles capture local word order, so reordered boilerplate stops
-    * colliding). Empty array when the doc has fewer than n tokens.
+  /** Word n-gram shingles from a MATERIALIZED token-array column (the
+    * classic MinHash unit: shingles capture local word order, so
+    * reordered boilerplate stops colliding). Empty array when the doc
+    * has fewer than n tokens.
+    *
+    * Takes the token ARRAY, not the raw text: referencing a tokenizer
+    * expression inside the transform lambda would make Catalyst
+    * re-evaluate the regex tokenization per element (quadratic in doc
+    * length) — project the tokens to a named column first so codegen
+    * computes them once per row.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(TextOps.normalizeText(text))
+  def shinglesOf(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
       .otherwise(array())
-  }
 
   /** Distinct shingles per doc: (id, token) rows — drop-in replacement
     * for docTokens as the MinHash/Jaccard unit.
@@ -48,7 +53,9 @@ object Dedup {
   def docShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
     docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("token"))
+      .select(col(idCol).as("id"),
+        TextOps.tokens(TextOps.normalizeText(col(textCol))).as("_ts"))
+      .select(col("id"), explode(shinglesOf(col("_ts"), n)).as("token"))
       .distinct()
 
   /** Distinct tokens per doc: (id, token) rows. The building block for
