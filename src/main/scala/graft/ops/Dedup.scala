@@ -210,16 +210,17 @@ object Dedup {
     */
   def simhash(text: Column): Column = {
     val toks = TextOps.tokens(TextOps.normalizeText(text))
+    // hash array materialized FIRST: an xxhash64 referenced inside the
+    // per-bit transform would re-evaluate 64× per token
+    val hs = transform(toks, tok => xxhash64(tok))
     // accumulate per-bit counts packed as 64-element int array
     val counts = aggregate(
-      toks,
+      hs,
       array_repeat(lit(0), 64),
-      (acc, tok) => {
-        val h = xxhash64(tok)
+      (acc, h) =>
         transform(acc, (c, i) =>
           c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1)
             .otherwise(0))
-      }
     )
     val nTok = size(toks)
     // majority vote per bit → packed long
