@@ -76,21 +76,29 @@ object Canonical {
       (row.getLong(0), row.getLong(1))
     }
 
-    // localCheckpoint each iteration: truncates the logical plan (plain
+    // localCheckpoint each round: truncates the logical plan (plain
     // persist leaves Catalyst re-analyzing an exponentially growing
     // lineage) — the standard iterative-DataFrame pattern. On a real
     // cluster swap for reliable checkpoint() to survive executor loss.
+    // The convergence signature is checked every SECOND round: the star
+    // steps are monotone (a converged edge set is a fixpoint, so the
+    // extra round is a no-op), and halving the signature actions halves
+    // the driver round-trips that dominate the tail iterations.
     var cur = canon(edges).localCheckpoint(true)
     var sig = signature(cur)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
+      val mid = canon(smallStar(largeStar(cur))).localCheckpoint(true)
+      val next =
+        if (it + 1 < maxIter)
+          canon(smallStar(largeStar(mid))).localCheckpoint(true)
+        else mid
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
       cur = next
-      it += 1
+      it += 2
     }
     // star-contracted graph: every surviving edge is (node, root)
     val mapping = sym(cur).groupBy(col("u").as("node"))
@@ -122,15 +130,27 @@ object Canonical {
   /** Rewrite triple subjects/objects through the canonical map (IRIs
     * only; literals pass through). Canonical ids only exist for wd
     * entities, so the join key is the WD-prefixed IRI.
+    *
+    * The broadcast hint is ROW-COUNT-GUARDED (same policy as
+    * Link.matchTaxaAdaptive): while the mapping is dictionary-sized the
+    * two probes are broadcast-hash joins, but when the entity space
+    * scales with the corpus (open-world linking) a forced broadcast
+    * would OOM the executors — above the guard the planner keeps its
+    * freedom and falls back to a shuffle join (AQE can still pick
+    * broadcast if stats allow).
     */
-  def canonicalizeTriples(triples: DataFrame, mapping: DataFrame): DataFrame = {
-    val m = mapping.select(
+  def canonicalizeTriples(triples: DataFrame, mapping: DataFrame,
+      maxBroadcastRows: Long = 2000000L): DataFrame = {
+    // the guard count is cheap: CC output is localCheckpointed upstream
+    // (and driver-built mappings are local relations)
+    val m0 = mapping.select(
       concat(lit(Model.WD), col("node")).as("_n"),
       concat(lit(Model.WD), col("component")).as("_c"))
+    val m = if (mapping.count() <= maxBroadcastRows) broadcast(m0) else m0
     triples
-      .join(broadcast(m.withColumnRenamed("_n", "_sn").withColumnRenamed("_c", "_sc")),
+      .join(m.withColumnRenamed("_n", "_sn").withColumnRenamed("_c", "_sc"),
         col("subj") === col("_sn"), "left")
-      .join(broadcast(m.withColumnRenamed("_n", "_on").withColumnRenamed("_c", "_oc")),
+      .join(m.withColumnRenamed("_n", "_on").withColumnRenamed("_c", "_oc"),
         col("obj") === col("_on") && !col("objIsLiteral"), "left")
       .select(
         coalesce(col("_sc"), col("subj")).as("subj"),

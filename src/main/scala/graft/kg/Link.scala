@@ -46,7 +46,11 @@ object Link {
     // pandas melt→to_dict is LAST-occurrence-wins in COLUMN-MAJOR order
     // (matcher.py:117-130: the melt stacks column by column, dict build
     // keeps the later entry). Reproduce it with an explicit ordinal
-    // ordinal = colIdx * 2^40 + rowIdx and max_by(value, ordinal).
+    // (colIdx, rowIdx) STRUCT and max_by over its lexicographic order —
+    // a packed `colIdx·2^40 + rowIdx` long would silently corrupt the
+    // column-major order once the input has ≥128 partitions, because
+    // monotonically_increasing_id puts the partition id in bits ≥33 and
+    // partition 128 of column 0 would outrank column 1.
     // rowIdx comes from monotonically_increasing_id() over the input —
     // order-faithful for the single-file dimension reads this table
     // comes from (partition id occupies the high bits, so multi-split
@@ -63,7 +67,7 @@ object Link {
       withIdx
         .select(explode(array(keys.zipWithIndex.map { case (k, ci) =>
           struct(col(k).as("key"),
-            (lit(ci.toLong << 40) + col("_rowIdx")).as("ord"))
+            struct(lit(ci).as("ci"), col("_rowIdx").as("ri")).as("ord"))
         }: _*)).as("kv"), col(valueCol).as("value"))
         .select(col("kv.key").as("key"), col("kv.ord").as("ord"), col("value"))
         .filter(col("key").isNotNull)

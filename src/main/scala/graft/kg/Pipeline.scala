@@ -186,13 +186,25 @@ object Pipeline {
     import graft.sources.SnapshotTable
     import spark.implicits._
     val mappingStateDir = s"$canonicalTableDir-state/mapping"
-    val prevRawSnap = SnapshotTable.currentSnapshot(rawGraphTableDir)
     val raw = incrementalFromTable(spark, docsTableDir, rawGraphTableDir)
+    val rawSnapNow = SnapshotTable.currentSnapshot(rawGraphTableDir)
     val canonSnap = SnapshotTable.currentSnapshot(canonicalTableDir)
-    if (raw.mode == "noop" && canonSnap > 0)
+    // the raw snapshot the canonical table last processed — derived from
+    // the canonical table's OWN commit key, so a crash between the raw
+    // and canonical commits is repaired on the next call (a bare
+    // raw.mode == "noop" check would wrongly noop while the canonical
+    // table is still behind the raw one)
+    val lastRawProcessed =
+      if (canonSnap == 0) 0L
+      else SnapshotTable.committedKey(canonicalTableDir, canonSnap)
+        .filter(_.startsWith("raw-snap-"))
+        .map(_.stripPrefix("raw-snap-").toLong).getOrElse(0L)
+    if (canonSnap > 0 && lastRawProcessed >= rawSnapNow)
       return IncrementalResult(0L, canonSnap, 0L, "noop")
 
-    // full mapping from the accumulated matched state (dimension-sized)
+    // full mapping from the accumulated matched state (dimension-sized;
+    // after incrementalFromTable returns, the latest taxa state always
+    // matches the raw graph head)
     val taxaStateDir = s"$rawGraphTableDir-state/taxa"
     val taxa = SnapshotTable.read(spark, taxaStateDir)
       .select(col("TaxonId"), col("TaxonName"), col("TaxonPathName"),
@@ -206,19 +218,38 @@ object Pipeline {
         m.status, m.rowIdx))
       .toDF("TaxonId", "TaxonName", "Mapped_Value", "Mapped_ID_WD",
         "Match_Status", "rowIdx")
-    val mapping = Canonical.connectedComponents(
+    val mappingDf = Canonical.connectedComponents(
       Canonical.equivalenceEdges(matchedDf))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val prevMapping: Map[String, String] =
-      if (SnapshotTable.currentSnapshot(mappingStateDir) > 0)
-        SnapshotTable.read(spark, mappingStateDir)
-          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-      else Map.empty
-    def eff(m: Map[String, String])(n: String) = m.getOrElse(n, n)
-    val mappingChanged = (mapping.keySet ++ prevMapping.keySet)
-      .exists(n => eff(prevMapping)(n) != eff(mapping)(n))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val mappingDf = mapping.toSeq.toDF("node", "component")
+    // previous mapping ANCHORED to the canonical table's committed key
+    // (the state is committed before the canonical snapshot, so a crash
+    // leaves it ahead — never behind — and the anchored read recovers
+    // the exact view the published canonical rows were built with).
+    // Missing anchor with a non-empty canonical table ⇒ provenance lost
+    // ⇒ correctness-first re-canonicalization.
+    val prevMappingSnap =
+      if (lastRawProcessed == 0) None
+      else SnapshotTable.snapshotWithKey(mappingStateDir,
+        s"raw-snap-$lastRawProcessed")
+    val anchorLost = canonSnap > 0 && prevMappingSnap.isEmpty
+    // effective-mapping change detection as a DISTRIBUTED full-outer
+    // join — a node absent from a mapping is identity-mapped, so the
+    // comparison is coalesce(component, node) on both sides. No
+    // driver-side Set: the mapping is dimension-sized today, but the
+    // check must survive an entity space that scales with the corpus.
+    val mappingChanged = anchorLost || {
+      val prev = prevMappingSnap
+        .map(s => SnapshotTable.read(spark, mappingStateDir, Some(s)))
+        .getOrElse(Seq.empty[(String, String)].toDF("node", "component"))
+        .select(col("node"), col("component").as("_pc"))
+      mappingDf.select(col("node"), col("component").as("_nc"))
+        .join(prev, Seq("node"), "full_outer")
+        .filter(!(coalesce(col("_pc"), col("node")) <=>
+          coalesce(col("_nc"), col("node"))))
+        .limit(1).count() > 0
+    }
+
     val tripleCols = Seq("subj", "pred", "obj", "objIsLiteral", "objDatatype")
     val (outDf, mode) =
       if (raw.mode == "rebuild" || mappingChanged || canonSnap == 0)
@@ -226,8 +257,10 @@ object Pipeline {
           SnapshotTable.read(spark, rawGraphTableDir).select(tripleCols.map(col): _*),
           mappingDf), "rebuild")
       else {
+        // an increment that added no raw rows reads as an empty delta —
+        // still committed, to advance the canonical table's key chain
         val deltaRaw = SnapshotTable.readDelta(spark, rawGraphTableDir,
-          prevRawSnap).select(tripleCols.map(col): _*)
+          lastRawProcessed).select(tripleCols.map(col): _*)
         val canonDelta = Canonical.canonicalizeTriples(deltaRaw, mappingDf)
         (canonDelta.join(SnapshotTable.read(spark, canonicalTableDir)
           .select(tripleCols.map(col): _*), tripleCols, "left_anti"), "append")
@@ -235,16 +268,30 @@ object Pipeline {
     val persisted = outDf
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val written = persisted.count()
+    // state first, publish last (see incrementalFromTable)
+    SnapshotTable.write(mappingDf, mappingStateDir, mode = "overwrite",
+      idempotencyKey = s"raw-snap-$rawSnapNow")
     val newSnap = SnapshotTable.write(persisted, canonicalTableDir,
       mode = if (mode == "rebuild") "overwrite" else "append",
-      idempotencyKey = s"raw-snap-${raw.graphSnapshot}")
-    if (mapping.nonEmpty)
-      SnapshotTable.write(mappingDf, mappingStateDir, mode = "overwrite",
-        idempotencyKey = s"raw-snap-${raw.graphSnapshot}")
-    persisted.unpersist()
+      idempotencyKey = s"raw-snap-$rawSnapNow")
+    persisted.unpersist(); mappingDf.unpersist()
     IncrementalResult(raw.processedDocsSnapshot, newSnap, written,
       if (raw.mode == "rebuild") "rebuild" else mode)
   }
+
+  /** All distinct (taxonId, taxonName) resolution probes in a record
+    * set — one row per probe, never collected: on real-world corpora
+    * verbatim ids approach per-record cardinality, so the probe state
+    * is CORPUS-scale and must stay a table.
+    */
+  private def probesOf(records: DataFrame): DataFrame =
+    records.select(
+      array(
+        struct(col("sourceTaxonId").as("id"), col("sourceTaxonName").as("name")),
+        struct(col("targetTaxonId").as("id"), col("targetTaxonName").as("name")))
+        .as("ps"))
+      .select(explode(col("ps")).as("p")).select(col("p.id"), col("p.name"))
+      .distinct()
 
   def incrementalFromTable(spark: SparkSession, docsTableDir: String,
       rawGraphTableDir: String): IncrementalResult = {
@@ -263,6 +310,23 @@ object Pipeline {
     if (docsSnap <= lastProcessed)
       return IncrementalResult(0L, graphSnap, 0L, "noop")
 
+    // ---- crash-consistent state anchoring ------------------------------
+    // States are committed BEFORE the graph snapshot (below), so a crash
+    // between the commits leaves them AHEAD of the graph, never behind.
+    // The graph's committed key is the authoritative progress marker:
+    // the "old" view of each state table is the snapshot carrying that
+    // key, found by history search — NOT the latest snapshot, which may
+    // belong to a crashed run. A missing anchor (expired state, foreign
+    // graph) means the old view is unrecoverable ⇒ correctness-first
+    // full rebuild from the docs table.
+    def anchored(stateDir: String): Option[Long] =
+      if (lastProcessed == 0) None
+      else SnapshotTable.snapshotWithKey(stateDir, s"$keyPrefix$lastProcessed")
+    val oldTaxaSnap = anchored(taxaStateDir)
+    val oldProbesSnap = anchored(probesStateDir)
+    val stateLost = lastProcessed > 0 &&
+      (oldTaxaSnap.isEmpty || oldProbesSnap.isEmpty)
+
     val taxaCols = Seq("TaxonId", "TaxonName", "TaxonPathName",
       "TaxonRankName", "rowIdx")
     def collectTaxa(df: DataFrame): Seq[LocalMatcher.TaxaRow] =
@@ -275,7 +339,10 @@ object Pipeline {
       Materialize.localWdMapDicts(
         LocalMatcher.matchTaxa(taxa, DataGen.wdSparqlRows, DataGen.lineageRows))
 
-    // 1-2: merge delta taxa into the accumulated state, derive dicts
+    // 1-2: merge delta taxa into the accumulated state, derive dicts.
+    // The taxa state is dimension-sized (DISTINCT mention 4-tuples), so
+    // the driver-local dict refinement applies — the same guarded
+    // assumption as Link.matchTaxaAdaptive.
     val delta = SnapshotTable.readDelta(spark, docsTableDir, lastProcessed,
       Some(docsSnap))
     val deltaRecords = Extract.records(delta)
@@ -284,38 +351,54 @@ object Pipeline {
     // global sources-then-targets ordinal, append-stable
     val deltaTaxa = Link.stackTaxa(deltaRecords, 1L << 40)
       .select(taxaCols.map(col): _*)
-    val oldTaxaDf =
-      if (SnapshotTable.currentSnapshot(taxaStateDir) > 0)
-        Some(SnapshotTable.read(spark, taxaStateDir))
-      else None
-    val mergedTaxaDf = oldTaxaDf.map(_.unionByName(deltaTaxa)).getOrElse(deltaTaxa)
+    val oldTaxaDf = oldTaxaSnap.map(s =>
+      SnapshotTable.read(spark, taxaStateDir, Some(s)))
+    // full-corpus records, materialized at most once, only when needed
+    // (state lost, or the stale-probe check demands a rebuild)
+    var fullRecordsCache: Option[DataFrame] = None
+    def fullRecords: DataFrame = fullRecordsCache.getOrElse {
+      val fr = Extract.records(
+        SnapshotTable.read(spark, docsTableDir, Some(docsSnap)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fullRecordsCache = Some(fr)
+      fr
+    }
+    val mergedTaxaDf = (if (stateLost)
+      Link.stackTaxa(fullRecords, 1L << 40).select(taxaCols.map(col): _*)
+    else
+      oldTaxaDf.map(_.unionByName(deltaTaxa)).getOrElse(deltaTaxa))
       .groupBy(col("TaxonId"), col("TaxonName"), col("TaxonPathName"),
         col("TaxonRankName"))
       .agg(min(col("rowIdx")).as("rowIdx"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (newId, newName) = dictsOf(collectTaxa(mergedTaxaDf))
-    val (oldId, oldName) = oldTaxaDf.map(t => dictsOf(collectTaxa(t)))
-      .getOrElse((Map.empty[String, (String, String)],
-        Map.empty[String, (String, String)]))
 
-    // 3-4: stale-emission detection — any OLD probe whose resolution
-    // differs between the previous and the final dictionaries
-    def res(id: Map[String, (String, String)], nm: Map[String, (String, String)],
-        p: (String, String)): Option[(String, String)] =
-      id.get(p._1).orElse(nm.get(p._2))
-    val oldProbes: Set[(String, String)] =
-      if (SnapshotTable.currentSnapshot(probesStateDir) > 0)
-        SnapshotTable.read(spark, probesStateDir)
-          .collect().map(r => (r.getString(0), r.getString(1))).toSet
-      else Set.empty
-    val needRebuild = graphSnap > 0 && oldProbes.exists(p =>
-      res(oldId, oldName, p) != res(newId, newName, p))
+    // 3-4: stale-emission detection, fully DISTRIBUTED: resolve every
+    // previously-seen probe under the previous and the final
+    // dictionaries with broadcast joins (the dictionaries are
+    // dimension-sized; the probes are corpus-scale and never leave the
+    // cluster) and look for any difference. Resolution semantics mirror
+    // Materialize.resolve: id-dict hit wins, else name-dict, else none.
+    val needRebuild = stateLost || (graphSnap > 0 && lastProcessed > 0 && {
+      val (oldId, oldName) = dictsOf(collectTaxa(oldTaxaDf.get))
+      def dictDf(m: Map[String, (String, String)], key: String, p: String) =
+        m.toSeq.map { case (k, (w, v)) => (k, w, v) }
+          .toDF(key, s"${p}_wd", s"${p}_mv")
+      def resCol(p: String): org.apache.spark.sql.Column = coalesce(
+        when(col(s"${p}i_wd").isNotNull,
+          struct(col(s"${p}i_wd").as("w"), col(s"${p}i_mv").as("m"))),
+        when(col(s"${p}n_wd").isNotNull,
+          struct(col(s"${p}n_wd").as("w"), col(s"${p}n_mv").as("m"))))
+      SnapshotTable.read(spark, probesStateDir, oldProbesSnap)
+        .join(broadcast(dictDf(oldId, "id", "oi")), Seq("id"), "left")
+        .join(broadcast(dictDf(oldName, "name", "on")), Seq("name"), "left")
+        .join(broadcast(dictDf(newId, "id", "ni")), Seq("id"), "left")
+        .join(broadcast(dictDf(newName, "name", "nn")), Seq("name"), "left")
+        .filter(!(resCol("o") <=> resCol("n")))
+        .limit(1).count() > 0
+    })
 
-    val emitRecords =
-      if (needRebuild)
-        Extract.records(SnapshotTable.read(spark, docsTableDir, Some(docsSnap)))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else deltaRecords
+    val emitRecords = if (needRebuild) fullRecords else deltaRecords
     val mm = Extract.mediaMentions(emitRecords, DataGen.mediaMeta(spark))
     val tagged = Materialize
       .globiTriplesFusedTagged(emitRecords, newId, newName, Some(mm))
@@ -336,27 +419,41 @@ object Pipeline {
     val persisted = outDf
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val written = persisted.count()
+
+    // ---- commit protocol: states FIRST, graph LAST ----------------------
+    // A crash after the state commits but before the graph commit leaves
+    // the graph key at lastProcessed; the retry re-anchors the old state
+    // views by that key (they are retained snapshots, not the latest)
+    // and its state writes short-circuit via their idempotency keys —
+    // the increment is repaired exactly. The reverse order would record
+    // progress on the graph that the states never learned about, and
+    // the NEXT increment would silently build dictionaries missing this
+    // delta.
+    SnapshotTable.write(mergedTaxaDf, taxaStateDir, mode = "overwrite",
+      idempotencyKey = s"$keyPrefix$docsSnap")
+    // probe state: APPEND only the genuinely new probes (anti-join the
+    // anchored old state) — the state update is O(delta), and the probe
+    // table itself is never collected or rewritten
+    val probesOut =
+      if (stateLost) probesOf(fullRecords) // state rebuilt from scratch
+      else {
+        val deltaProbes = probesOf(deltaRecords)
+        oldProbesSnap match {
+          case Some(s) => deltaProbes.join(
+            SnapshotTable.read(spark, probesStateDir, Some(s)),
+            Seq("id", "name"), "left_anti")
+          case None => deltaProbes
+        }
+      }
+    SnapshotTable.write(probesOut, probesStateDir,
+      mode = if (stateLost || oldProbesSnap.isEmpty) "overwrite" else "append",
+      idempotencyKey = s"$keyPrefix$docsSnap")
     val newGraphSnap = SnapshotTable.write(persisted, rawGraphTableDir,
       mode = if (mode == "rebuild") "overwrite" else "append",
       idempotencyKey = s"$keyPrefix$docsSnap")
 
-    // persist the new states: merged taxa + all distinct probes seen
-    SnapshotTable.write(mergedTaxaDf, taxaStateDir, mode = "overwrite",
-      idempotencyKey = s"$keyPrefix$docsSnap")
-    val deltaProbes = deltaRecords.select(
-      array(
-        struct(col("sourceTaxonId").as("id"), col("sourceTaxonName").as("name")),
-        struct(col("targetTaxonId").as("id"), col("targetTaxonName").as("name")))
-        .as("ps"))
-      .select(explode(col("ps")).as("p")).select(col("p.id"), col("p.name"))
-      .distinct()
-    val newProbes = oldProbes.toSeq.toDF("id", "name")
-      .unionByName(deltaProbes).distinct()
-    SnapshotTable.write(newProbes, probesStateDir, mode = "overwrite",
-      idempotencyKey = s"$keyPrefix$docsSnap")
-
     tagged.unpersist(); deltaRecords.unpersist(); persisted.unpersist()
-    mergedTaxaDf.unpersist()
+    mergedTaxaDf.unpersist(); fullRecordsCache.foreach(_.unpersist())
     IncrementalResult(docsSnap, newGraphSnap, written, mode)
   }
 

@@ -37,12 +37,34 @@ object Materialized {
   val RDF_TYPE = Model.RDF_TYPE
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Memoize per (session, what, dir) WITHOUT computing inside a
+    * ConcurrentHashMap mapping function: the builds nest (globiTable's
+    * build calls recordsAndMatched's), and CHM.computeIfAbsent forbids
+    * map mutation from inside the mapping lambda — when the two keys
+    * hash to the same bin it throws "Recursive update". A per-key lock
+    * object serializes duplicate builders (parallel test suites share
+    * the session) while nested once() calls take DIFFERENT locks, so
+    * there is no recursion into a locked map and no deadlock (the
+    * nesting is acyclic: globiTable → recordsAndMatched only).
+    */
   private def once[T <: AnyRef](spark: SparkSession, what: String, dir: String)(
-      f: => T): T =
-    memo.computeIfAbsent(
-      s"${System.identityHashCode(spark.sparkContext)}:$what:$dir",
-      _ => f).asInstanceOf[T]
+      f: => T): T = {
+    val key = s"${System.identityHashCode(spark.sparkContext)}:$what:$dir"
+    val cached = memo.get(key)
+    if (cached != null) return cached.asInstanceOf[T]
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val again = memo.get(key)
+      if (again != null) again.asInstanceOf[T]
+      else {
+        val v = f
+        memo.put(key, v)
+        v
+      }
+    }
+  }
 
   /** Physically clear a managed table's leftover warehouse directory
     * from a previous JVM (the in-memory catalog forgets the table, and

@@ -1,27 +1,35 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption, StandardOpenOption}
 
 /** Iceberg-layout document/triple tables — the sandbox substitute for
   * the Apache Iceberg runtime (this container has no Iceberg jars and
   * zero egress), implementing the parts of the table-format CONTRACT
   * the pipeline depends on, in the same shape:
   *
-  *  - immutable data files, grouped per snapshot
-  *    (`data/snap-<id>/part-*.parquet` — a snapshot never rewrites
+  *  - immutable data files, grouped per writer attempt
+  *    (`data/w-<token>/part-*.parquet` — a snapshot never rewrites
   *    another snapshot's files);
-  *  - manifests tracking the file list + per-file row counts for every
-  *    snapshot (`manifests/snap-<id>/` parquet: path, rows,
-  *    snapshot_id — the stats Iceberg keeps in manifest entries);
+  *  - manifests tracking the file list + per-file row counts + the data
+  *    dir each file was written under (`manifests/<name>/` parquet:
+  *    path, rows, snapshot_id, base — the stats + partition-location
+  *    data Iceberg keeps in manifest entries);
   *  - versioned metadata (`metadata/v<id>.json`: schema DDL, partition
-  *    columns, operation, parent snapshot) with a `version-hint.text`
-  *    pointer written LAST via atomic rename — the Iceberg commit
-  *    protocol's swap-the-pointer step;
+  *    columns, operation, parent snapshot, manifest location). The
+  *    COMMIT POINT is creating `v<id>.json` with create-new semantics —
+  *    an optimistic-concurrency CAS exactly like Iceberg's metadata
+  *    swap: two writers racing to snapshot N+1 cannot both create the
+  *    file; the loser re-reads the current snapshot and retries on top
+  *    of the winner. `version-hint.text` is a best-effort pointer (as
+  *    in Iceberg's file-system catalog); [[currentSnapshot]] forward-
+  *    scans past a stale hint;
   *  - time travel: read any retained snapshot by id;
   *  - append / overwrite semantics as new snapshots (append = parent
-  *    manifest ∪ new files).
+  *    manifest ∪ new files);
+  *  - idempotency keys for exactly-once publishes under replays.
   *
   * On a cluster with the real Iceberg runtime, swap these calls for
   * `spark.read.format("iceberg")` / `writeTo(...)` — the pipeline code
@@ -33,11 +41,19 @@ object SnapshotTable {
       files: Long, rows: Long)
 
   private def hintPath(dir: String) = Paths.get(dir, "metadata", "version-hint.text")
+  private def versionPath(dir: String, snap: Long) =
+    Paths.get(dir, "metadata", s"v$snap.json")
 
-  /** Latest snapshot id, or 0 when the table does not exist yet. */
+  /** Latest snapshot id, or 0 when the table does not exist yet. The
+    * hint file is best-effort (concurrent committers may race the
+    * pointer update): forward-scan for newer v<id>.json files so a
+    * stale hint never hides a committed snapshot.
+    */
   def currentSnapshot(dir: String): Long = {
     val p = hintPath(dir)
-    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+    var snap = if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+    while (Files.exists(versionPath(dir, snap + 1))) snap += 1
+    snap
   }
 
   private def jsonEscape(s: String): String = s.flatMap {
@@ -45,122 +61,231 @@ object SnapshotTable {
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   }
 
-  /** The idempotency key recorded by snapshot `snap`, if any. */
-  def committedKey(dir: String, snap: Long): Option[String] = {
-    val p = Paths.get(dir, "metadata", s"v$snap.json")
-    if (!Files.exists(p)) None
-    else """"idempotency_key":"([^"]*)"""".r
-      .findFirstMatchIn(Files.readString(p)).map(_.group(1)).filter(_.nonEmpty)
+  private def jsonUnescape(s: String): String = {
+    val out = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => out += '"'; i += 2
+          case '\\' => out += '\\'; i += 2
+          case 'n' => out += '\n'; i += 2
+          case 'u' =>
+            out += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => out += other; i += 2
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
-  private def commit(dir: String, snap: Long, operation: String,
+  private def metaJson(dir: String, snap: Long): Option[String] = {
+    val p = versionPath(dir, snap)
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
+  private def metaStr(j: String, k: String): Option[String] =
+    (s""""$k":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(j)
+      .map(m => jsonUnescape(m.group(1)))
+
+  /** The idempotency key recorded by snapshot `snap`, if any. */
+  def committedKey(dir: String, snap: Long): Option[String] =
+    metaJson(dir, snap).flatMap(metaStr(_, "idempotency_key")).filter(_.nonEmpty)
+
+  /** Schema DDL recorded by snapshot `snap` (empty reads reconstitute
+    * the DataFrame schema from this).
+    */
+  def schemaDdl(dir: String, snap: Long): Option[String] =
+    metaJson(dir, snap).flatMap(metaStr(_, "schema"))
+
+  /** Partition columns recorded by snapshot `snap`. */
+  def partitionSpec(dir: String, snap: Long): Seq[String] =
+    metaJson(dir, snap).map { j =>
+      """"partition_spec":\[([^\]]*)\]""".r.findFirstMatchIn(j)
+        .map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+    }.getOrElse(Nil)
+
+  /** Manifest location recorded by snapshot `snap` (manifest names are
+    * writer-unique; the committed metadata is the source of truth).
+    */
+  private def manifestDir(dir: String, snap: Long): String =
+    metaJson(dir, snap).flatMap(metaStr(_, "manifest"))
+      .map(rel => s"$dir/$rel")
+      .getOrElse(s"$dir/manifests/snap-$snap")
+
+  /** The commit point: create v<snap>.json with create-new semantics
+    * (the CAS — fails if another writer already committed this id),
+    * then move the best-effort hint pointer forward.
+    */
+  private def commitCas(dir: String, snap: Long, operation: String,
       parent: Long, schemaDdl: String, partitionBy: Seq[String],
-      files: Long, rows: Long, idempotencyKey: String): Unit = {
+      manifestRel: String, files: Long, rows: Long,
+      idempotencyKey: String): Unit = {
     val meta = Paths.get(dir, "metadata")
     Files.createDirectories(meta)
     val json =
-      s"""{"format_version":1,"snapshot_id":$snap,"parent_snapshot_id":$parent,
+      s"""{"format_version":2,"snapshot_id":$snap,"parent_snapshot_id":$parent,
          |"operation":"$operation","schema":"${jsonEscape(schemaDdl)}",
          |"partition_spec":[${partitionBy.map(c => s""""$c"""").mkString(",")}],
          |"idempotency_key":"${jsonEscape(idempotencyKey)}",
-         |"manifest":"manifests/snap-$snap","data_files":$files,"rows":$rows}"""
+         |"manifest":"${jsonEscape(manifestRel)}","data_files":$files,"rows":$rows}"""
         .stripMargin.replace("\n", "")
-    Files.writeString(meta.resolve(s"v$snap.json"), json)
-    // the commit point: swap the version pointer atomically
-    val tmp = meta.resolve(s"version-hint.tmp")
-    Files.writeString(tmp, snap.toString)
-    Files.move(tmp, hintPath(dir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // CREATE_NEW: atomically fails when a concurrent writer won this id
+    Files.writeString(versionPath(dir, snap), json, StandardOpenOption.CREATE_NEW)
+    // best-effort pointer (readers forward-scan past staleness); only
+    // move it forward so a slow loser never regresses a newer commit
+    val cur = hintPath(dir)
+    val curVal = if (Files.exists(cur)) Files.readString(cur).trim.toLong else 0L
+    if (snap > curVal) {
+      val tmp = meta.resolve(s"version-hint-$snap.tmp")
+      Files.writeString(tmp, snap.toString)
+      Files.move(tmp, cur, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
   }
+
+  /** Snapshot (searching the retained history) that committed
+    * `idempotencyKey`, if any — the exactly-once probe. Scanning all
+    * retained metadata (not just the current snapshot) keeps replays
+    * exactly-once even when OTHER writers committed in between.
+    */
+  def snapshotWithKey(dir: String, idempotencyKey: String): Option[Long] =
+    if (idempotencyKey.isEmpty) None
+    else history(dir).reverse
+      .find(s => committedKey(dir, s.id).contains(idempotencyKey)).map(_.id)
 
   /** Write a new snapshot. `mode` = "overwrite" (the new snapshot's
     * manifest lists only the new files) or "append" (parent manifest ∪
     * new files). Data files of previous snapshots are never touched —
     * time travel stays valid.
     *
+    * Concurrency: data files land in a writer-unique `data/w-<token>`
+    * dir, so concurrent writers never clobber each other's files; the
+    * commit is the v<id>.json CAS. On conflict the writer re-reads the
+    * current snapshot and retries the (cheap) manifest + metadata step
+    * — the data files are written exactly once. Both writers' rows
+    * survive, and the history stays linear.
+    *
     * `idempotencyKey` makes the publish exactly-once under replays: a
     * streaming foreachBatch that re-delivers a batch after a failure
-    * passes the batch id here, and a key already recorded by the
-    * CURRENT snapshot short-circuits to that snapshot instead of
-    * appending a duplicate (the Iceberg commit-conflict analogue for
-    * the linear single-writer history this format keeps).
+    * passes the batch id here, and a key already recorded by ANY
+    * retained snapshot short-circuits to that snapshot instead of
+    * appending a duplicate.
     */
   def write(df: DataFrame, dir: String, mode: String = "overwrite",
       partitionBy: Seq[String] = Nil, idempotencyKey: String = ""): Long = {
     val spark = df.sparkSession
-    val parent = currentSnapshot(dir)
-    if (idempotencyKey.nonEmpty && parent > 0 &&
-        committedKey(dir, parent).contains(idempotencyKey))
-      return parent
-    val snap = parent + 1
-    // overwrite, not errorifexists: a crash between the data write and
-    // the version-hint swap leaves an UNCOMMITTED snap-<id> dir that no
-    // reader can see — the retry must be able to reclaim it
-    val dataDir = s"$dir/data/snap-$snap"
+    val already = snapshotWithKey(dir, idempotencyKey)
+    if (already.isDefined) return already.get
+    val token = java.util.UUID.randomUUID.toString.take(12)
+    val dataDir = s"$dir/data/w-$token"
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir)
-    // manifest entries: every data file + its row count (per-file stats)
+    // manifest entries: every data file + its row count (per-file
+    // stats) + the dir to resolve partition values against. An empty
+    // DataFrame lists zero entries (its schema-only part file has no
+    // rows) — a legal snapshot; readers reconstitute the schema from
+    // the metadata DDL.
     val newEntries = spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"))
-      .withColumn("snapshot_id", lit(snap))
-    val manifest =
-      if (mode == "append" && parent > 0)
-        spark.read.parquet(s"$dir/manifests/snap-$parent").unionByName(newEntries)
-      else newEntries
-    manifest.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/manifests/snap-$snap")
-    val stats = spark.read.parquet(s"$dir/manifests/snap-$snap")
-      .agg(count(lit(1)), coalesce(sum(col("rows")), lit(0L))).head()
-    commit(dir, snap, mode, parent, df.schema.toDDL, partitionBy,
-      stats.getLong(0), stats.getLong(1), idempotencyKey)
-    snap
+      .withColumn("base", lit(dataDir))
+      .persist()
+    newEntries.count()
+    try {
+      var attempt = 0
+      while (true) {
+        val parent = currentSnapshot(dir)
+        // another writer may have committed our key while we raced
+        val racedKey = snapshotWithKey(dir, idempotencyKey)
+        if (racedKey.isDefined) return racedKey.get
+        val snap = parent + 1
+        val manifestRel = s"manifests/snap-$snap-$token"
+        val stamped = newEntries.withColumn("snapshot_id", lit(snap))
+        val manifest =
+          if (mode == "append" && parent > 0)
+            spark.read.parquet(manifestDir(dir, parent)).unionByName(stamped)
+          else stamped
+        manifest.coalesce(1).write.mode("overwrite").parquet(s"$dir/$manifestRel")
+        val stats = spark.read.parquet(s"$dir/$manifestRel")
+          .agg(count(lit(1)), coalesce(sum(col("rows")), lit(0L))).head()
+        try {
+          commitCas(dir, snap, mode, parent, df.schema.toDDL, partitionBy,
+            manifestRel, stats.getLong(0), stats.getLong(1), idempotencyKey)
+          return snap
+        } catch {
+          case _: FileAlreadyExistsException =>
+            // lost the race: leave the (unreferenced) manifest attempt
+            // behind and retry on top of the winner
+            attempt += 1
+            require(attempt < 100, s"commit contention on $dir")
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally newEntries.unpersist()
+  }
+
+  private def emptyOf(spark: SparkSession, dir: String, snap: Long): DataFrame = {
+    val ddl = schemaDdl(dir, snap).getOrElse(
+      throw new IllegalStateException(s"no schema recorded for $dir@$snap"))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
+  }
+
+  /** Assemble a DataFrame from manifest entries. Unpartitioned tables
+    * (the streaming-append case) read ALL files in ONE scan relation —
+    * the plan stays O(1) in the number of snapshots, not O(#appends).
+    * Partitioned tables need hive-style partition reconstitution, which
+    * requires one read per distinct data dir (basePath) — bounded by
+    * the number of OVERWRITE generations, not appends, and compaction
+    * collapses it to one.
+    */
+  private def assemble(spark: SparkSession, dir: String, snap: Long,
+      entries: Array[(String, String)]): DataFrame = {
+    if (entries.isEmpty) return emptyOf(spark, dir, snap)
+    if (partitionSpec(dir, snap).isEmpty)
+      spark.read.parquet(entries.map(_._1).toSeq: _*)
+    else
+      entries.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (base, fs) =>
+          spark.read.option("basePath", base).parquet(fs.map(_._1).toSeq: _*)
+        }
+        .reduce(_.unionByName(_))
   }
 
   /** Read the table at a snapshot (default: latest). The file list comes
     * from the snapshot's manifest, so concurrent new snapshots never
-    * change what an in-flight read sees. Files are grouped by the
-    * snapshot that wrote them and read with that snapshot's data dir as
-    * basePath, so hive-style partition columns reconstitute (the
-    * manifest-carries-partition-values part of the Iceberg contract).
+    * change what an in-flight read sees. An empty snapshot reads as an
+    * empty DataFrame with the recorded schema.
     */
   def read(spark: SparkSession, dir: String,
       snapshot: Option[Long] = None): DataFrame = {
     val snap = snapshot.getOrElse(currentSnapshot(dir))
     require(snap > 0, s"no snapshot in $dir")
-    val entries = spark.read.parquet(s"$dir/manifests/snap-$snap")
-      .select(col("path"), col("snapshot_id")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    entries.groupBy(_._2).toSeq.sortBy(_._1)
-      .map { case (sid, fs) =>
-        spark.read.option("basePath", s"$dir/data/snap-$sid")
-          .parquet(fs.map(_._1).toSeq: _*)
-      }
-      .reduce(_.unionByName(_))
+    val entries = spark.read.parquet(manifestDir(dir, snap))
+      .select(col("path"), col("base")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assemble(spark, dir, snap, entries)
   }
 
   /** Incremental read: only the data files ADDED after `sinceSnapshot`
     * (manifest entries keep the snapshot that wrote them), up to
     * `snapshot` (default latest). The incremental-maintenance primitive:
     * at 10^12 docs a new snapshot's delta is read without touching the
-    * accumulated corpus files.
+    * accumulated corpus files. A delta that added no files (all-
+    * duplicate content) reads as an empty DataFrame, not an error.
     */
   def readDelta(spark: SparkSession, dir: String, sinceSnapshot: Long,
       snapshot: Option[Long] = None): DataFrame = {
     val snap = snapshot.getOrElse(currentSnapshot(dir))
     require(snap > sinceSnapshot, s"no delta: $snap <= $sinceSnapshot")
-    val entries = spark.read.parquet(s"$dir/manifests/snap-$snap")
+    val entries = spark.read.parquet(manifestDir(dir, snap))
       .filter(col("snapshot_id") > sinceSnapshot)
-      .select(col("path"), col("snapshot_id")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    require(entries.nonEmpty, s"snapshot $snap added no files after $sinceSnapshot")
-    entries.groupBy(_._2).toSeq.sortBy(_._1)
-      .map { case (sid, fs) =>
-        spark.read.option("basePath", s"$dir/data/snap-$sid")
-          .parquet(fs.map(_._1).toSeq: _*)
-      }
-      .reduce(_.unionByName(_))
+      .select(col("path"), col("base")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assemble(spark, dir, snap, entries)
   }
 
   /** Table maintenance: rewrite the current snapshot's (possibly many
@@ -196,8 +321,10 @@ object SnapshotTable {
     if (expire.isEmpty) return (Nil, 0L)
     def files(snaps: Iterable[Long]): Set[String] =
       snaps.toSeq.flatMap { s =>
-        spark.read.parquet(s"$dir/manifests/snap-$s")
-          .select(col("path")).collect().map(_.getString(0))
+        val m = manifestDir(dir, s)
+        if (!Files.exists(Paths.get(m))) Nil
+        else spark.read.parquet(m)
+          .select(col("path")).collect().map(_.getString(0)).toSeq
       }.toSet
     val retained = files(keep)
     val orphans = files(expire) -- retained
@@ -208,11 +335,11 @@ object SnapshotTable {
     }
     expire.foreach { s =>
       import scala.jdk.CollectionConverters._
-      val m = Paths.get(s"$dir/manifests/snap-$s")
+      val m = Paths.get(manifestDir(dir, s))
       if (Files.exists(m))
         Files.walk(m).iterator().asScala.toSeq.reverse
           .foreach(Files.deleteIfExists(_))
-      Files.deleteIfExists(Paths.get(dir, "metadata", s"v$s.json"))
+      Files.deleteIfExists(versionPath(dir, s))
     }
     (expire, orphans.size.toLong)
   }
@@ -229,9 +356,7 @@ object SnapshotTable {
         val j = Files.readString(p)
         def long(k: String) =
           s""""$k":(-?\\d+)""".r.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L)
-        def str(k: String) =
-          (s""""$k":"([^"]*)"""").r.findFirstMatchIn(j).map(_.group(1)).getOrElse("")
-        Snapshot(long("snapshot_id"), str("operation"),
+        Snapshot(long("snapshot_id"), metaStr(j, "operation").getOrElse(""),
           long("parent_snapshot_id"), long("data_files"), long("rows"))
       }
       .sortBy(_.id)
