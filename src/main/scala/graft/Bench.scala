@@ -21,11 +21,21 @@ object Bench {
     // not absorb JVM warmup
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // the once-per-scale shared tables (records + matcher + bucketed
+    // triple tables) are built UP FRONT and reported as their own timed
+    // line — otherwise their cost lands on whichever kg_* query touches
+    // them first and the per-query numbers stop meaning anything
+    val tm0 = System.nanoTime()
+    try {
+      graft.queries.Materialized.globiTable(spark, sfDir)
+      graft.queries.Materialized.trydbTable(spark, sfDir)
+    } catch { case _: Throwable => () }
+    val matSecs = (System.nanoTime() - tm0) / 1e9
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    } ++ Map("materialize_tables" -> matSecs)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{RelationalQueries, PipelineQueries, KgQueries,
-  SparqlQueries, PipelineOracles}
+  SparqlQueries, PipelineOracles, CaseStudyQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,12 +19,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ PipelineQueries.queries ++
-      KgQueries.queries ++ SparqlQueries.queries
+      KgQueries.queries ++ SparqlQueries.queries ++ CaseStudyQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (+ the side-channel dumps Materialized
     * writes). Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ PipelineQueries.oracle ++ KgQueries.oracle ++
-      SparqlQueries.oracle ++ PipelineOracles.oracle
+      SparqlQueries.oracle ++ PipelineOracles.oracle ++ CaseStudyQueries.oracle
 }

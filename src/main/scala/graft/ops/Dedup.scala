@@ -70,6 +70,23 @@ object Dedup {
       .filter(length(col("token")) >= minTokenLen)
       .distinct()
 
+  /** Distinct tokens per doc, hashed to 60-bit md5-prefix longs IN THE
+    * SCAN STAGE (same construction as the shingle path and
+    * simhashPortable): every downstream shuffle — the distinct, the
+    * signature groupBy, the verify arrays — carries 8-byte longs
+    * instead of raw token strings. Engine-portable, so the DuckDB
+    * oracle reproduces the exact hashes.
+    */
+  def docTokensHashed(docs: DataFrame, idCol: String, textCol: String,
+                      minTokenLen: Int = 1): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(TextOps.normalizeText(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) >= minTokenLen)
+      .select(col("id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("token"))
+      .distinct()
+
   /** MinHash signature columns: sig_i = min over tokens of
     * md5(i || ":" || token). Lexicographic min over hex strings is a
     * uniform min-hash and is bit-identical across engines.
@@ -160,13 +177,16 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: docs → near-dup pairs with
     * verified Jaccard ≥ threshold. maxBucket caps LSH bucket size (see
-    * lshCandidates); dropped buckets are logged.
+    * lshCandidates); dropped buckets are logged. Tokens are hashed to
+    * longs at the scan (docTokensHashed) — set-Jaccard over hashed
+    * tokens equals set-Jaccard over tokens up to 60-bit md5 collisions,
+    * and no shuffle carries strings.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 8, rowsPerBand: Int = 2,
                  threshold: Double = 0.5, minTokenLen: Int = 1,
                  maxBucket: Int = 1000): DataFrame = {
-    val tokens = docTokens(docs, idCol, textCol, minTokenLen)
+    val tokens = docTokensHashed(docs, idCol, textCol, minTokenLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(tokens, k)
     val bands = lshBands(sigs, k, rowsPerBand)

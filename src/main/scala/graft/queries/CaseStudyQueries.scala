@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kg._
+
+/** Case-study analytic workload over the REAL materialized triple
+  * table, plus the forced-distributed flagship pipeline.
+  *
+  * kg_cs_* reproduce the reference's case-study archetypes
+  * (case-studies/CS3/CS3_viz.py:33-35 — top-20 organisms by interaction
+  * degree; CS2/CS2_viz.py:123-127 — interaction-type crosstab) as
+  * pred-filtered scans + joins over the subj-bucketed `globi_triples`
+  * table the serving layer maintains — the same physical layout the
+  * kg_sparql_* queries exploit, so the label/type star joins are
+  * exchange-free.
+  *
+  * kg_pipeline_triples_dist is the BEYOND-DRIVER-MEMORY production
+  * path, forced: `Link.matchTaxaAdaptive(..., maxDriverRows = 0)` takes
+  * the fully distributed matcher (matcher.py:432-478 re-expressed as
+  * broadcast joins + scored disambiguation), then distributed two-tier
+  * resolution + emission (`Materialize.resolve` + `globiTriples`). It is
+  * hash-gated against the SAME independent SQL re-derivation as
+  * kg_pipeline_triples — whose dictionary side-channel is written by
+  * the driver-local matcher — so a green driver row certifies
+  * distributed == driver-local over the full emission, with zero
+  * driver-side matching in this plan.
+  */
+object CaseStudyQueries {
+
+  import Materialized.{EMI, RDFS_LABEL, SOSA}
+  private val PROV = Model.PROV
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "kg_pipeline_triples_dist" -> ((s: SparkSession, dir: String) => {
+      // the memoized compact-path build also writes the matched
+      // side-channel the oracle derives its dictionaries from
+      val (records, _) = Materialized.recordsAndMatched(s, dir)
+      val n = KgQueries.nDocsFor(dir)
+      val matched = Link.matchTaxaAdaptive(records, DataGen.wdSparqlRows,
+        DataGen.lineageRows, n, maxDriverRows = 0L)
+      val (dictId, dictName) = Materialize.wdMapDicts(matched)
+      val mm = Extract.mediaMentions(records, DataGen.mediaMeta(s))
+      Materialize.globiTriples(
+        Materialize.resolve(records, dictId, dictName), Some(mm))
+    }),
+
+    // CS3: top-20 organisms by interaction degree (both interaction
+    // ends count; sample → organism via sosa:isSampleOf). The
+    // isSampleOf pattern's join key is the bucketed subj column.
+    "kg_cs_top_degree" -> ((s: SparkSession, dir: String) => {
+      val t = s.table(Materialized.globiTable(s, dir))
+      val ends = t
+        .filter(col("pred") === EMI + "hasSource" ||
+          col("pred") === EMI + "hasTarget")
+        .select(col("obj").as("sample"))
+      val sampleOf = t.filter(col("pred") === SOSA + "isSampleOf")
+        .select(col("subj").as("sample"), col("obj").as("organism"))
+      ends.join(sampleOf, Seq("sample"))
+        .groupBy(col("organism"))
+        .agg(count(lit(1)).as("degree"))
+        .orderBy(col("degree").desc, col("organism"))
+        .limit(20)
+    }),
+
+    // CS2: interaction-type crosstab — per type label, how many
+    // interaction records carry a locality vs not (the value_counts/
+    // crosstab heatmap input). Label join runs on the bucketed subj.
+    "kg_cs_crosstab" -> ((s: SparkSession, dir: String) => {
+      val t = s.table(Materialized.globiTable(s, dir))
+      val cw = t.filter(col("pred") === EMI + "isClassifiedWith")
+        .select(col("subj").as("rec"), col("obj").as("itype"))
+      val lbl = t.filter(col("pred") === RDFS_LABEL)
+        .select(col("subj").as("itype"), col("obj").as("ilabel"))
+      val loc = t.filter(col("pred") === PROV + "atLocation")
+        .select(col("subj").as("rec")).distinct()
+        .withColumn("_hasLoc", lit(1))
+      cw.join(lbl, Seq("itype"))
+        .join(loc, Seq("rec"), "left")
+        .groupBy(col("ilabel"))
+        .agg(
+          sum(when(col("_hasLoc").isNotNull, 1).otherwise(0)).as("n_with_loc"),
+          sum(when(col("_hasLoc").isNull, 1).otherwise(0)).as("n_without_loc"))
+        .orderBy(col("ilabel"))
+    })
+  )
+
+  /** n_docs-filtered view of the globi side-channel dump (same contract
+    * as SparqlQueries.side).
+    */
+  private val g =
+    s"""(SELECT subj, pred, obj FROM '${Materialized.SideDir}/globi_triples_n*/*.parquet'
+        WHERE n_docs = (SELECT COUNT(*) // 3 FROM orders))"""
+
+  val oracle: Map[String, String] = Map(
+    // identical independent re-derivation — the engine side differs
+    // (distributed matcher + distributed resolve), the truth does not
+    "kg_pipeline_triples_dist" -> PipelineOracles.globiTriples,
+
+    "kg_cs_top_degree" ->
+      s"""WITH g AS (SELECT * FROM $g),
+          ends AS (SELECT obj AS sample FROM g
+                   WHERE pred IN ('${EMI}hasSource', '${EMI}hasTarget')),
+          so AS (SELECT subj AS sample, obj AS organism FROM g
+                 WHERE pred = '${SOSA}isSampleOf')
+          SELECT organism, COUNT(*) AS degree
+          FROM ends JOIN so USING (sample)
+          GROUP BY organism
+          ORDER BY degree DESC, organism LIMIT 20""",
+
+    "kg_cs_crosstab" ->
+      s"""WITH g AS (SELECT * FROM $g),
+          cw AS (SELECT subj AS rec, obj AS itype FROM g
+                 WHERE pred = '${EMI}isClassifiedWith'),
+          lbl AS (SELECT subj AS itype, obj AS ilabel FROM g
+                  WHERE pred = '$RDFS_LABEL'),
+          loc AS (SELECT DISTINCT subj AS rec FROM g
+                  WHERE pred = '${PROV}atLocation')
+          SELECT ilabel,
+                 SUM(CASE WHEN loc.rec IS NOT NULL THEN 1 ELSE 0 END) AS n_with_loc,
+                 SUM(CASE WHEN loc.rec IS NULL THEN 1 ELSE 0 END) AS n_without_loc
+          FROM cw JOIN lbl USING (itype) LEFT JOIN loc ON loc.rec = cw.rec
+          GROUP BY ilabel ORDER BY ilabel""")
+}

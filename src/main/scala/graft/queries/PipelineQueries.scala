@@ -211,6 +211,17 @@ object PipelineQueries {
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) AS token
            FROM documents))"""
 
+  // word tokens hashed to 60-bit md5-prefix longs — mirrors
+  // Dedup.docTokensHashed so the LSH shuffles carry longs, not strings
+  private val hashedTokensCte =
+    """tok AS (
+         SELECT DISTINCT id,
+           ('0x' || substr(md5(tok), 1, 15))::BIGINT AS token
+         FROM (
+           SELECT doc_id AS id, UNNEST(regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) AS tok
+           FROM documents))"""
+
   private val shinglesCte =
     """tarr AS (
          SELECT doc_id AS id, regexp_extract_all(
@@ -315,7 +326,7 @@ object PipelineQueries {
                 MIN(md5('3:' || token)) AS sig_3
          FROM tok GROUP BY id ORDER BY id""",
 
-    "dd_minhash_lsh" -> lshVerifySql(tokensCte, "0.8"),
+    "dd_minhash_lsh" -> lshVerifySql(hashedTokensCte, "0.8"),
 
     "dd_shingle_lsh" -> lshVerifySql(shinglesCte, "0.8"),
 

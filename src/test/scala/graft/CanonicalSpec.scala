@@ -53,6 +53,32 @@ class CanonicalSpec extends AnyFunSuite {
     check(200, edges)
   }
 
+  test("canonicalizeTriples broadcast is row-count-guarded") {
+    import org.apache.spark.sql.functions._
+    val mapping = Seq(("Q1", "Q1"), ("Q2", "Q1")).toDF("node", "component")
+    val triples = Seq(
+      (graft.kg.Model.WD + "Q2", "p", "x", false, ""),
+      (graft.kg.Model.WD + "Q3", "p", graft.kg.Model.WD + "Q2", false, ""))
+      .toDF("subj", "pred", "obj", "objIsLiteral", "objDatatype")
+    // dictionary-sized mapping: the hint is applied (logical plan carries
+    // the broadcast join hint before AQE can second-guess it)
+    val small = Canonical.canonicalizeTriples(triples, mapping)
+    assert(small.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("broadcast"),
+      small.queryExecution.optimizedPlan.toString.take(1500))
+    // above the guard: NO forced hint — the planner keeps its freedom to
+    // fall back to a shuffle join when the entity space is corpus-scale
+    val big = Canonical.canonicalizeTriples(triples, mapping, maxBroadcastRows = 0L)
+    assert(!big.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("strategy=broadcast"),
+      big.queryExecution.optimizedPlan.toString.take(1500))
+    // semantics identical either way
+    assert(small.collect().map(_.toSeq).toSet == big.collect().map(_.toSeq).toSet)
+    val out = small.collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(out == Set((graft.kg.Model.WD + "Q1", "x"),
+      (graft.kg.Model.WD + "Q3", graft.kg.Model.WD + "Q1")))
+  }
+
   test("CC survives a 10^5-degree hub without a per-node neighbor buffer") {
     // one celebrity node with 100k neighbors: the min+join star steps
     // stream it; the old collect_set formulation materialized the whole

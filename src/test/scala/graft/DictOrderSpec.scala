@@ -20,10 +20,10 @@ class DictOrderSpec extends AnyFunSuite {
     "col", "nbn", "worms", "bold", "plazi", "apni", "msw3", "iNat",
     "eppo", "WdName")
 
-  def wdFixture(rows: Seq[Seq[String]]) = {
+  def wdFixture(rows: Seq[Seq[String]], slices: Int = 1) = {
     val schema = StructType(cols.map(StructField(_, StringType, nullable = true)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1), schema)
+      spark.sparkContext.parallelize(rows.map(Row.fromSeq), slices), schema)
   }
 
   test("idMaps: later ROW wins within a column (mixed-length Q-ids)") {
@@ -52,6 +52,30 @@ class DictOrderSpec extends AnyFunSuite {
     val (idMap, _) = Link.idMaps(prepped)
     val nm = idMap.filter($"key" === "EOL:99").select("value").head().getString(0)
     assert(nm == "Second", s"expected later-column 'Second', got $nm")
+  }
+
+  test("idMaps: column-major order survives >=128 input partitions") {
+    // monotonically_increasing_id packs the partition id into bits >=33,
+    // so partition 128+ of column 0 reaches 2^40 — a PACKED
+    // colIdx*2^40+rowIdx ordinal would let a late-partition column-0 key
+    // outrank column 1. The (colIdx, rowIdx) struct ordering must not.
+    // Key collision: the raw-WdID cell of the LAST row (partition ~199)
+    // vs the eol column of the FIRST row — eol melts later, so
+    // "RightWinner" must win regardless of partition id.
+    val rows =
+      (Seq[String]("http://www.wikidata.org/entity/Q5", "99") ++
+        Seq.fill(14)(null) :+ "RightWinner") +:
+      (1 until 199).map(i =>
+        Seq[String](s"http://www.wikidata.org/entity/Q${1000 + i}") ++
+          Seq.fill(15)(null) :+ s"Filler$i") :+
+      (Seq[String]("EOL:99") ++ Seq.fill(15)(null) :+ "WrongWinner")
+    val (idMap, _) = Link.idMaps(Link.prepWdSparql(wdFixture(rows, slices = 200)))
+    val nm = idMap.filter($"key" === "EOL:99").select("value").head().getString(0)
+    assert(nm == "RightWinner", s"column-major order corrupted: got $nm")
+    // and the whole dict equals the single-partition build
+    val (one, _) = Link.idMaps(Link.prepWdSparql(wdFixture(rows, slices = 1)))
+    assert(idMap.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      one.collect().map(r => (r.getString(0), r.getString(1))).toSet)
   }
 
   test("matchSpecies: later lineage FILE row wins (not lexicographic WdID)") {

@@ -267,6 +267,158 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.history(dir).map(_.id) == model.keys.toSeq.sorted)
   }
 
+  test("empty snapshots and empty deltas read as schema-typed empty frames") {
+    val dir = java.nio.file.Files.createTempDirectory("snapempty").toString + "/t"
+    val df = (0 until 10).map(i => (s"id$i", i)).toDF("id", "v")
+    val empty = df.filter(col("v") < 0)
+    // an empty OVERWRITE is a legal first snapshot
+    SnapshotTable.write(empty, dir)
+    val back = SnapshotTable.read(spark, dir)
+    assert(back.count() == 0 && back.schema.fieldNames.toSeq == Seq("id", "v"))
+    // an empty APPEND onto data keeps the data and yields an empty delta
+    SnapshotTable.write(df, dir, mode = "overwrite")
+    SnapshotTable.write(empty, dir, mode = "append")
+    assert(SnapshotTable.read(spark, dir).count() == 10)
+    val delta = SnapshotTable.readDelta(spark, dir, 2L)
+    assert(delta.count() == 0 && delta.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("concurrent writers: CAS commit loses no snapshot, history stays linear") {
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val dir = java.nio.file.Files.createTempDirectory("snapcas").toString + "/t"
+    val nWriters = 4
+    val latch = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(nWriters)
+    val futures = (0 until nWriters).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          val batch = (0 until 25).map(i => (s"w$w-r$i", i)).toDF("id", "v")
+          latch.await()
+          SnapshotTable.write(batch, dir, mode = "append")
+        }
+      })
+    }
+    latch.countDown()
+    val snaps = futures.map(_.get()).sorted
+    pool.shutdown()
+    // every writer got its own snapshot id, no clobbering
+    assert(snaps == (1L to nWriters.toLong), snaps.toString)
+    assert(SnapshotTable.read(spark, dir).count() == nWriters * 25L)
+    val hist = SnapshotTable.history(dir)
+    assert(hist.map(_.id) == (1L to nWriters.toLong))
+    // linear parent chain
+    assert(hist.map(_.parent) == (0L until nWriters.toLong))
+    // the head snapshot's manifest sees every writer's rows
+    val ids = SnapshotTable.read(spark, dir).select(col("id"))
+      .collect().map(_.getString(0)).toSet
+    (0 until nWriters).foreach(w => assert(ids.contains(s"w$w-r0")))
+  }
+
+  test("many-append read plan stays one scan relation (no per-snapshot union)") {
+    val dir = java.nio.file.Files.createTempDirectory("snapflat").toString + "/t"
+    (0 until 50).foreach { b =>
+      SnapshotTable.write((0 until 4).map(i => (s"b$b-r$i", i)).toDF("id", "v"),
+        dir, mode = "append", idempotencyKey = s"b$b")
+    }
+    val df = SnapshotTable.read(spark, dir)
+    assert(df.count() == 200)
+    // unpartitioned tables must assemble ONE parquet relation over all
+    // manifest files — a unionByName per snapshot would give Catalyst a
+    // 50-arm plan to re-analyze on every query
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), plan.take(2000))
+    // delta reads see exactly the files added after the cutoff
+    assert(SnapshotTable.readDelta(spark, dir, 45L).count() == 20)
+  }
+
+  test("lost state tables trigger a correctness-first rebuild, staying exact") {
+    import graft.kg.{Pipeline, Extract, Link, Materialize, DataGen, Model}
+    val base = java.nio.file.Files.createTempDirectory("snaploss").toString
+    val docsDir = s"$base/docs"; val graphDir = s"$base/graph"
+    val all = DataGen.corpus(spark, 80, 4).toDF()
+    SnapshotTable.write(all.filter(col("doc_id") < "DOC-000000050"), docsDir)
+    val r1 = Pipeline.incrementalFromTable(spark, docsDir, graphDir)
+    assert(r1.mode == "append")
+    // simulate state loss (expired/foreign state dirs): the anchored
+    // old view is unrecoverable, so the next increment must REBUILD
+    import scala.jdk.CollectionConverters._
+    val stateRoot = java.nio.file.Paths.get(s"$graphDir-state")
+    java.nio.file.Files.walk(stateRoot).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    SnapshotTable.write(all.filter(col("doc_id") >= "DOC-000000050"), docsDir,
+      mode = "append")
+    val r2 = Pipeline.incrementalFromTable(spark, docsDir, graphDir)
+    assert(r2.mode == "rebuild", s"expected rebuild on lost state, got ${r2.mode}")
+    val got = SnapshotTable.read(spark, graphDir).as[Model.Triple].collect().toSet
+    val records = Extract.records(all)
+    val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
+      DataGen.wdLineage(spark), 80)
+    val (dictId, dictName) = Materialize.wdMapDicts(matched)
+    val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
+    val want = Materialize.globiTriplesFused(records, dictId, dictName, Some(mm))
+      .as[Model.Triple].collect().toSet
+    assert(got == want, s"missing=${(want -- got).size} extra=${(got -- want).size}")
+  }
+
+  test("corpus-scale probe cardinality: per-record-unique ids stay exact and distributed") {
+    import graft.kg.{Pipeline, Extract, Link, Materialize, DataGen, Model}
+    val base = java.nio.file.Files.createTempDirectory("snapprobe").toString
+    val docsDir = s"$base/docs"; val graphDir = s"$base/graph"
+    // every record carries UNIQUE (never-resolvable) taxon ids — on real
+    // GloBI data verbatim ids approach per-record cardinality, so the
+    // probe state is corpus-scale; resolution happens via the repeating
+    // names. The stale-probe check must stay green (names resolve the
+    // same under both dictionary versions) WITHOUT collecting the probe
+    // table.
+    def doc(i: Long): Model.Document = {
+      val sk = (i % 4).toInt; val tk = (i % 4).toInt + 4
+      val l1 = DataGen.lineage(sk); val l2 = DataGen.lineage(tk)
+      val r = Model.VerbatimRecord(
+        doc_id = f"DOC-$i%09d", recNum = i,
+        sourceTaxonId = s"UNIQ:${100000 + i * 2}",
+        sourceTaxonName = DataGen.taxonName(sk),
+        sourceTaxonPathNames = s"${l1.kingdom}|${l1.family}",
+        sourceTaxonPathRankNames = "kingdom|family",
+        targetTaxonId = s"UNIQ:${100001 + i * 2}",
+        targetTaxonName = DataGen.taxonName(tk),
+        targetTaxonPathNames = s"${l2.kingdom}|${l2.family}",
+        targetTaxonPathRankNames = "kingdom|family",
+        interactionTypeName = "eats",
+        interactionTypeId = "http://purl.obolibrary.org/obo/RO_0002470",
+        localityName = "", referenceDoi = "", sourceDOI = "",
+        decimalLatitude = "", decimalLongitude = "",
+        sourceBodyPartName = "", sourceBodyPartId = "",
+        sourceLifeStageName = "", sourceLifeStageId = "",
+        targetBodyPartName = "", targetBodyPartId = "",
+        targetLifeStageName = "", targetLifeStageId = "",
+        sourceSexName = "", targetSexName = "",
+        mediaRefs = Nil)
+      Model.Document(r.doc_id, DataGen.renderSpans(r))
+    }
+    SnapshotTable.write((0L until 30L).map(doc).toDF(), docsDir)
+    val r1 = Pipeline.incrementalFromTable(spark, docsDir, graphDir)
+    assert(r1.mode == "append" && r1.rowsWritten > 0)
+    SnapshotTable.write((30L until 60L).map(doc).toDF(), docsDir, mode = "append")
+    val r2 = Pipeline.incrementalFromTable(spark, docsDir, graphDir)
+    // name resolutions are stable ⇒ the (distributed) probe check takes
+    // the fast append path even though probe cardinality == 2×corpus
+    assert(r2.mode == "append", s"expected fast path, got ${r2.mode}")
+    // probe state really is per-record-scale and append-only
+    val probes = SnapshotTable.read(spark, s"$graphDir-state/probes")
+    assert(probes.count() == 120) // 2 unique ids × 60 docs
+    // exactness vs a full rebuild
+    val all = (0L until 60L).map(doc).toDF()
+    val records = Extract.records(all)
+    val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
+      DataGen.wdLineage(spark), 60)
+    val (dictId, dictName) = Materialize.wdMapDicts(matched)
+    val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
+    val want = Materialize.globiTriplesFused(records, dictId, dictName, Some(mm))
+      .as[Model.Triple].collect().toSet
+    val got = SnapshotTable.read(spark, graphDir).as[Model.Triple].collect().toSet
+    assert(got == want, s"missing=${(want -- got).size} extra=${(got -- want).size}")
+  }
+
   test("partitioned snapshot write keeps partition columns readable") {
     val dir = java.nio.file.Files.createTempDirectory("snappart").toString + "/t"
     val df = (0 until 100).map(i => (s"id$i", s"p${i % 3}", i)).toDF("id", "p", "v")
