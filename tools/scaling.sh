@@ -58,6 +58,9 @@ Headline metric: triples extracted+linked/sec (extraction -> linking ->
 resolution -> emission -> global distinct). CC canonicalization timed
 separately (iterative driver loop).
 """
+import os
+if os.path.exists("BENCH_NOTES.md"):
+    md += "\n" + open("BENCH_NOTES.md").read()
 open("BENCH.md", "w").write(md)
 EOF
 rm -rf "$DIR"
