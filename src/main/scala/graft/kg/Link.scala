@@ -257,17 +257,34 @@ object Link {
     LocalMatcher.matchTaxa(taxa.toSeq, wdSparqlRows, lineageRows)
   }
 
+  /** Driver-local matched rows → DataFrame via parallelize, NOT a
+    * LocalRelation: a LocalTableScan feeding an exchange embeds the
+    * whole row collection in every task binary (the driver bench logged
+    * `task of very large size (1189 KiB)` for exactly this), while
+    * parallelize ships each task only its slice.
+    */
+  def matchedRowsToDf(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[LocalMatcher.MatchedRow], slices: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType, StringType, LongType}
+    val schema = StructType(Seq(
+      StructField("TaxonId", StringType, true),
+      StructField("TaxonName", StringType, true),
+      StructField("Mapped_Value", StringType, true),
+      StructField("Mapped_ID_WD", StringType, true),
+      StructField("Match_Status", StringType, true),
+      StructField("rowIdx", LongType, false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(m =>
+        org.apache.spark.sql.Row(m.taxonId, m.taxonName, m.mappedValue,
+          m.mappedIdWd, m.status, m.rowIdx)), math.max(slices, 1)),
+      schema)
+  }
+
   /** Compact matcher as a DataFrame (same schema consumers expect). */
   def matchTaxaCompactDf(records: DataFrame, wdSparqlRows: Seq[Seq[String]],
-      lineageRows: Seq[Seq[String]], nDocs: Long): DataFrame = {
-    val spark = records.sparkSession
-    import spark.implicits._
-    matchTaxaCompact(records, wdSparqlRows, lineageRows, nDocs)
-      .map(m => (m.taxonId, m.taxonName, m.mappedValue, m.mappedIdWd,
-        m.status, m.rowIdx))
-      .toDF("TaxonId", "TaxonName", "Mapped_Value", "Mapped_ID_WD",
-        "Match_Status", "rowIdx")
-  }
+      lineageRows: Seq[Seq[String]], nDocs: Long): DataFrame =
+    matchedRowsToDf(records.sparkSession,
+      matchTaxaCompact(records, wdSparqlRows, lineageRows, nDocs))
 
   /** Adaptive matcher: counts the DISTINCT taxa table (the only thing
     * the compact path collects) and picks the driver-local refinement
@@ -288,16 +305,12 @@ object Link {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out =
       if (taxa.count() <= maxDriverRows) {
-        import spark.implicits._
         val rows = taxa.collect()
           .map(r => LocalMatcher.TaxaRow(r.getString(0), r.getString(1),
             r.getString(2), r.getString(3), r.getLong(4)))
           .sortBy(_.rowIdx)
-        LocalMatcher.matchTaxa(rows.toSeq, wdSparqlRows, lineageRows)
-          .map(m => (m.taxonId, m.taxonName, m.mappedValue, m.mappedIdWd,
-            m.status, m.rowIdx))
-          .toDF("TaxonId", "TaxonName", "Mapped_Value", "Mapped_ID_WD",
-            "Match_Status", "rowIdx")
+        matchedRowsToDf(spark,
+          LocalMatcher.matchTaxa(rows.toSeq, wdSparqlRows, lineageRows))
       } else {
         // beyond driver memory: rebuild the dimension DataFrames from
         // the same fixture rows and run the distributed formulation

@@ -211,13 +211,9 @@ object Pipeline {
         col("TaxonRankName"), col("rowIdx")).collect()
       .map(r => LocalMatcher.TaxaRow(r.getString(0), r.getString(1),
         r.getString(2), r.getString(3), r.getLong(4))).sortBy(_.rowIdx)
-    val matchedRows = LocalMatcher.matchTaxa(taxa.toSeq,
-      DataGen.wdSparqlRows, DataGen.lineageRows)
-    val matchedDf = matchedRows
-      .map(m => (m.taxonId, m.taxonName, m.mappedValue, m.mappedIdWd,
-        m.status, m.rowIdx))
-      .toDF("TaxonId", "TaxonName", "Mapped_Value", "Mapped_ID_WD",
-        "Match_Status", "rowIdx")
+    val matchedDf = Link.matchedRowsToDf(spark,
+      LocalMatcher.matchTaxa(taxa.toSeq,
+        DataGen.wdSparqlRows, DataGen.lineageRows))
     val mappingDf = Canonical.connectedComponents(
       Canonical.equivalenceEdges(matchedDf))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -104,6 +104,42 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dd_lsh_clusters" -> ((s: SparkSession, dir: String) => {
+      // the dedup ACTION on top of near-dup pairs: connected components
+      // over the verified LSH pair graph (transitive closure — A≈B≈C
+      // collapse together even when A,C never paired), then one keeper
+      // per cluster (min doc id) + cluster size. The CC runs over
+      // near-dup EDGES (pair-scale, not corpus-scale); docs without any
+      // near-dup never enter the graph.
+      val pairs = Dedup.minhashLsh(s.read.parquet(t(dir, "documents")),
+          "doc_id", "text", k = 4, rowsPerBand = 2, threshold = 0.8)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.kg.Canonical.connectedComponents(pairs)
+        .groupBy(col("component").as("keep_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // ---- text analysis: tf-idf term ranking ------------------------------
+    "tx_tfidf_topk" -> ((s: SparkSession, dir: String) => {
+      // top-3 characteristic terms per doc, ranked (tf desc, df asc,
+      // term) — the integer-exact tf-idf ordering (higher tf, rarer
+      // term wins) with no float logarithm to disagree across engines
+      import org.apache.spark.sql.expressions.Window
+      val d = s.read.parquet(t(dir, "documents"))
+      val tok = d.select(col("doc_id"),
+        explode(TextOps.tokens(TextOps.normalizeText(col("text")))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(dfreq, Seq("term"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
     "dd_simhash" -> ((s: SparkSession, dir: String) => {
       // engine-portable 60-bit md5 SimHash — hash-verified by the DuckDB
       // oracle (the xxhash64 variant stays as the Spark-native fast path,
@@ -190,6 +226,35 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("sess_id"))
     }),
 
+    "ev_asof_join" -> ((s: SparkSession, dir: String) => {
+      // as-of join: each click paired with the user's latest view at or
+      // before it — the classic time-series enrichment. Composed from
+      // existing operators (one window pass over the union of both
+      // event streams: last_value ignoreNulls), NOT an O(clicks×views)
+      // join: a single shuffle on user_id, linear scan per user.
+      import org.apache.spark.sql.expressions.Window
+      val e = s.read.parquet(t(dir, "events"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      e.withColumn("_v_ts", when(col("event_type") === "view", col("ts")))
+        .withColumn("last_view_ts", last(col("_v_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"), col("last_view_ts"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "ev_json_extract" -> ((s: SparkSession, dir: String) => {
+      // semi-structured extraction: JSON props column → typed key, then
+      // aggregate — get_json_object is codegen'd, no UDF
+      val e = s.read.parquet(t(dir, "events"))
+      e.select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+        .orderBy(col("k"))
+    }),
+
     "ev_dedup_first" -> ((s: SparkSession, dir: String) => {
       // keep-first dedup by (user_id, event_type) — streaming dropDuplicates
       // semantics, deterministic batch formulation
@@ -232,11 +297,13 @@ object PipelineQueries {
            ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))::BIGINT AS token
          FROM tarr, UNNEST(generate_series(1, len(ts) - 2)) t(i))"""
 
-  /** The MinHash(4)/2-band/cap-1000 LSH + exact-Jaccard verify body,
-    * parameterized by the token CTE (word tokens or shingles).
+  /** The MinHash(4)/2-band/cap-1000 LSH + exact-Jaccard verify CTE
+    * chain ending in `pairs(id_a, id_b)`, parameterized by the token
+    * CTE (word tokens or shingles) — shared by the pair queries and
+    * the cluster closure.
     */
-  private def lshVerifySql(tokCte: String, threshold: String): String = s"""
-         WITH $tokCte,
+  private def lshPairsCtes(tokCte: String, threshold: String): String = s"""
+         $tokCte,
          sig AS (
            SELECT id,
                   MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
@@ -259,12 +326,16 @@ object PipelineQueries {
            SELECT c.id_a, c.id_b, COUNT(*) AS n_common
            FROM cand c JOIN tok a ON a.id = c.id_a
                        JOIN tok b ON b.id = c.id_b AND b.token = a.token
-           GROUP BY c.id_a, c.id_b)
-         SELECT id_a, id_b FROM common
-           JOIN cnt ca ON ca.id = common.id_a
-           JOIN cnt cb ON cb.id = common.id_b
-         WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE) >= $threshold
-         ORDER BY id_a, id_b"""
+           GROUP BY c.id_a, c.id_b),
+         pairs AS (
+           SELECT id_a, id_b FROM common
+             JOIN cnt ca ON ca.id = common.id_a
+             JOIN cnt cb ON cb.id = common.id_b
+           WHERE CAST(n_common AS DOUBLE) / CAST(ca.n_tok + cb.n_tok - n_common AS DOUBLE) >= $threshold)"""
+
+  private def lshVerifySql(tokCte: String, threshold: String): String =
+    s"""WITH ${lshPairsCtes(tokCte, threshold)}
+        SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b"""
 
   val oracle: Map[String, String] = Map(
     "tx_token_count" ->
@@ -329,6 +400,52 @@ object PipelineQueries {
     "dd_minhash_lsh" -> lshVerifySql(hashedTokensCte, "0.8"),
 
     "dd_shingle_lsh" -> lshVerifySql(shinglesCte, "0.8"),
+
+    // transitive closure over the verified pair graph, as a recursive
+    // CTE — component = lexicographic-min member = the keeper
+    "dd_lsh_clusters" -> s"""
+         WITH RECURSIVE ${lshPairsCtes(hashedTokensCte, "0.8")},
+         sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         nodes AS (SELECT DISTINCT u AS node FROM sym),
+         reach(node, comp) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.node),
+         mapping AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+         SELECT component AS keep_id, COUNT(*) AS n_members
+         FROM mapping GROUP BY 1 ORDER BY keep_id""",
+
+    "tx_tfidf_topk" -> """
+         WITH tok AS (
+           SELECT doc_id, UNNEST(regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         r AS (
+           SELECT doc_id, term, tf, df,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tf DESC, df ASC, term ASC) AS rn
+           FROM tf JOIN dfreq USING (term))
+         SELECT doc_id, term, tf, df FROM r WHERE rn <= 3
+         ORDER BY doc_id, term""",
+
+    "ev_asof_join" -> """
+         WITH x AS (
+           SELECT user_id, event_id, ts, event_type,
+                  last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+           FROM events)
+         SELECT user_id, event_id, ts, last_view_ts FROM x
+         WHERE event_type = 'click' ORDER BY user_id, event_id""",
+
+    "ev_json_extract" -> """
+         SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY 1 ORDER BY k""",
 
     "dd_jaccard_pairs" -> s"""
          WITH $tokensCte,
