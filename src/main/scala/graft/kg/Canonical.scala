@@ -84,6 +84,11 @@ object Canonical {
     // steps are monotone (a converged edge set is a fixpoint, so the
     // extra round is a no-op), and halving the signature actions halves
     // the driver round-trips that dominate the tail iterations.
+    // every round IS checkpointed: each star step references its input
+    // 3× (sym edges + per-node mins + the union arm), so an
+    // un-materialized round would re-execute the previous round's DAG
+    // multiplicatively — measured 5× slower when tried. Only the
+    // SIGNATURE action runs every 2nd round.
     var cur = canon(edges).localCheckpoint(true)
     var sig = signature(cur)
     var converged = false

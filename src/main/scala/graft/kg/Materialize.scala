@@ -492,6 +492,35 @@ object Materialize {
     uniquePart.unionByName(sharedPart)
   }
 
+  /** Distributed-dictionary emission with the SAME split dedup as the
+    * fused path: record-scoped triples (recNum-minted subjects, unique
+    * by construction) bypass the global distinct; only the shared
+    * entity-description subset — a tiny domain that collapses map-side —
+    * shuffles. This is the beyond-driver-memory companion to
+    * globiTriplesFusedMaps: resolve() upstream does the dictionary
+    * joins (broadcast, degrading to shuffle joins past executor
+    * memory), and the emission never re-shuffles the corpus.
+    */
+  def globiTriplesSplit(resolved: Dataset[ResolvedRecord],
+      mediaMentions: Option[DataFrame] = None): DataFrame = {
+    val spark = resolved.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(termVocab())
+    val tagged0 = resolved.flatMap(r => emitTagged(r, bc.value)
+        .map(x => (x._1.subj, x._1.pred, x._1.obj, x._1.objIsLiteral,
+          x._1.objDatatype, x._2)))
+      .toDF("subj", "pred", "obj", "objIsLiteral", "objDatatype", "shared")
+    val tagged = mediaMentions
+      .map(m => tagged0.unionByName(mediaTriplesTagged(m)))
+      .getOrElse(tagged0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tripleCols = Seq("subj", "pred", "obj", "objIsLiteral", "objDatatype")
+    val uniquePart = tagged.filter(!col("shared")).select(tripleCols.map(col): _*)
+    val sharedPart = tagged.filter(col("shared")).select(tripleCols.map(col): _*)
+      .dropDuplicates(tripleCols)
+    uniquePart.unionByName(sharedPart)
+  }
+
   /** Full GloBI triple materialization: resolved records → deduplicated
     * triple table.
     */

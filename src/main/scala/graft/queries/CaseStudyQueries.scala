@@ -42,7 +42,7 @@ object CaseStudyQueries {
         DataGen.lineageRows, n, maxDriverRows = 0L)
       val (dictId, dictName) = Materialize.wdMapDicts(matched)
       val mm = Extract.mediaMentions(records, DataGen.mediaMeta(s))
-      Materialize.globiTriples(
+      Materialize.globiTriplesSplit(
         Materialize.resolve(records, dictId, dictName), Some(mm))
     }),
 
