@@ -100,6 +100,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(hist.tail.forall(_.operation == "append"))
   }
 
+  test("streaming micro-batches drive exact incremental KG maintenance") {
+    // the full composition: stream → docs snapshot append (exactly-once
+    // via batch-id key) → incremental maintenance per micro-batch — and
+    // the final graph is EXACTLY the full-rebuild triple set
+    import graft.sources.SnapshotTable
+    import graft.kg.{Pipeline, Extract, Link, Materialize, DataGen, Model}
+    val tmp = java.nio.file.Files.createTempDirectory("streaminc").toString
+    val inDir = s"$tmp/in"; val docsDir = s"$tmp/docs"
+    val graphDir = s"$tmp/graph"; val cp = s"$tmp/cp"
+    val docs = DataGen.corpus(spark, 90, 3).toDF()
+    docs.write.mode("overwrite").parquet(inDir)
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        SnapshotTable.write(batch, docsDir, mode = "append",
+          idempotencyKey = s"docs-batch-$id")
+        Pipeline.incrementalFromTable(spark, docsDir, graphDir): Unit
+      }
+      .start()
+    q.awaitTermination()
+    val got = SnapshotTable.read(spark, graphDir).as[Model.Triple].collect().toSet
+    val records = Extract.records(docs)
+    val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
+      DataGen.wdLineage(spark), 90)
+    val (dictId, dictName) = Materialize.wdMapDicts(matched)
+    val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
+    val want = Materialize.globiTriplesFused(records, dictId, dictName, Some(mm))
+      .as[Model.Triple].collect().toSet
+    assert(got == want, s"missing=${(want -- got).size} extra=${(got -- want).size}")
+    // exactly one graph snapshot per docs snapshot, keyed to it
+    val graphHist = SnapshotTable.history(graphDir)
+    assert(graphHist.nonEmpty)
+    assert(SnapshotTable.committedKey(graphDir, graphHist.last.id)
+      .exists(_.startsWith("docs-snap-")))
+  }
+
   test("multimodal: feature extraction, resize, frame sampling") {
     val media = Multimodal.mediaBinary(spark, 60, 4)
     val feats = Multimodal.extractFeatures(media).collect()
