@@ -153,8 +153,16 @@ object SnapshotTable {
     */
   def snapshotWithKey(dir: String, idempotencyKey: String): Option[Long] =
     if (idempotencyKey.isEmpty) None
-    else history(dir).reverse
-      .find(s => committedKey(dir, s.id).contains(idempotencyKey)).map(_.id)
+    else {
+      // fast path: the overwhelmingly common replay re-delivers the key
+      // of the HEAD snapshot — one metadata read, no directory listing
+      // (a full history scan per append would make a long streaming
+      // append sequence O(n²) in metadata reads)
+      val cur = currentSnapshot(dir)
+      if (cur > 0 && committedKey(dir, cur).contains(idempotencyKey)) Some(cur)
+      else history(dir).reverse
+        .find(s => committedKey(dir, s.id).contains(idempotencyKey)).map(_.id)
+    }
 
   /** Write a new snapshot. `mode` = "overwrite" (the new snapshot's
     * manifest lists only the new files) or "append" (parent manifest ∪
