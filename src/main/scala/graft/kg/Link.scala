@@ -102,12 +102,20 @@ object Link {
     val dedup = norm
       .groupBy(col("TaxonId"), col("TaxonName"), col("TaxonPathName"), col("TaxonRankName"))
       .agg(min(col("rowIdx")).as("rowIdx"))
-    // rank-path unpack (matcher.py:416-427): zip ranks with names
-    // positionally, zip_longest-style "" fill when names run short.
-    // Duplicate rank names are LAST-WINS (dict(zip_longest) semantics,
-    // matcher.py:419, = LocalMatcher.extractRanks .toMap) — a plain
-    // map_from_arrays would throw under mapKeyDedupPolicy=EXCEPTION on
-    // noisy paths like "kingdom|kingdom|family".
+    unpackRanks(dedup)
+  }
+
+  /** Rank-path unpack (matcher.py:416-427) over a distinct-taxa table:
+    * zip ranks with names positionally, zip_longest-style "" fill when
+    * names run short. Duplicate rank names are LAST-WINS
+    * (dict(zip_longest) semantics, matcher.py:419,
+    * = LocalMatcher.extractRanks .toMap) — a plain map_from_arrays
+    * would throw under mapKeyDedupPolicy=EXCEPTION on noisy paths like
+    * "kingdom|kingdom|family". Factored out of stackTaxa so the
+    * ACCUMULATED taxa state (which stores only the 5 base columns) can
+    * re-enter the distributed matcher without re-stacking the corpus.
+    */
+  def unpackRanks(dedup: DataFrame): DataFrame = {
     val ranksArr = transform(split(col("TaxonRankName"), "\\|"), r => trim(r))
     val namesArr = transform(split(col("TaxonPathName"), "\\|"), n => trim(n))
     val entries = transform(sequence(lit(1), size(ranksArr)), i =>
@@ -344,14 +352,34 @@ object Link {
     */
   def matchTaxa(records: DataFrame, wdSparql: DataFrame, lineage: DataFrame,
       nDocs: Long): DataFrame = {
-    val prepped = prepWdSparql(wdSparql)
-    val (idMap, idMapWd) = idMaps(prepped)
     val taxa = stackTaxa(records, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    matchStackedTaxa(taxa, wdSparql, lineage)
+  }
+
+  /** Distributed matcher over an ALREADY-STACKED distinct-taxa table —
+    * the incremental-maintenance entry point: the accumulated taxa
+    * state (TaxonId, TaxonName, TaxonPathName, TaxonRankName, rowIdx)
+    * IS a stacked table with global first-occurrence ordinals, so the
+    * corpus is never re-scanned to rebuild dictionaries. Accepts the
+    * 5-column base shape (ranks re-derived distributedly) or the full
+    * stackTaxa output.
+    */
+  def matchTaxaFromTaxa(taxa5: DataFrame, wdSparql: DataFrame,
+      lineage: DataFrame): DataFrame =
+    matchStackedTaxa(
+      unpackRanks(taxa5.select(col("TaxonId"), col("TaxonName"),
+        col("TaxonPathName"), col("TaxonRankName"), col("rowIdx"))),
+      wdSparql, lineage)
+
+  private def matchStackedTaxa(taxa: DataFrame, wdSparql: DataFrame,
+      lineage: DataFrame): DataFrame = {
+    val prepped = prepWdSparql(wdSparql)
+    val (idMap, idMapWd) = idMaps(prepped)
     val initial = initialMatch(taxa, idMap, idMapWd)
     val out = secondaryMatch(initial, lineagePrep(lineage))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize once; also frees the taxa persist for reuse
+    out.count() // materialize once; also frees upstream persists for reuse
     out
   }
 }

@@ -96,17 +96,25 @@ object Materialize {
     * id-dict, else raw name in the name-dict, else drop; then drop
     * self-interactions. Returns the typed resolved-record Dataset.
     */
-  def resolve(records: DataFrame, dictId: DataFrame, dictName: DataFrame)
-      : Dataset[ResolvedRecord] = {
+  def resolve(records: DataFrame, dictId: DataFrame, dictName: DataFrame,
+      maxBroadcastRows: Long = 2000000L): Dataset[ResolvedRecord] = {
     val spark = records.sparkSession
     import spark.implicits._
+    // row-count-guarded broadcast (same policy as matchTaxaAdaptive /
+    // canonicalizeTriples): dictionary-sized dicts broadcast; an entity
+    // space that scales with the corpus falls back to shuffle joins
+    // (salt with ops/Salting when the corpus plants hub keys). The
+    // counts are cheap — wdMapDicts persists both dicts.
+    val hintBroadcast =
+      dictId.count() + dictName.count() <= maxBroadcastRows
+    def h(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
     def lookup(df: DataFrame, p: String): DataFrame = {
       val byId = dictId.select(col("key").as(s"_${p}k1"),
         struct(col("wd"), col("mv")).as(s"_${p}byId"))
       val byName = dictName.select(col("key").as(s"_${p}k2"),
         struct(col("wd"), col("mv")).as(s"_${p}byName"))
-      df.join(broadcast(byId), col(s"${p}TaxonId") === col(s"_${p}k1"), "left")
-        .join(broadcast(byName), col(s"${p}TaxonName") === col(s"_${p}k2"), "left")
+      df.join(h(byId), col(s"${p}TaxonId") === col(s"_${p}k1"), "left")
+        .join(h(byName), col(s"${p}TaxonName") === col(s"_${p}k2"), "left")
         .withColumn(s"_${p}res",
           coalesce(col(s"_${p}byId"), col(s"_${p}byName")))
         .withColumn(s"${p}Wd", col(s"_${p}res.wd"))
@@ -501,7 +509,12 @@ object Materialize {
     * joins (broadcast, degrading to shuffle joins past executor
     * memory), and the emission never re-shuffles the corpus.
     */
-  def globiTriplesSplit(resolved: Dataset[ResolvedRecord],
+  /** Tagged emission over resolved records (the distributed-dictionary
+    * twin of globiTriplesFusedTagged): (triple columns, shared) with
+    * media triples unioned in, no dedup applied — callers split on the
+    * tag.
+    */
+  def globiTriplesSplitTagged(resolved: Dataset[ResolvedRecord],
       mediaMentions: Option[DataFrame] = None): DataFrame = {
     val spark = resolved.sparkSession
     import spark.implicits._
@@ -510,9 +523,14 @@ object Materialize {
         .map(x => (x._1.subj, x._1.pred, x._1.obj, x._1.objIsLiteral,
           x._1.objDatatype, x._2)))
       .toDF("subj", "pred", "obj", "objIsLiteral", "objDatatype", "shared")
-    val tagged = mediaMentions
+    mediaMentions
       .map(m => tagged0.unionByName(mediaTriplesTagged(m)))
       .getOrElse(tagged0)
+  }
+
+  def globiTriplesSplit(resolved: Dataset[ResolvedRecord],
+      mediaMentions: Option[DataFrame] = None): DataFrame = {
+    val tagged = globiTriplesSplitTagged(resolved, mediaMentions)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tripleCols = Seq("subj", "pred", "obj", "objIsLiteral", "objDatatype")
     val uniquePart = tagged.filter(!col("shared")).select(tripleCols.map(col): _*)

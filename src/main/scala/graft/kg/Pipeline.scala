@@ -182,11 +182,13 @@ object Pipeline {
     * is test-pinned in SnapshotTableSpec.
     */
   def incrementalCanonicalFromTable(spark: SparkSession, docsTableDir: String,
-      rawGraphTableDir: String, canonicalTableDir: String): IncrementalResult = {
+      rawGraphTableDir: String, canonicalTableDir: String,
+      maxDriverRows: Long = 2000000L): IncrementalResult = {
     import graft.sources.SnapshotTable
     import spark.implicits._
     val mappingStateDir = s"$canonicalTableDir-state/mapping"
-    val raw = incrementalFromTable(spark, docsTableDir, rawGraphTableDir)
+    val raw = incrementalFromTable(spark, docsTableDir, rawGraphTableDir,
+      maxDriverRows)
     val rawSnapNow = SnapshotTable.currentSnapshot(rawGraphTableDir)
     val canonSnap = SnapshotTable.currentSnapshot(canonicalTableDir)
     // the raw snapshot the canonical table last processed — derived from
@@ -202,18 +204,24 @@ object Pipeline {
     if (canonSnap > 0 && lastRawProcessed >= rawSnapNow)
       return IncrementalResult(0L, canonSnap, 0L, "noop")
 
-    // full mapping from the accumulated matched state (dimension-sized;
-    // after incrementalFromTable returns, the latest taxa state always
-    // matches the raw graph head)
+    // full mapping from the accumulated matched state (after
+    // incrementalFromTable returns, the latest taxa state always
+    // matches the raw graph head) — adaptive like deriveDicts: the
+    // distributed matcher takes over past the driver guard
     val taxaStateDir = s"$rawGraphTableDir-state/taxa"
-    val taxa = SnapshotTable.read(spark, taxaStateDir)
+    val taxaDf = SnapshotTable.read(spark, taxaStateDir)
       .select(col("TaxonId"), col("TaxonName"), col("TaxonPathName"),
-        col("TaxonRankName"), col("rowIdx")).collect()
-      .map(r => LocalMatcher.TaxaRow(r.getString(0), r.getString(1),
-        r.getString(2), r.getString(3), r.getLong(4))).sortBy(_.rowIdx)
-    val matchedDf = Link.matchedRowsToDf(spark,
-      LocalMatcher.matchTaxa(taxa.toSeq,
-        DataGen.wdSparqlRows, DataGen.lineageRows))
+        col("TaxonRankName"), col("rowIdx"))
+    val matchedDf =
+      if (taxaDf.count() <= maxDriverRows) {
+        val taxa = taxaDf.collect()
+          .map(r => LocalMatcher.TaxaRow(r.getString(0), r.getString(1),
+            r.getString(2), r.getString(3), r.getLong(4))).sortBy(_.rowIdx)
+        Link.matchedRowsToDf(spark,
+          LocalMatcher.matchTaxa(taxa.toSeq,
+            DataGen.wdSparqlRows, DataGen.lineageRows))
+      } else Link.matchTaxaFromTaxa(taxaDf,
+        DataGen.wdSparql(spark), DataGen.wdLineage(spark))
     val mappingDf = Canonical.connectedComponents(
       Canonical.equivalenceEdges(matchedDf))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -290,7 +298,8 @@ object Pipeline {
       .distinct()
 
   def incrementalFromTable(spark: SparkSession, docsTableDir: String,
-      rawGraphTableDir: String): IncrementalResult = {
+      rawGraphTableDir: String,
+      maxDriverRows: Long = 2000000L): IncrementalResult = {
     import graft.sources.SnapshotTable
     import spark.implicits._
     val keyPrefix = "docs-snap-"
@@ -367,38 +376,66 @@ object Pipeline {
         col("TaxonRankName"))
       .agg(min(col("rowIdx")).as("rowIdx"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (newId, newName) = dictsOf(collectTaxa(mergedTaxaDf))
+
+    // dictionary derivation, ADAPTIVE (the same row-count guard policy
+    // as Link.matchTaxaAdaptive): while the distinct-taxa state fits
+    // the driver, the LocalMatcher refinement runs in one collect;
+    // beyond it the distributed matcher + relational dict build take
+    // over — compact == distributed is test-pinned, so the switch
+    // never changes the answer. Both produce (key, wd, mv) dict
+    // DataFrames; the compact path additionally yields the hash maps
+    // the fused emission broadcasts.
+    def deriveDicts(taxaDf: DataFrame): (DataFrame, DataFrame,
+        Option[(Map[String, (String, String)], Map[String, (String, String)])]) =
+      if (taxaDf.count() <= maxDriverRows) {
+        val (mi, mn) = dictsOf(collectTaxa(taxaDf))
+        def toDf(m: Map[String, (String, String)]) =
+          m.toSeq.map { case (k, (w, v)) => (k, w, v) }.toDF("key", "wd", "mv")
+        (toDf(mi), toDf(mn), Some((mi, mn)))
+      } else {
+        val matched = Link.matchTaxaFromTaxa(taxaDf,
+          DataGen.wdSparql(spark), DataGen.wdLineage(spark))
+        val (di, dn) = Materialize.wdMapDicts(matched)
+        (di, dn, None)
+      }
+    val (newIdDf, newNameDf, newMaps) = deriveDicts(mergedTaxaDf)
 
     // 3-4: stale-emission detection, fully DISTRIBUTED: resolve every
     // previously-seen probe under the previous and the final
-    // dictionaries with broadcast joins (the dictionaries are
-    // dimension-sized; the probes are corpus-scale and never leave the
-    // cluster) and look for any difference. Resolution semantics mirror
+    // dictionaries (the probes are corpus-scale and never leave the
+    // cluster; dict joins broadcast via AQE while dimension-sized) and
+    // look for any difference. Resolution semantics mirror
     // Materialize.resolve: id-dict hit wins, else name-dict, else none.
     val needRebuild = stateLost || (graphSnap > 0 && lastProcessed > 0 && {
-      val (oldId, oldName) = dictsOf(collectTaxa(oldTaxaDf.get))
-      def dictDf(m: Map[String, (String, String)], key: String, p: String) =
-        m.toSeq.map { case (k, (w, v)) => (k, w, v) }
-          .toDF(key, s"${p}_wd", s"${p}_mv")
+      val (oldIdDf, oldNameDf, _) = deriveDicts(oldTaxaDf.get)
+      def d(df: DataFrame, key: String, p: String) =
+        df.select(col("key").as(key), col("wd").as(s"${p}_wd"),
+          col("mv").as(s"${p}_mv"))
       def resCol(p: String): org.apache.spark.sql.Column = coalesce(
         when(col(s"${p}i_wd").isNotNull,
           struct(col(s"${p}i_wd").as("w"), col(s"${p}i_mv").as("m"))),
         when(col(s"${p}n_wd").isNotNull,
           struct(col(s"${p}n_wd").as("w"), col(s"${p}n_mv").as("m"))))
       SnapshotTable.read(spark, probesStateDir, oldProbesSnap)
-        .join(broadcast(dictDf(oldId, "id", "oi")), Seq("id"), "left")
-        .join(broadcast(dictDf(oldName, "name", "on")), Seq("name"), "left")
-        .join(broadcast(dictDf(newId, "id", "ni")), Seq("id"), "left")
-        .join(broadcast(dictDf(newName, "name", "nn")), Seq("name"), "left")
+        .join(d(oldIdDf, "id", "oi"), Seq("id"), "left")
+        .join(d(oldNameDf, "name", "on"), Seq("name"), "left")
+        .join(d(newIdDf, "id", "ni"), Seq("id"), "left")
+        .join(d(newNameDf, "name", "nn"), Seq("name"), "left")
         .filter(!(resCol("o") <=> resCol("n")))
         .limit(1).count() > 0
     })
 
     val emitRecords = if (needRebuild) fullRecords else deltaRecords
     val mm = Extract.mediaMentions(emitRecords, DataGen.mediaMeta(spark))
-    val tagged = Materialize
-      .globiTriplesFusedTagged(emitRecords, newId, newName, Some(mm))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tagged = (newMaps match {
+      case Some((mi, mn)) =>
+        Materialize.globiTriplesFusedTagged(emitRecords, mi, mn, Some(mm))
+      case None =>
+        // beyond-driver dictionaries: distributed two-tier resolution +
+        // tagged split emission — no driver-side dictionary at all
+        Materialize.globiTriplesSplitTagged(
+          Materialize.resolve(emitRecords, newIdDf, newNameDf), Some(mm))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tripleCols = Seq("subj", "pred", "obj", "objIsLiteral", "objDatatype")
     val uniquePart = tagged.filter(!col("shared")).select(tripleCols.map(col): _*)
     val sharedPart = tagged.filter(col("shared")).select(tripleCols.map(col): _*)

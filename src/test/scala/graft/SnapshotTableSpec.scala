@@ -419,6 +419,47 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(got == want, s"missing=${(want -- got).size} extra=${(got -- want).size}")
   }
 
+  test("incremental maintenance stays exact on the fully DISTRIBUTED dictionary path") {
+    import graft.kg.{Pipeline, Extract, Link, Materialize, Canonical, DataGen, Model}
+    val base = java.nio.file.Files.createTempDirectory("snapdist").toString
+    val docsDir = s"$base/docs"; val rawDir = s"$base/raw"; val canonDir = s"$base/canon"
+    val all = DataGen.corpus(spark, 100, 4).toDF()
+    // maxDriverRows = 0: dictionaries derive from the distributed
+    // matcher over the accumulated taxa state, emission runs through
+    // resolve + split (zero driver-side dictionary work), and the
+    // probe check joins the distributed dict DataFrames — the
+    // beyond-driver-memory production configuration, end to end,
+    // INCLUDING the canonical layer
+    SnapshotTable.write(all.filter(col("doc_id") < "DOC-000000060"), docsDir)
+    val c1 = Pipeline.incrementalCanonicalFromTable(spark, docsDir, rawDir,
+      canonDir, maxDriverRows = 0L)
+    assert(c1.rowsWritten > 0)
+    SnapshotTable.write(all.filter(col("doc_id") >= "DOC-000000060"), docsDir,
+      mode = "append")
+    val c2 = Pipeline.incrementalCanonicalFromTable(spark, docsDir, rawDir,
+      canonDir, maxDriverRows = 0L)
+    assert(c2.rowsWritten > 0)
+
+    // raw table equals the full rebuild
+    val records = Extract.records(all)
+    val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
+      DataGen.wdLineage(spark), 100)
+    val (dictId, dictName) = Materialize.wdMapDicts(matched)
+    val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
+    val triples = Materialize.globiTriplesFused(records, dictId, dictName, Some(mm))
+    val gotRaw = SnapshotTable.read(spark, rawDir).as[Model.Triple].collect().toSet
+    val wantRaw = triples.as[Model.Triple].collect().toSet
+    assert(gotRaw == wantRaw,
+      s"raw: missing=${(wantRaw -- gotRaw).size} extra=${(gotRaw -- wantRaw).size}")
+    // canonical table equals the full canonical rebuild
+    val mapping = Canonical.connectedComponents(Canonical.equivalenceEdges(matched))
+    val wantCanon = Canonical.canonicalizeTriples(triples, mapping)
+      .as[Model.Triple].collect().toSet
+    val gotCanon = SnapshotTable.read(spark, canonDir).as[Model.Triple].collect().toSet
+    assert(gotCanon == wantCanon,
+      s"canon: missing=${(wantCanon -- gotCanon).size} extra=${(gotCanon -- wantCanon).size}")
+  }
+
   test("partitioned snapshot write keeps partition columns readable") {
     val dir = java.nio.file.Files.createTempDirectory("snappart").toString + "/t"
     val df = (0 until 100).map(i => (s"id$i", s"p${i % 3}", i)).toDF("id", "p", "v")
