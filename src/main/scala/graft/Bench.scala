@@ -26,11 +26,19 @@ object Bench {
     // line — otherwise their cost lands on whichever kg_* query touches
     // them first and the per-query numbers stop meaning anything
     val tm0 = System.nanoTime()
-    try {
-      graft.queries.Materialized.globiTable(spark, sfDir)
-      graft.queries.Materialized.trydbTable(spark, sfDir)
-    } catch { case _: Throwable => () }
-    val matSecs = (System.nanoTime() - tm0) / 1e9
+    val matSecs =
+      try {
+        graft.queries.Materialized.globiTable(spark, sfDir)
+        graft.queries.Materialized.trydbTable(spark, sfDir)
+        (System.nanoTime() - tm0) / 1e9
+      } catch {
+        case e: Throwable =>
+          // same failure convention as per-query timings: -1 marks the
+          // build failed (a silent partial time would misattribute the
+          // rebuild cost to whichever kg_* query touches the memo first)
+          System.err.println(s"[bench] materialize_tables failed: ${e.getMessage}")
+          -1.0
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -354,7 +354,9 @@ object Link {
       nDocs: Long): DataFrame = {
     val taxa = stackTaxa(records, nDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    matchStackedTaxa(taxa, wdSparql, lineage)
+    val out = matchStackedTaxa(taxa, wdSparql, lineage)
+    taxa.unpersist() // folded into the materialized matcher output
+    out
   }
 
   /** Distributed matcher over an ALREADY-STACKED distinct-taxa table —
@@ -379,7 +381,12 @@ object Link {
     val initial = initialMatch(taxa, idMap, idMapWd)
     val out = secondaryMatch(initial, lineagePrep(lineage))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize once; also frees upstream persists for reuse
+    out.count() // materialize once
+    // the melted id maps are folded into `out` now — release them so a
+    // caller loop (incremental maintenance runs the matcher per
+    // micro-batch) does not accumulate storage blocks. A cache-evicted
+    // recompute of `out` would just rebuild them.
+    idMap.unpersist(); idMapWd.unpersist()
     out
   }
 }

@@ -242,7 +242,9 @@ object Pipeline {
     // comparison is coalesce(component, node) on both sides. No
     // driver-side Set: the mapping is dimension-sized today, but the
     // check must survive an entity space that scales with the corpus.
-    val mappingChanged = anchorLost || {
+    // Evaluated LAZILY: when another disjunct already forces a rebuild
+    // (first build, raw rebuild), the comparison job never runs.
+    def mappingChanged: Boolean = anchorLost || {
       val prev = prevMappingSnap
         .map(s => SnapshotTable.read(spark, mappingStateDir, Some(s)))
         .getOrElse(Seq.empty[(String, String)].toDF("node", "component"))
@@ -253,10 +255,19 @@ object Pipeline {
           coalesce(col("_nc"), col("node"))))
         .limit(1).count() > 0
     }
+    // a raw REBUILD that committed but whose canonical update crashed
+    // before publishing: raw.mode reads "noop" on the retry, yet the
+    // raw table was OVERWRITTEN after the snapshot this canonical table
+    // last processed — append-only repair could never remove canonical
+    // rows derived from raw rows the rebuild deleted. Any overwrite in
+    // the raw history past lastRawProcessed forces re-canonicalization.
+    val rawRebuiltSince = SnapshotTable.history(rawGraphTableDir)
+      .exists(s => s.id > lastRawProcessed && s.operation == "overwrite")
 
     val tripleCols = Seq("subj", "pred", "obj", "objIsLiteral", "objDatatype")
     val (outDf, mode) =
-      if (raw.mode == "rebuild" || mappingChanged || canonSnap == 0)
+      if (raw.mode == "rebuild" || canonSnap == 0 || rawRebuiltSince ||
+          mappingChanged)
         (Canonical.canonicalizeTriples(
           SnapshotTable.read(spark, rawGraphTableDir).select(tripleCols.map(col): _*),
           mappingDf), "rebuild")
@@ -279,6 +290,7 @@ object Pipeline {
       mode = if (mode == "rebuild") "overwrite" else "append",
       idempotencyKey = s"raw-snap-$rawSnapNow")
     persisted.unpersist(); mappingDf.unpersist()
+    matchedDf.unpersist() // persisted only on the distributed path; no-op otherwise
     IncrementalResult(raw.processedDocsSnapshot, newSnap, written,
       if (raw.mode == "rebuild") "rebuild" else mode)
   }
@@ -385,6 +397,10 @@ object Pipeline {
     // never changes the answer. Both produce (key, wd, mv) dict
     // DataFrames; the compact path additionally yields the hash maps
     // the fused emission broadcasts.
+    // persists created by the distributed branch (matcher output + the
+    // two dicts) are released after the final commit — a streaming
+    // micro-batch loop must not accumulate storage blocks per call
+    val toRelease = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def deriveDicts(taxaDf: DataFrame): (DataFrame, DataFrame,
         Option[(Map[String, (String, String)], Map[String, (String, String)])]) =
       if (taxaDf.count() <= maxDriverRows) {
@@ -396,6 +412,7 @@ object Pipeline {
         val matched = Link.matchTaxaFromTaxa(taxaDf,
           DataGen.wdSparql(spark), DataGen.wdLineage(spark))
         val (di, dn) = Materialize.wdMapDicts(matched)
+        toRelease += matched; toRelease += di; toRelease += dn
         (di, dn, None)
       }
     val (newIdDf, newNameDf, newMaps) = deriveDicts(mergedTaxaDf)
@@ -467,13 +484,21 @@ object Pipeline {
     // probe state: APPEND only the genuinely new probes (anti-join the
     // anchored old state) — the state update is O(delta), and the probe
     // table itself is never collected or rewritten
+    // the anti-join runs against the HEAD probes state, not the
+    // anchored old view: a crashed run may already have appended its
+    // delta's probes (committed with its own key) before the graph
+    // commit failed, and a retry after docs advanced FURTHER would
+    // re-append that overlap if it only deduped against the anchor —
+    // the head is a superset of the anchor, so deduping against it
+    // keeps the state an exact distinct-probe set in every crash
+    // interleaving
     val probesOut =
       if (stateLost) probesOf(fullRecords) // state rebuilt from scratch
       else {
         val deltaProbes = probesOf(deltaRecords)
         oldProbesSnap match {
-          case Some(s) => deltaProbes.join(
-            SnapshotTable.read(spark, probesStateDir, Some(s)),
+          case Some(_) => deltaProbes.join(
+            SnapshotTable.read(spark, probesStateDir),
             Seq("id", "name"), "left_anti")
           case None => deltaProbes
         }
@@ -487,6 +512,7 @@ object Pipeline {
 
     tagged.unpersist(); deltaRecords.unpersist(); persisted.unpersist()
     mergedTaxaDf.unpersist(); fullRecordsCache.foreach(_.unpersist())
+    toRelease.foreach(_.unpersist())
     IncrementalResult(docsSnap, newGraphSnap, written, mode)
   }
 

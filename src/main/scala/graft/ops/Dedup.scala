@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The engine-portable 60-bit hash: first 15 hex chars of md5 as a
+    * signed long. DuckDB reproduces it exactly as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT` — every use (token
+    * hashing, shingle hashing, SimHash bits) MUST go through this one
+    * definition so Spark/oracle parity cannot drift per call site.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Exact dedup: keep the lowest doc id per normalized-text fingerprint. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
@@ -83,8 +92,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(TextOps.tokens(TextOps.normalizeText(col(textCol)))).as("tok"))
       .filter(length(col("tok")) >= minTokenLen)
-      .select(col("id"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("token"))
+      .select(col("id"), hash60(col("tok")).as("token"))
       .distinct()
 
   /** MinHash signature columns: sig_i = min over tokens of
@@ -205,8 +213,7 @@ object Dedup {
     */
   def simhashPortable(text: Column): Column = {
     val toks = TextOps.tokens(TextOps.normalizeText(text))
-    val hs = transform(toks, tok =>
-      conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))
+    val hs = transform(toks, tok => hash60(tok))
     val counts = aggregate(
       hs,
       array_repeat(lit(0), 60),

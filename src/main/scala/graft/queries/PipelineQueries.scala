@@ -75,9 +75,7 @@ object PipelineQueries {
         .select(col("id"), explode(Dedup.shinglesOf(col("_ts"), 3)).as("sh"))
         // hash in the scan stage: the one distinct shuffles (id, long),
         // never raw trigram strings
-        .select(col("id"),
-          conv(substring(md5(col("sh")), 1, 15), 16, 10)
-            .cast("long").as("token"))
+        .select(col("id"), Dedup.hash60(col("sh")).as("token"))
         .distinct()
       val sigs = Dedup.minhashSignatures(tokens, 4)
       val cands = Dedup.lshCandidates(Dedup.lshBands(sigs, 4, 2), maxBucket = 1000)

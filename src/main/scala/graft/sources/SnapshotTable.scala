@@ -134,6 +134,13 @@ object SnapshotTable {
         .stripMargin.replace("\n", "")
     // CREATE_NEW: atomically fails when a concurrent writer won this id
     Files.writeString(versionPath(dir, snap), json, StandardOpenOption.CREATE_NEW)
+    // key index entry (O(1) exactly-once probe); a crash before this
+    // line is covered by snapshotWithKey's bounded fallback scan
+    if (idempotencyKey.nonEmpty) {
+      val marker = keyMarkerPath(dir, idempotencyKey)
+      Files.createDirectories(marker.getParent)
+      Files.writeString(marker, snap.toString)
+    }
     // best-effort pointer (readers forward-scan past staleness); only
     // move it forward so a slow loser never regresses a newer commit
     val cur = hintPath(dir)
@@ -146,22 +153,57 @@ object SnapshotTable {
     }
   }
 
-  /** Snapshot (searching the retained history) that committed
-    * `idempotencyKey`, if any — the exactly-once probe. Scanning all
-    * retained metadata (not just the current snapshot) keeps replays
-    * exactly-once even when OTHER writers committed in between.
+  /** Key-index marker path: every commit with a key also creates
+    * `metadata/keys/k-<md5(key)>` containing its snapshot id, making
+    * the exactly-once probe one file read instead of a history scan —
+    * without the index, a long streaming append sequence (every write
+    * probes its key) is O(n²) in metadata reads. Markers of expired
+    * snapshots are reclaimed by expireSnapshots.
+    */
+  private def keyMarkerPath(dir: String, idempotencyKey: String) = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(idempotencyKey.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Paths.get(dir, "metadata", "keys", s"k-$h")
+  }
+
+  /** How far back the marker-miss fallback scans. A marker can only be
+    * missing for a committed key if the committer crashed in the
+    * instant between metadata creation and marker creation; the
+    * caller's retry is the committer's own next operation, so the
+    * original commit is at worst a handful of snapshots behind by then.
+    */
+  private val KeyScanWindow = 64
+
+  /** Snapshot (within the retained history) that committed
+    * `idempotencyKey`, if any — the exactly-once probe. O(1) via the
+    * key index (marker verified against the snapshot's own metadata);
+    * a marker miss falls back to scanning the newest [[KeyScanWindow]]
+    * snapshots — covering the crashed-marker window — and self-heals
+    * the marker on a hit.
     */
   def snapshotWithKey(dir: String, idempotencyKey: String): Option[Long] =
     if (idempotencyKey.isEmpty) None
     else {
-      // fast path: the overwhelmingly common replay re-delivers the key
-      // of the HEAD snapshot — one metadata read, no directory listing
-      // (a full history scan per append would make a long streaming
-      // append sequence O(n²) in metadata reads)
-      val cur = currentSnapshot(dir)
-      if (cur > 0 && committedKey(dir, cur).contains(idempotencyKey)) Some(cur)
-      else history(dir).reverse
-        .find(s => committedKey(dir, s.id).contains(idempotencyKey)).map(_.id)
+      val marker = keyMarkerPath(dir, idempotencyKey)
+      val viaIndex =
+        if (!Files.exists(marker)) None
+        else {
+          val snap = Files.readString(marker).trim.toLong
+          Some(snap).filter(s => committedKey(dir, s).contains(idempotencyKey))
+        }
+      viaIndex.orElse {
+        val cur = currentSnapshot(dir)
+        val found = (cur to math.max(1L, cur - KeyScanWindow + 1) by -1L)
+          .find(s => committedKey(dir, s).contains(idempotencyKey))
+        found.foreach { s =>
+          try {
+            Files.createDirectories(marker.getParent)
+            Files.writeString(marker, s.toString)
+          } catch { case _: java.io.IOException => () }
+        }
+        found
+      }
     }
 
   /** Write a new snapshot. `mode` = "overwrite" (the new snapshot's
@@ -348,6 +390,16 @@ object SnapshotTable {
         Files.walk(m).iterator().asScala.toSeq.reverse
           .foreach(Files.deleteIfExists(_))
       Files.deleteIfExists(versionPath(dir, s))
+    }
+    // reclaim key-index markers pointing at expired snapshots
+    val keysDir = Paths.get(dir, "metadata", "keys")
+    if (Files.exists(keysDir)) {
+      import scala.jdk.CollectionConverters._
+      val expired = expire.toSet
+      Files.list(keysDir).iterator().asScala.toSeq.foreach { p =>
+        val snap = scala.util.Try(Files.readString(p).trim.toLong).toOption
+        if (snap.exists(expired.contains)) Files.deleteIfExists(p)
+      }
     }
     (expire, orphans.size.toLong)
   }

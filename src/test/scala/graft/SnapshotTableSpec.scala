@@ -460,6 +460,111 @@ class SnapshotTableSpec extends AnyFunSuite {
       s"canon: missing=${(wantCanon -- gotCanon).size} extra=${(gotCanon -- wantCanon).size}")
   }
 
+  test("canonical repair after a crashed raw REBUILD removes stale rows") {
+    import graft.kg.{Pipeline, Extract, Link, Materialize, Canonical, DataGen, Model}
+    val base = java.nio.file.Files.createTempDirectory("snapcrash").toString
+    val docsDir = s"$base/docs"; val rawDir = s"$base/raw"; val canonDir = s"$base/canon"
+    // crafted so increment 2 flips the "Taxon 1" name-dict winner
+    // Q1004 → Q1001 (raw REBUILD: the empty-id doc's sample URIs embed
+    // the wd and change) while the CC mapping stays IDENTICAL (Q1001
+    // and Q1004 are already equivalent via the shared name in
+    // increment 1) — so only the raw-history overwrite detection can
+    // tell the canonical layer its published rows are stale.
+    def mkDoc(i: Long, sid: String, sn: String, spath: String = "",
+        srank: String = ""): Model.Document = {
+      val lt = DataGen.lineage(2)
+      val r = Model.VerbatimRecord(
+        doc_id = f"DOC-$i%09d", recNum = i,
+        sourceTaxonId = sid, sourceTaxonName = sn,
+        sourceTaxonPathNames = spath, sourceTaxonPathRankNames = srank,
+        targetTaxonId = "EOL:201", targetTaxonName = DataGen.taxonName(2),
+        targetTaxonPathNames = s"${lt.kingdom}|${lt.family}",
+        targetTaxonPathRankNames = "kingdom|family",
+        interactionTypeName = "eats",
+        interactionTypeId = "http://purl.obolibrary.org/obo/RO_0002470",
+        localityName = "", referenceDoi = "", sourceDOI = "",
+        decimalLatitude = "", decimalLongitude = "",
+        sourceBodyPartName = "", sourceBodyPartId = "",
+        sourceLifeStageName = "", sourceLifeStageId = "",
+        targetBodyPartName = "", targetBodyPartId = "",
+        targetLifeStageName = "", targetLifeStageId = "",
+        sourceSexName = "", targetSexName = "", mediaRefs = Nil)
+      Model.Document(r.doc_id, DataGen.renderSpans(r))
+    }
+    val n1 = DataGen.taxonName(1)
+    val inc1 = Seq(
+      mkDoc(0, "", n1),        // empty id ⇒ resolves via the NAME dict winner
+      mkDoc(1, "EOL:101", n1), // name → Q1001
+      mkDoc(2, "EOL:401", n1)) // name → Q1004, last ordinal ⇒ winner
+    // a NEW distinct mention tuple (different path) at a later global
+    // ordinal — re-mentioning an existing tuple would dedupe to its
+    // first-occurrence ordinal and change nothing (keep-first semantics)
+    val inc2 = Seq(mkDoc(10, "EOL:101", n1, "Animalia", "kingdom"))
+
+    SnapshotTable.write(inc1.toDF(), docsDir)
+    val c1 = Pipeline.incrementalCanonicalFromTable(spark, docsDir, rawDir, canonDir)
+    assert(c1.rowsWritten > 0)
+    // the crash window: the raw increment COMMITS (a rebuild — the
+    // empty-id doc's resolution changed), the canonical update never runs
+    SnapshotTable.write(inc2.toDF(), docsDir, mode = "append")
+    val r2 = Pipeline.incrementalFromTable(spark, docsDir, rawDir)
+    assert(r2.mode == "rebuild", s"precondition: winner flip must rebuild, got ${r2.mode}")
+
+    // the retry: raw reads noop, the mapping is unchanged — only the
+    // overwrite in the raw history says the canonical rows are stale
+    val c2 = Pipeline.incrementalCanonicalFromTable(spark, docsDir, rawDir, canonDir)
+    assert(c2.mode == "rebuild", s"expected re-canonicalization, got ${c2.mode}")
+    val got = SnapshotTable.read(spark, canonDir).as[Model.Triple].collect().toSet
+    val all = (inc1 ++ inc2).toDF()
+    val records = Extract.records(all)
+    val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
+      DataGen.wdLineage(spark), 20)
+    val (dictId, dictName) = Materialize.wdMapDicts(matched)
+    val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
+    val triples = Materialize.globiTriplesFused(records, dictId, dictName, Some(mm))
+    val mapping = Canonical.connectedComponents(Canonical.equivalenceEdges(matched))
+    val want = Canonical.canonicalizeTriples(triples, mapping)
+      .as[Model.Triple].collect().toSet
+    assert(got == want,
+      s"stale rows survived: missing=${(want -- got).size} extra=${(got -- want).size} " +
+        s"${(got -- want).take(3)}")
+  }
+
+  test("crashed probe append followed by further docs keeps the probe state distinct") {
+    import graft.kg.{Pipeline, DataGen}
+    val base = java.nio.file.Files.createTempDirectory("snapprobedup").toString
+    val docsDir = s"$base/docs"; val graphDir = s"$base/graph"
+    val all = DataGen.corpus(spark, 90, 3).toDF()
+    SnapshotTable.write(all.filter(col("doc_id") < "DOC-000000030"), docsDir)
+    Pipeline.incrementalFromTable(spark, docsDir, graphDir)
+    val probesDir = s"$graphDir-state/probes"
+
+    // simulate a run over docs snapshot 2 that committed its probe
+    // append but crashed before the graph commit: the crashed run's
+    // probes write is exactly probesOf(delta 30..59) minus the head
+    val delta2 = all.filter(col("doc_id") >= "DOC-000000030" &&
+      col("doc_id") < "DOC-000000060")
+    SnapshotTable.write(delta2, docsDir, mode = "append") // docs snap 2
+    val recs2 = graft.kg.Extract.records(delta2)
+    val crashProbes = recs2.select(explode(array(
+        struct(col("sourceTaxonId").as("id"), col("sourceTaxonName").as("name")),
+        struct(col("targetTaxonId").as("id"), col("targetTaxonName").as("name"))))
+        .as("p")).select(col("p.id"), col("p.name")).distinct()
+      .join(SnapshotTable.read(spark, probesDir), Seq("id", "name"), "left_anti")
+    SnapshotTable.write(crashProbes, probesDir, mode = "append",
+      idempotencyKey = "docs-snap-2")
+
+    // docs advance FURTHER before the retry; the retry processes the
+    // combined delta (30..89) — its probe append must dedupe against
+    // the HEAD (which already holds 30..59), not just the anchor
+    SnapshotTable.write(all.filter(col("doc_id") >= "DOC-000000060"), docsDir,
+      mode = "append") // docs snap 3
+    Pipeline.incrementalFromTable(spark, docsDir, graphDir)
+    val probes = SnapshotTable.read(spark, probesDir)
+    assert(probes.count() == probes.distinct().count(),
+      s"duplicate probes: ${probes.count()} vs ${probes.distinct().count()}")
+  }
+
   test("partitioned snapshot write keeps partition columns readable") {
     val dir = java.nio.file.Files.createTempDirectory("snappart").toString + "/t"
     val df = (0 until 100).map(i => (s"id$i", s"p${i % 3}", i)).toDF("id", "p", "v")
