@@ -181,14 +181,20 @@ object Pipeline {
     * Exactness (incremental canonical == full runFromTable canonical)
     * is test-pinned in SnapshotTableSpec.
     */
+  /** `failpoint` is a crash-injection hook invoked right AFTER each
+    * named commit ("taxa-state", "probes-state", "raw-graph",
+    * "mapping-state") — production passes the no-op default; the test
+    * suite throws from it to prove every crash window repairs exactly.
+    */
   def incrementalCanonicalFromTable(spark: SparkSession, docsTableDir: String,
       rawGraphTableDir: String, canonicalTableDir: String,
-      maxDriverRows: Long = 2000000L): IncrementalResult = {
+      maxDriverRows: Long = 2000000L,
+      failpoint: String => Unit = _ => ()): IncrementalResult = {
     import graft.sources.SnapshotTable
     import spark.implicits._
     val mappingStateDir = s"$canonicalTableDir-state/mapping"
     val raw = incrementalFromTable(spark, docsTableDir, rawGraphTableDir,
-      maxDriverRows)
+      maxDriverRows, failpoint)
     val rawSnapNow = SnapshotTable.currentSnapshot(rawGraphTableDir)
     val canonSnap = SnapshotTable.currentSnapshot(canonicalTableDir)
     // the raw snapshot the canonical table last processed — derived from
@@ -286,6 +292,7 @@ object Pipeline {
     // state first, publish last (see incrementalFromTable)
     SnapshotTable.write(mappingDf, mappingStateDir, mode = "overwrite",
       idempotencyKey = s"raw-snap-$rawSnapNow")
+    failpoint("mapping-state")
     val newSnap = SnapshotTable.write(persisted, canonicalTableDir,
       mode = if (mode == "rebuild") "overwrite" else "append",
       idempotencyKey = s"raw-snap-$rawSnapNow")
@@ -311,7 +318,8 @@ object Pipeline {
 
   def incrementalFromTable(spark: SparkSession, docsTableDir: String,
       rawGraphTableDir: String,
-      maxDriverRows: Long = 2000000L): IncrementalResult = {
+      maxDriverRows: Long = 2000000L,
+      failpoint: String => Unit = _ => ()): IncrementalResult = {
     import graft.sources.SnapshotTable
     import spark.implicits._
     val keyPrefix = "docs-snap-"
@@ -481,9 +489,10 @@ object Pipeline {
     // delta.
     SnapshotTable.write(mergedTaxaDf, taxaStateDir, mode = "overwrite",
       idempotencyKey = s"$keyPrefix$docsSnap")
-    // probe state: APPEND only the genuinely new probes (anti-join the
-    // anchored old state) — the state update is O(delta), and the probe
-    // table itself is never collected or rewritten
+    failpoint("taxa-state")
+    // probe state: APPEND only the genuinely new probes — the state
+    // update is O(delta), and the probe table itself is never collected
+    // or rewritten
     // the anti-join runs against the HEAD probes state, not the
     // anchored old view: a crashed run may already have appended its
     // delta's probes (committed with its own key) before the graph
@@ -506,9 +515,11 @@ object Pipeline {
     SnapshotTable.write(probesOut, probesStateDir,
       mode = if (stateLost || oldProbesSnap.isEmpty) "overwrite" else "append",
       idempotencyKey = s"$keyPrefix$docsSnap")
+    failpoint("probes-state")
     val newGraphSnap = SnapshotTable.write(persisted, rawGraphTableDir,
       mode = if (mode == "rebuild") "overwrite" else "append",
       idempotencyKey = s"$keyPrefix$docsSnap")
+    failpoint("raw-graph")
 
     tagged.unpersist(); deltaRecords.unpersist(); persisted.unpersist()
     mergedTaxaDf.unpersist(); fullRecordsCache.foreach(_.unpersist())

@@ -565,6 +565,46 @@ class SnapshotTableSpec extends AnyFunSuite {
       s"duplicate probes: ${probes.count()} vs ${probes.distinct().count()}")
   }
 
+  test("crash sweep: a crash after ANY commit point repairs to the exact full rebuild") {
+    import graft.kg.{Pipeline, Extract, Link, Materialize, Canonical, DataGen, Model}
+    case class Crash(at: String) extends RuntimeException(at)
+    val all = DataGen.corpus(spark, 60, 4).toDF()
+    // the truth the repaired pipeline must reach, whatever the crash
+    val records = Extract.records(all)
+    val matched = Link.matchTaxa(records, DataGen.wdSparql(spark),
+      DataGen.wdLineage(spark), 60)
+    val (dictId, dictName) = Materialize.wdMapDicts(matched)
+    val mm = Extract.mediaMentions(records, DataGen.mediaMeta(spark))
+    val triples = Materialize.globiTriplesFused(records, dictId, dictName, Some(mm))
+    val mapping = Canonical.connectedComponents(Canonical.equivalenceEdges(matched))
+    val want = Canonical.canonicalizeTriples(triples, mapping)
+      .as[Model.Triple].collect().toSet
+
+    for (crashAt <- Seq("taxa-state", "probes-state", "raw-graph", "mapping-state")) {
+      val base = java.nio.file.Files.createTempDirectory(s"crash-$crashAt").toString
+      val docsDir = s"$base/docs"; val rawDir = s"$base/raw"; val canonDir = s"$base/canon"
+      SnapshotTable.write(all.filter(col("doc_id") < "DOC-000000040"), docsDir)
+      val c1 = Pipeline.incrementalCanonicalFromTable(spark, docsDir, rawDir, canonDir)
+      assert(c1.rowsWritten > 0)
+      SnapshotTable.write(all.filter(col("doc_id") >= "DOC-000000040"), docsDir,
+        mode = "append")
+      // increment 2 dies right after the chosen commit …
+      intercept[Crash] {
+        Pipeline.incrementalCanonicalFromTable(spark, docsDir, rawDir, canonDir,
+          failpoint = p => if (p == crashAt) throw Crash(p))
+      }
+      // … and the plain retry must land on exactly the full rebuild
+      val r = Pipeline.incrementalCanonicalFromTable(spark, docsDir, rawDir, canonDir)
+      assert(r.graphSnapshot > 0, s"$crashAt: retry did not publish")
+      val got = SnapshotTable.read(spark, canonDir).as[Model.Triple].collect().toSet
+      assert(got == want, s"crash at $crashAt diverged: " +
+        s"missing=${(want -- got).size} extra=${(got -- want).size}")
+      // probe state stayed an exact distinct set through the crash
+      val probes = SnapshotTable.read(spark, s"$rawDir-state/probes")
+      assert(probes.count() == probes.distinct().count(), s"$crashAt: dup probes")
+    }
+  }
+
   test("partitioned snapshot write keeps partition columns readable") {
     val dir = java.nio.file.Files.createTempDirectory("snappart").toString + "/t"
     val df = (0 until 100).map(i => (s"id$i", s"p${i % 3}", i)).toDF("id", "p", "v")
