@@ -31,6 +31,13 @@ object CaseStudyQueries {
   import Materialized.{EMI, RDFS_LABEL, SOSA}
   private val PROV = Model.PROV
 
+  /** Taxon-list substring filter terms (the CS4_viz.py FUNGAL_TAXA
+    * archetype: `fungal_taxon.lower() in name.lower()`), sized to the
+    * deterministic corpus so the filter genuinely drops rows at test
+    * scale.
+    */
+  val FungalTaxa: Seq[String] = Seq("taxon 4", "taxon 12")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "kg_pipeline_triples_dist" -> ((s: SparkSession, dir: String) => {
@@ -64,6 +71,77 @@ object CaseStudyQueries {
         .limit(20)
     }),
 
+    // CS1: cross-dataset species completeness (CS1_viz.py:63-75) — the
+    // species common to the interaction AND trait datasets, the
+    // common_only=True network input. Species names come from sample
+    // labels in BOTH bucketed triple tables; the intersection is a
+    // full-outer join with presence flags.
+    "kg_cs_completeness" -> ((s: SparkSession, dir: String) => {
+      def speciesNames(t: DataFrame): DataFrame =
+        t.filter(col("pred") === SOSA + "isSampleOf")
+          .select(col("subj").as("sample"))
+          .join(t.filter(col("pred") === RDFS_LABEL)
+            .select(col("subj").as("sample"), col("obj").as("name")), Seq("sample"))
+          .select(col("name")).distinct()
+      val gi = speciesNames(s.table(Materialized.globiTable(s, dir)))
+        .withColumn("in_interactions", lit(1))
+      val tr = speciesNames(s.table(Materialized.trydbTable(s, dir)))
+        .withColumn("in_traits", lit(1))
+      gi.join(tr, Seq("name"), "full_outer")
+        .select(col("name"),
+          coalesce(col("in_interactions"), lit(0)).as("in_interactions"),
+          coalesce(col("in_traits"), lit(0)).as("in_traits"))
+        .filter(col("in_interactions") + col("in_traits") === 2)
+        .orderBy(col("name"))
+    }),
+
+    // CS4: substring-dictionary filter + flow aggregation
+    // (CS4_viz.py is_fungus + the parasite→plant groupby flows): drop
+    // interactions whose SOURCE name contains any term of a taxon list
+    // (the reference's FUNGAL_TAXA `in` check, case-insensitive
+    // substring), then count the (source, target) flow.
+    "kg_cs_fungal_flow" -> ((s: SparkSession, dir: String) => {
+      val t = s.table(Materialized.globiTable(s, dir))
+      val cw = t.filter(col("pred") === EMI + "isClassifiedWith")
+        .select(col("subj").as("rec"), col("obj").as("itype"))
+      val lbl = t.filter(col("pred") === RDFS_LABEL)
+      val pOf = cw.join(lbl.select(col("subj").as("itype"),
+          col("obj").as("ilabel")), Seq("itype"))
+        .filter(col("ilabel") === "parasiteOf").select(col("rec"))
+      val hs = t.filter(col("pred") === EMI + "hasSource")
+        .select(col("subj").as("rec"), col("obj").as("srcu"))
+      val ht = t.filter(col("pred") === EMI + "hasTarget")
+        .select(col("subj").as("rec"), col("obj").as("tgtu"))
+      val named = pOf.join(hs, Seq("rec")).join(ht, Seq("rec"))
+        .join(lbl.select(col("subj").as("srcu"), col("obj").as("sname")), Seq("srcu"))
+        .join(lbl.select(col("subj").as("tgtu"), col("obj").as("tname")), Seq("tgtu"))
+      val isFungal = FungalTaxa
+        .map(f => lower(col("sname")).contains(f)).reduce(_ || _)
+      named.filter(!isFungal)
+        .groupBy(col("sname"), col("tname"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("sname"), col("tname"))
+    }),
+
+    // CS2 trait diversity (CS2_viz.py:95): distinct trait labels per
+    // species over the TRY-db table, top-15.
+    "kg_cs_trait_diversity" -> ((s: SparkSession, dir: String) => {
+      val t = s.table(Materialized.trydbTable(s, dir))
+      val lbl = t.filter(col("pred") === RDFS_LABEL)
+      val chain = t.filter(col("pred") === SOSA + "isFeatureOfInterestOf")
+        .select(col("subj").as("sample"), col("obj").as("obs"))
+        .join(lbl.select(col("subj").as("sample"), col("obj").as("spName")),
+          Seq("sample"))
+        .join(t.filter(col("pred") === SOSA + "hasResult")
+          .select(col("subj").as("obs"), col("obj").as("res")), Seq("obs"))
+        .join(lbl.select(col("subj").as("res"), col("obj").as("dataLab")),
+          Seq("res"))
+      chain.groupBy(col("spName"))
+        .agg(countDistinct(col("dataLab")).as("n_traits"))
+        .orderBy(col("n_traits").desc, col("spName"))
+        .limit(15)
+    }),
+
     // CS2: interaction-type crosstab — per type label, how many
     // interaction records carry a locality vs not (the value_counts/
     // crosstab heatmap input). Label join runs on the bucketed subj.
@@ -93,6 +171,10 @@ object CaseStudyQueries {
     s"""(SELECT subj, pred, obj FROM '${Materialized.SideDir}/globi_triples_n*/*.parquet'
         WHERE n_docs = (SELECT COUNT(*) // 3 FROM orders))"""
 
+  private val gT =
+    s"""(SELECT subj, pred, obj FROM '${Materialized.SideDir}/trydb_triples_n*/*.parquet'
+        WHERE n_docs = (SELECT COUNT(*) // 3 FROM orders))"""
+
   val oracle: Map[String, String] = Map(
     // identical independent re-derivation — the engine side differs
     // (distributed matcher + distributed resolve), the truth does not
@@ -108,6 +190,53 @@ object CaseStudyQueries {
           FROM ends JOIN so USING (sample)
           GROUP BY organism
           ORDER BY degree DESC, organism LIMIT 20""",
+
+    "kg_cs_completeness" ->
+      s"""WITH g AS (SELECT * FROM $g), t AS (SELECT * FROM $gT),
+          gn AS (SELECT DISTINCT l.obj AS name
+                 FROM g s JOIN g l ON l.subj = s.subj AND l.pred = '$RDFS_LABEL'
+                 WHERE s.pred = '${SOSA}isSampleOf'),
+          tn AS (SELECT DISTINCT l.obj AS name
+                 FROM t s JOIN t l ON l.subj = s.subj AND l.pred = '$RDFS_LABEL'
+                 WHERE s.pred = '${SOSA}isSampleOf')
+          SELECT name, 1 AS in_interactions, 1 AS in_traits
+          FROM gn JOIN tn USING (name) ORDER BY name""",
+
+    "kg_cs_fungal_flow" -> {
+      val terms = FungalTaxa.map(t => s"('$t')").mkString(", ")
+      s"""WITH g AS (SELECT * FROM $g),
+          lbl AS (SELECT subj, obj FROM g WHERE pred = '$RDFS_LABEL'),
+          pof AS (SELECT cw.subj AS rec FROM g cw
+                  JOIN lbl ON lbl.subj = cw.obj
+                  WHERE cw.pred = '${EMI}isClassifiedWith'
+                    AND lbl.obj = 'parasiteOf'),
+          hs AS (SELECT subj AS rec, obj AS srcu FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS tgtu FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          named AS (
+            SELECT sl.obj AS sname, tl.obj AS tname
+            FROM pof JOIN hs ON hs.rec = pof.rec
+                     JOIN ht ON ht.rec = pof.rec
+                     JOIN lbl sl ON sl.subj = hs.srcu
+                     JOIN lbl tl ON tl.subj = ht.tgtu),
+          f(t) AS (VALUES $terms)
+          SELECT sname, tname, COUNT(*) AS n FROM named
+          WHERE NOT EXISTS (SELECT 1 FROM f WHERE contains(lower(sname), f.t))
+          GROUP BY 1, 2 ORDER BY sname, tname"""
+    },
+
+    "kg_cs_trait_diversity" ->
+      s"""WITH t AS (SELECT * FROM $gT),
+          lbl AS (SELECT subj, obj FROM t WHERE pred = '$RDFS_LABEL'),
+          ch AS (SELECT sl.obj AS spName, rl.obj AS dataLab
+                 FROM t ifo
+                 JOIN lbl sl ON sl.subj = ifo.subj
+                 JOIN t hr ON hr.subj = ifo.obj AND hr.pred = '${SOSA}hasResult'
+                 JOIN lbl rl ON rl.subj = hr.obj
+                 WHERE ifo.pred = '${SOSA}isFeatureOfInterestOf')
+          SELECT spName, COUNT(DISTINCT dataLab) AS n_traits FROM ch
+          GROUP BY 1 ORDER BY n_traits DESC, spName LIMIT 15""",
 
     "kg_cs_crosstab" ->
       s"""WITH g AS (SELECT * FROM $g),
