@@ -46,7 +46,9 @@ object Bench {
     } ++ Map("materialize_tables" -> matSecs)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // -1 sentinels (failed materialization) are excluded from the total
+    // rather than subtracted from it
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -368,11 +368,18 @@ object Link {
     * stackTaxa output.
     */
   def matchTaxaFromTaxa(taxa5: DataFrame, wdSparql: DataFrame,
-      lineage: DataFrame): DataFrame =
-    matchStackedTaxa(
-      unpackRanks(taxa5.select(col("TaxonId"), col("TaxonName"),
-        col("TaxonPathName"), col("TaxonRankName"), col("rowIdx"))),
-      wdSparql, lineage)
+      lineage: DataFrame): DataFrame = {
+    // persisted for the same reason matchTaxa persists its stacked
+    // taxa: the downstream branch joins (initialMatch, secondaryMatch's
+    // fix/keep split) reference this multiple times, and the O(k²)
+    // exists-filter in the rank unpack must run once, not per branch
+    val unpacked = unpackRanks(taxa5.select(col("TaxonId"), col("TaxonName"),
+        col("TaxonPathName"), col("TaxonRankName"), col("rowIdx")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = matchStackedTaxa(unpacked, wdSparql, lineage)
+    unpacked.unpersist()
+    out
+  }
 
   private def matchStackedTaxa(taxa: DataFrame, wdSparql: DataFrame,
       lineage: DataFrame): DataFrame = {

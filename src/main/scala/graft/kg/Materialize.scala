@@ -500,15 +500,6 @@ object Materialize {
     uniquePart.unionByName(sharedPart)
   }
 
-  /** Distributed-dictionary emission with the SAME split dedup as the
-    * fused path: record-scoped triples (recNum-minted subjects, unique
-    * by construction) bypass the global distinct; only the shared
-    * entity-description subset — a tiny domain that collapses map-side —
-    * shuffles. This is the beyond-driver-memory companion to
-    * globiTriplesFusedMaps: resolve() upstream does the dictionary
-    * joins (broadcast, degrading to shuffle joins past executor
-    * memory), and the emission never re-shuffles the corpus.
-    */
   /** Tagged emission over resolved records (the distributed-dictionary
     * twin of globiTriplesFusedTagged): (triple columns, shared) with
     * media triples unioned in, no dedup applied — callers split on the
@@ -528,6 +519,15 @@ object Materialize {
       .getOrElse(tagged0)
   }
 
+  /** Distributed-dictionary emission with the SAME split dedup as the
+    * fused path: record-scoped triples (recNum-minted subjects, unique
+    * by construction) bypass the global distinct; only the shared
+    * entity-description subset — a tiny domain that collapses map-side —
+    * shuffles. This is the beyond-driver-memory companion to
+    * globiTriplesFusedMaps: resolve() upstream does the dictionary
+    * joins (broadcast, degrading to shuffle joins past executor
+    * memory), and the emission never re-shuffles the corpus.
+    */
   def globiTriplesSplit(resolved: Dataset[ResolvedRecord],
       mediaMentions: Option[DataFrame] = None): DataFrame = {
     val tagged = globiTriplesSplitTagged(resolved, mediaMentions)

@@ -193,8 +193,8 @@ object Pipeline {
     import graft.sources.SnapshotTable
     import spark.implicits._
     val mappingStateDir = s"$canonicalTableDir-state/mapping"
-    val raw = incrementalFromTable(spark, docsTableDir, rawGraphTableDir,
-      maxDriverRows, failpoint)
+    val (raw, rawMatched) = incrementalFromTableImpl(spark, docsTableDir,
+      rawGraphTableDir, maxDriverRows, failpoint, keepMatched = true)
     val rawSnapNow = SnapshotTable.currentSnapshot(rawGraphTableDir)
     val canonSnap = SnapshotTable.currentSnapshot(canonicalTableDir)
     // the raw snapshot the canonical table last processed — derived from
@@ -207,18 +207,21 @@ object Pipeline {
       else SnapshotTable.committedKey(canonicalTableDir, canonSnap)
         .filter(_.startsWith("raw-snap-"))
         .map(_.stripPrefix("raw-snap-").toLong).getOrElse(0L)
-    if (canonSnap > 0 && lastRawProcessed >= rawSnapNow)
+    if (canonSnap > 0 && lastRawProcessed >= rawSnapNow) {
+      rawMatched.foreach(_.unpersist())
       return IncrementalResult(0L, canonSnap, 0L, "noop")
+    }
 
-    // full mapping from the accumulated matched state (after
-    // incrementalFromTable returns, the latest taxa state always
-    // matches the raw graph head) — adaptive like deriveDicts: the
-    // distributed matcher takes over past the driver guard
-    val taxaStateDir = s"$rawGraphTableDir-state/taxa"
-    val taxaDf = SnapshotTable.read(spark, taxaStateDir)
-      .select(col("TaxonId"), col("TaxonName"), col("TaxonPathName"),
-        col("TaxonRankName"), col("rowIdx"))
-    val matchedDf =
+    // full mapping from the matcher output over the FINAL taxa state —
+    // reused from the raw increment when it just computed it (the
+    // common path: one matcher run per micro-batch, not two); derived
+    // from the persisted state only on the repair path where the raw
+    // layer noop'd but the canonical table is behind
+    val matchedDf = rawMatched.getOrElse {
+      val taxaStateDir = s"$rawGraphTableDir-state/taxa"
+      val taxaDf = SnapshotTable.read(spark, taxaStateDir)
+        .select(col("TaxonId"), col("TaxonName"), col("TaxonPathName"),
+          col("TaxonRankName"), col("rowIdx"))
       if (taxaDf.count() <= maxDriverRows) {
         val taxa = taxaDf.collect()
           .map(r => LocalMatcher.TaxaRow(r.getString(0), r.getString(1),
@@ -228,6 +231,7 @@ object Pipeline {
             DataGen.wdSparqlRows, DataGen.lineageRows))
       } else Link.matchTaxaFromTaxa(taxaDf,
         DataGen.wdSparql(spark), DataGen.wdLineage(spark))
+    }
     val mappingDf = Canonical.connectedComponents(
       Canonical.equivalenceEdges(matchedDf))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -266,9 +270,15 @@ object Pipeline {
     // raw table was OVERWRITTEN after the snapshot this canonical table
     // last processed — append-only repair could never remove canonical
     // rows derived from raw rows the rebuild deleted. Any overwrite in
-    // the raw history past lastRawProcessed forces re-canonicalization.
-    val rawRebuiltSince = SnapshotTable.history(rawGraphTableDir)
-      .exists(s => s.id > lastRawProcessed && s.operation == "overwrite")
+    // the raw history past lastRawProcessed forces re-canonicalization;
+    // a snapshot in that range whose metadata has been EXPIRED is
+    // treated as an overwrite (its operation is unknowable, and
+    // correctness beats a spurious rebuild). compact() records
+    // "replace" (content-identical), which does not trigger this.
+    val rawOps = SnapshotTable.history(rawGraphTableDir)
+      .map(s => s.id -> s.operation).toMap
+    val rawRebuiltSince = (lastRawProcessed + 1 to rawSnapNow)
+      .exists(id => rawOps.get(id).forall(_ == "overwrite"))
 
     val tripleCols = Seq("subj", "pred", "obj", "objIsLiteral", "objDatatype")
     val (outDf, mode) =
@@ -319,7 +329,19 @@ object Pipeline {
   def incrementalFromTable(spark: SparkSession, docsTableDir: String,
       rawGraphTableDir: String,
       maxDriverRows: Long = 2000000L,
-      failpoint: String => Unit = _ => ()): IncrementalResult = {
+      failpoint: String => Unit = _ => ()): IncrementalResult =
+    incrementalFromTableImpl(spark, docsTableDir, rawGraphTableDir,
+      maxDriverRows, failpoint, keepMatched = false)._1
+
+  /** Implementation that can also hand back the FINAL matcher output
+    * over the merged taxa state (persisted; the caller unpersists) —
+    * the canonical maintenance layer reuses it for the equivalence
+    * mapping instead of re-running the matcher on identical input.
+    */
+  private[kg] def incrementalFromTableImpl(spark: SparkSession,
+      docsTableDir: String, rawGraphTableDir: String,
+      maxDriverRows: Long, failpoint: String => Unit,
+      keepMatched: Boolean): (IncrementalResult, Option[DataFrame]) = {
     import graft.sources.SnapshotTable
     import spark.implicits._
     val keyPrefix = "docs-snap-"
@@ -333,7 +355,7 @@ object Pipeline {
         .filter(_.startsWith(keyPrefix))
         .map(_.stripPrefix(keyPrefix).toLong).getOrElse(0L)
     if (docsSnap <= lastProcessed)
-      return IncrementalResult(0L, graphSnap, 0L, "noop")
+      return (IncrementalResult(0L, graphSnap, 0L, "noop"), None)
 
     // ---- crash-consistent state anchoring ------------------------------
     // States are committed BEFORE the graph snapshot (below), so a crash
@@ -359,10 +381,6 @@ object Pipeline {
         .map(r => LocalMatcher.TaxaRow(r.getString(0), r.getString(1),
           r.getString(2), r.getString(3), r.getLong(4)))
         .sortBy(_.rowIdx).toSeq
-    def dictsOf(taxa: Seq[LocalMatcher.TaxaRow])
-        : (Map[String, (String, String)], Map[String, (String, String)]) =
-      Materialize.localWdMapDicts(
-        LocalMatcher.matchTaxa(taxa, DataGen.wdSparqlRows, DataGen.lineageRows))
 
     // 1-2: merge delta taxa into the accumulated state, derive dicts.
     // The taxa state is dimension-sized (DISTINCT mention 4-tuples), so
@@ -407,12 +425,20 @@ object Pipeline {
     // the fused emission broadcasts.
     // persists created by the distributed branch (matcher output + the
     // two dicts) are released after the final commit — a streaming
-    // micro-batch loop must not accumulate storage blocks per call
+    // micro-batch loop must not accumulate storage blocks per call.
+    // The FINAL matcher output is captured for the caller when
+    // keepMatched (the canonical layer derives its equivalence mapping
+    // from it, instead of re-running the matcher on identical input).
     val toRelease = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    def deriveDicts(taxaDf: DataFrame): (DataFrame, DataFrame,
+    var finalMatched: Option[DataFrame] = None
+    def deriveDicts(taxaDf: DataFrame, capture: Boolean): (DataFrame, DataFrame,
         Option[(Map[String, (String, String)], Map[String, (String, String)])]) =
       if (taxaDf.count() <= maxDriverRows) {
-        val (mi, mn) = dictsOf(collectTaxa(taxaDf))
+        val rows = LocalMatcher.matchTaxa(collectTaxa(taxaDf),
+          DataGen.wdSparqlRows, DataGen.lineageRows)
+        if (capture && keepMatched)
+          finalMatched = Some(Link.matchedRowsToDf(spark, rows))
+        val (mi, mn) = Materialize.localWdMapDicts(rows)
         def toDf(m: Map[String, (String, String)]) =
           m.toSeq.map { case (k, (w, v)) => (k, w, v) }.toDF("key", "wd", "mv")
         (toDf(mi), toDf(mn), Some((mi, mn)))
@@ -420,10 +446,12 @@ object Pipeline {
         val matched = Link.matchTaxaFromTaxa(taxaDf,
           DataGen.wdSparql(spark), DataGen.wdLineage(spark))
         val (di, dn) = Materialize.wdMapDicts(matched)
-        toRelease += matched; toRelease += di; toRelease += dn
+        if (capture && keepMatched) finalMatched = Some(matched)
+        else toRelease += matched
+        toRelease += di; toRelease += dn
         (di, dn, None)
       }
-    val (newIdDf, newNameDf, newMaps) = deriveDicts(mergedTaxaDf)
+    val (newIdDf, newNameDf, newMaps) = deriveDicts(mergedTaxaDf, capture = true)
 
     // 3-4: stale-emission detection, fully DISTRIBUTED: resolve every
     // previously-seen probe under the previous and the final
@@ -432,7 +460,7 @@ object Pipeline {
     // look for any difference. Resolution semantics mirror
     // Materialize.resolve: id-dict hit wins, else name-dict, else none.
     val needRebuild = stateLost || (graphSnap > 0 && lastProcessed > 0 && {
-      val (oldIdDf, oldNameDf, _) = deriveDicts(oldTaxaDf.get)
+      val (oldIdDf, oldNameDf, _) = deriveDicts(oldTaxaDf.get, capture = false)
       def d(df: DataFrame, key: String, p: String) =
         df.select(col("key").as(key), col("wd").as(s"${p}_wd"),
           col("mv").as(s"${p}_mv"))
@@ -524,7 +552,7 @@ object Pipeline {
     tagged.unpersist(); deltaRecords.unpersist(); persisted.unpersist()
     mergedTaxaDf.unpersist(); fullRecordsCache.foreach(_.unpersist())
     toRelease.foreach(_.unpersist())
-    IncrementalResult(docsSnap, newGraphSnap, written, mode)
+    (IncrementalResult(docsSnap, newGraphSnap, written, mode), finalMatched)
   }
 
   /** Full KG construction over the deterministic corpus:

@@ -134,12 +134,16 @@ object SnapshotTable {
         .stripMargin.replace("\n", "")
     // CREATE_NEW: atomically fails when a concurrent writer won this id
     Files.writeString(versionPath(dir, snap), json, StandardOpenOption.CREATE_NEW)
-    // key index entry (O(1) exactly-once probe); a crash before this
-    // line is covered by snapshotWithKey's bounded fallback scan
+    // key index entry (O(1) exactly-once probe), written atomically via
+    // tmp+move so a crash can never leave a torn marker; a crash BEFORE
+    // this line is covered by snapshotWithKey's bounded fallback scan
     if (idempotencyKey.nonEmpty) {
       val marker = keyMarkerPath(dir, idempotencyKey)
       Files.createDirectories(marker.getParent)
-      Files.writeString(marker, snap.toString)
+      val tmpM = marker.resolveSibling(marker.getFileName.toString + ".tmp")
+      Files.writeString(tmpM, snap.toString)
+      Files.move(tmpM, marker, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     }
     // best-effort pointer (readers forward-scan past staleness); only
     // move it forward so a slow loser never regresses a newer commit
@@ -188,13 +192,18 @@ object SnapshotTable {
       val marker = keyMarkerPath(dir, idempotencyKey)
       val viaIndex =
         if (!Files.exists(marker)) None
-        else {
-          val snap = Files.readString(marker).trim.toLong
-          Some(snap).filter(s => committedKey(dir, s).contains(idempotencyKey))
-        }
+        else scala.util.Try(Files.readString(marker).trim.toLong).toOption
+          .filter(s => committedKey(dir, s).contains(idempotencyKey))
       viaIndex.orElse {
         val cur = currentSnapshot(dir)
-        val found = (cur to math.max(1L, cur - KeyScanWindow + 1) by -1L)
+        // a table with NO key index (written by a pre-index version)
+        // must keep the original whole-retained-history guarantee; an
+        // indexed table only needs the bounded crashed-marker window
+        val floor =
+          if (Files.exists(Paths.get(dir, "metadata", "keys")))
+            math.max(1L, cur - KeyScanWindow + 1)
+          else 1L
+        val found = (cur to floor by -1L)
           .find(s => committedKey(dir, s).contains(idempotencyKey))
         found.foreach { s =>
           try {
@@ -349,11 +358,16 @@ object SnapshotTable {
   def compact(spark: SparkSession, dir: String, numFiles: Int,
       partitionBy: Seq[String] = Nil): Long = {
     val current = read(spark, dir)
+    // mode "replace": file-list semantics of an overwrite, but the
+    // recorded operation says the LOGICAL content is unchanged — so
+    // downstream rebuild detectors (incremental canonical maintenance
+    // watches for overwrites in the raw history) don't mistake routine
+    // compaction for a content rewrite
     write(
       if (partitionBy.nonEmpty)
         current.repartition(numFiles, partitionBy.map(col): _*)
       else current.repartition(numFiles),
-      dir, mode = "overwrite", partitionBy = partitionBy,
+      dir, mode = "replace", partitionBy = partitionBy,
       idempotencyKey = s"compact-of-${currentSnapshot(dir)}")
   }
 
@@ -396,10 +410,11 @@ object SnapshotTable {
     if (Files.exists(keysDir)) {
       import scala.jdk.CollectionConverters._
       val expired = expire.toSet
-      Files.list(keysDir).iterator().asScala.toSeq.foreach { p =>
+      val stream = Files.list(keysDir)
+      try stream.iterator().asScala.toSeq.foreach { p =>
         val snap = scala.util.Try(Files.readString(p).trim.toLong).toOption
         if (snap.exists(expired.contains)) Files.deleteIfExists(p)
-      }
+      } finally stream.close()
     }
     (expire, orphans.size.toLong)
   }
@@ -409,9 +424,12 @@ object SnapshotTable {
     val meta = Paths.get(dir, "metadata")
     if (!Files.exists(meta)) return Nil
     import scala.jdk.CollectionConverters._
-    Files.list(meta).iterator().asScala
-      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
-      .toSeq
+    val stream = Files.list(meta)
+    val files =
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+\\.json")).toSeq
+      finally stream.close()
+    files
       .map { p =>
         val j = Files.readString(p)
         def long(k: String) =
