@@ -80,7 +80,10 @@ object Trydb {
     * monotonically_increasing_id (order-faithful for single-file
     * dimension reads; partition id in the high bits keeps multi-split
     * reads file-major), NOT lexicographic WdID (false for mixed-length
-    * Q-ids).
+    * Q-ids). Unlike Link.idMaps there is NO column-index packing here,
+    * so the raw id is safe at any partition count — it stays monotone
+    * in (partitionId, offset) however many partitions the read splits
+    * into.
     */
   def matchSpecies(speciesNames: DataFrame, lineage: DataFrame): DataFrame = {
     val l = lineage
