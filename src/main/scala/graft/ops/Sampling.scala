@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines:
+  * hash-bucket train/val/test assignment and per-source mixture
+  * sampling.
+  *
+  * Everything derives from a salted md5 of the row key (the same
+  * engine-portable construction as [[Dedup.hash60]]), so the decision
+  * for a given record is a pure function of its id — stable across
+  * runs, partitionings, cluster sizes, and engines (the DuckDB oracle
+  * reproduces it bit-for-bit). That is the property a 100 TB pipeline
+  * needs: re-running the split after adding data never reshuffles
+  * previously assigned records, and no shuffle/coordination is needed
+  * at all — the whole operator is a map-side projection that fuses
+  * into the scan's WholeStageCodegen span.
+  */
+object Sampling {
+
+  /** Uniform 0..99 bucket from a salted md5 of the key. The salt keeps
+    * independent decisions independent (the split bucket and the
+    * sampling bucket of one doc are uncorrelated).
+    */
+  def hashBucket(salt: String, key: Column): Column =
+    pmod(Dedup.hash60(concat(lit(salt + ":"), key.cast("string"))), lit(100L))
+
+  /** Train/val/test label from a 0..99 bucket: [0, testPct) = test,
+    * [testPct, testPct+valPct) = val, rest = train.
+    */
+  def splitAssign(bucket: Column, testPct: Int, valPct: Int): Column =
+    when(bucket < testPct, "test")
+      .when(bucket < testPct + valPct, "val")
+      .otherwise("train")
+
+  /** Per-source mixture weight in 1..99 percent, derived
+    * deterministically from the source name (a stand-in for a
+    * configured source→weight table; broadcast-join a real one the
+    * same way).
+    */
+  def sourcePct(source: Column): Column =
+    pmod(Dedup.hash60(concat(lit("w:"), source)), lit(99L)) + 1
+
+  /** True iff the record survives mixture sampling at `pct` percent:
+    * its own sampling bucket falls below the source's weight.
+    */
+  def mixtureKeep(key: Column, pct: Column): Column =
+    hashBucket("mixdoc", key) < pct
+}

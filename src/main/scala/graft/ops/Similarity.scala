@@ -134,6 +134,63 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Driver-side cosine with the same arithmetic as [[cosine]]: widen
+    * to double, accumulate in array order. Used for the (dimension-
+    * sized) centroid/probe ranking so it agrees with the distributed
+    * side and the SQL oracle after round-6.
+    */
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dp += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dp / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** IVF (inverted-file) top-k: the scale path for single-query ANN.
+    *
+    * `centroids` is the coarse quantizer — here seed vectors (a
+    * k-means refinement would slot in unchanged: only the array
+    * changes, the plan does not). Every data vector is assigned to its
+    * nearest centroid by an argmax computed INLINE over the literal
+    * centroid array (`array_min` over (−cos, cid) structs): a pure
+    * map-side projection, no shuffle, no join — the centroid set rides
+    * into codegen as literals exactly like the broadcast query vector
+    * in [[bruteForceTopK]]. The query probes only the `nprobe` nearest
+    * cells, so the exact-cosine stage scans ~nprobe/|C| of the data;
+    * the plan is scan → project → filter → TakeOrderedAndProject
+    * (k rows to the driver, never a full sort).
+    *
+    * Cosines are rounded to 6 dp before every comparison (assignment
+    * argmax, probe ranking, final order) so float re-association
+    * cannot flip a cell or a rank against the SQL oracle — the same
+    * convention as [[signPlaneBit]].
+    */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
+              centroids: Array[(Long, Array[Float])], query: Array[Float],
+              nprobe: Int, k: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopK needs at least one centroid")
+    val cellOf = array_min(array(centroids.map { case (cid, cv) =>
+      struct((-round(cosine(col(vecCol), lit(cv)), 6)).as("nr"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+    val probes = centroids
+      .map { case (cid, cv) => (round6(cosineLocal(query, cv)), cid) }
+      .sortBy { case (rc, cid) => (-rc, cid) }
+      .take(nprobe).map(_._2)
+    vecs
+      .withColumn("_cell", cellOf)
+      .filter(col("_cell").isin(probes: _*))
+      .select(col(idCol).as("vec_id"),
+        round(cosine(col(vecCol), lit(query)), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(k)
+  }
+
   private val lshPrimes =
     Seq(3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
 

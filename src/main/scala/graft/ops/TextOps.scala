@@ -88,6 +88,36 @@ object TextOps {
     when(best._1 > 0, best._2).otherwise(lit("und"))
   }
 
+  /** Repetition-quality features (the Gopher-style filter family):
+    * per doc, total / distinct token counts, the count of the most
+    * frequent token, and the count of the most frequent word bigram —
+    * all integer-exact, so the quality gate compares identically in
+    * any engine. High `m_uni`/`n_uni` or `m_bi` marks boilerplate and
+    * degenerate repetition. Two doc-keyed aggregations + one doc-keyed
+    * join: everything shuffles on doc_id only, token strings never
+    * leave their aggregation's map side beyond the (doc, gram) combine.
+    */
+  def repetitionFeatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(normalizeText(col(textCol))).as("_ts"))
+    def gramStats(grams: DataFrame, tag: String): DataFrame =
+      grams
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"n_$tag"), count(lit(1)).as(s"d_$tag"),
+          max(col("c")).as(s"m_$tag"))
+    val uni = gramStats(toks.select(col("doc_id"), explode(col("_ts")).as("g")), "uni")
+    val bi = gramStats(
+      toks.select(col("doc_id"), explode(Dedup.shinglesOf(col("_ts"), 2)).as("g")),
+      "bi")
+    uni.join(bi, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bi", "d_bi", "m_bi"))
+      .withColumn("rep_ok",
+        col("m_uni") * 5 <= col("n_uni") + 5 &&
+          col("m_bi") * 8 <= col("n_uni") + 8)
+  }
+
   /** Rolling-hash document shingle fingerprints: character n-grams of the
     * normalized text, md5-hashed; the lexicographic min is a cheap
     * locality-sensitive sketch (used by tests; MinHash proper lives in

@@ -142,6 +142,47 @@ object CaseStudyQueries {
         .limit(15)
     }),
 
+    // CS5 Leaf-Economic-Spectrum archetypes (CS5_viz.py): the trait
+    // correlation matrix (plot_trait_correlations, :283-304) and the
+    // StandardScaler z-score standardization (:322-324). The trydb
+    // fixture cannot host them faithfully: its labeled numeric
+    // rdf:values are deterministically the SAME literal (t%3==0 forces
+    // t%6==0 → OrigValueStr "12.5"), so every species×trait cell is
+    // 12.5 and Pearson r is 0/0 — the archetypes run over the measured
+    // lineitem columns instead (quantity / extendedprice / discount),
+    // which is the computation CS5 performs, on a table with variance.
+    //
+    // cs5_corr_matrix: one single-pass aggregate (map-side partial,
+    // one 1-row result — the 100 TB shape for global moments); corr is
+    // scale-invariant so sample-vs-population never matters, only
+    // accumulation order, absorbed by round-6.
+    "cs5_corr_matrix" -> ((s: SparkSession, dir: String) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet").select(
+        col("l_quantity").cast("double").as("qty"),
+        col("l_extendedprice").cast("double").as("price"),
+        col("l_discount").cast("double").as("disc"))
+      l.agg(
+        round(corr(col("qty"), col("price")), 6).as("corr_qty_price"),
+        round(corr(col("qty"), col("disc")), 6).as("corr_qty_disc"),
+        round(corr(col("price"), col("disc")), 6).as("corr_price_disc"))
+    }),
+
+    // cs5_zscore: per-group feature standardization via window
+    // mean/stddev — one shuffle on the group key, then a streaming
+    // window pass (whole-partition frame, no sort needed)
+    "cs5_zscore" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      l.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("x"))
+        .withColumn("z",
+          round((col("x") - avg(col("x")).over(w)) / stddev_samp(col("x")).over(w), 6))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // CS2: interaction-type crosstab — per type label, how many
     // interaction records carry a locality vs not (the value_counts/
     // crosstab heatmap input). Label join runs on the bucketed subj.
@@ -237,6 +278,19 @@ object CaseStudyQueries {
                  WHERE ifo.pred = '${SOSA}isFeatureOfInterestOf')
           SELECT spName, COUNT(DISTINCT dataLab) AS n_traits FROM ch
           GROUP BY 1 ORDER BY n_traits DESC, spName LIMIT 15""",
+
+    "cs5_corr_matrix" ->
+      """SELECT round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 6) AS corr_qty_price,
+                round(corr(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 6) AS corr_qty_disc,
+                round(corr(CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE)), 6) AS corr_price_disc
+         FROM lineitem""",
+
+    "cs5_zscore" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+                round((CAST(l_extendedprice AS DOUBLE)
+                        - AVG(CAST(l_extendedprice AS DOUBLE)) OVER (PARTITION BY l_returnflag))
+                      / stddev_samp(CAST(l_extendedprice AS DOUBLE)) OVER (PARTITION BY l_returnflag), 6) AS z
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "kg_cs_crosstab" ->
       s"""WITH g AS (SELECT * FROM $g),

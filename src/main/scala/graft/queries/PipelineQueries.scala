@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Sampling, Similarity, TextOps}
 
 /** Training-data pipeline operators as verifiable queries: text analysis,
   * deduplication (exact / MinHash-LSH / token-Jaccard / SimHash /
@@ -41,6 +41,39 @@ object PipelineQueries {
     "tx_langid" -> ((s: SparkSession, dir: String) => {
       val d = s.read.parquet(t(dir, "documents"))
       d.select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "tx_split" -> ((s: SparkSession, dir: String) => {
+      // deterministic hash train/val/test split (10/10/80): a pure
+      // map-side projection — re-runs and data growth never reassign
+      // an already-split record
+      val d = s.read.parquet(t(dir, "documents"))
+      d.select(col("doc_id"),
+          Sampling.hashBucket("split", col("doc_id")).as("bucket"))
+        .withColumn("split", Sampling.splitAssign(col("bucket"), 10, 10))
+        .orderBy(col("doc_id"))
+    }),
+
+    "tx_sample_mix" -> ((s: SparkSession, dir: String) => {
+      // source-mixture sampling: each source keeps a deterministic pct
+      // of its docs (hash-bucket < weight); reported per source. The
+      // only shuffle is the 20-row source aggregate
+      val d = s.read.parquet(t(dir, "documents"))
+      d.select(col("source"), Sampling.sourcePct(col("source")).as("pct"),
+          col("doc_id"))
+        .groupBy(col("source"), col("pct"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(Sampling.mixtureKeep(col("doc_id"), col("pct")), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    "tx_repetition" -> ((s: SparkSession, dir: String) => {
+      // Gopher-style repetition quality: most-frequent token / bigram
+      // counts vs totals, integer-exact gate
+      TextOps.repetitionFeatures(
+          s.read.parquet(t(dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -186,6 +219,23 @@ object PipelineQueries {
         .withColumn("cos_r", round(col("cos"), 6))
         .select(col("vec_id"), col("cos_r"))
         .orderBy(col("cos_r").desc, col("vec_id"))
+    }),
+
+    "sim_ivf_topk" -> ((s: SparkSession, dir: String) => {
+      // IVF ANN: coarse cells from 8 seed centroids (vec_id 1..8 — a
+      // k-means refinement would only change the centroid array), the
+      // query probes its 2 nearest cells, exact cosine within. The
+      // assignment is an inline literal-centroid argmax: zero shuffle,
+      // the whole operator is scan → project → filter → TakeOrdered
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val cents = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id",
+        "embedding", cents, q, nprobe = 2, k = 10)
     }),
 
     "sim_lsh_buckets" -> ((s: SparkSession, dir: String) => {
@@ -380,6 +430,57 @@ object PipelineQueries {
            FROM sc)
          SELECT doc_id, CASE WHEN m > 0 THEN lang0 ELSE 'und' END AS pred_lang
          FROM best ORDER BY doc_id""",
+
+    "tx_split" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, bucket,
+                CASE WHEN bucket < 10 THEN 'test'
+                     WHEN bucket < 20 THEN 'val'
+                     ELSE 'train' END AS split
+         FROM b ORDER BY doc_id""",
+
+    "tx_sample_mix" ->
+      """WITH x AS (
+           SELECT source,
+                  ('0x' || substr(md5('w:' || source), 1, 15))::BIGINT % 99 + 1 AS pct,
+                  ('0x' || substr(md5('mixdoc:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+           FROM documents)
+         SELECT source, pct, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN b < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM x GROUP BY source, pct ORDER BY source""",
+
+    "tx_repetition" ->
+      """WITH tarr AS (
+           SELECT doc_id, regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS ts
+           FROM documents),
+         uc AS (
+           SELECT doc_id, g, COUNT(*) AS c FROM (
+             SELECT doc_id, ts[i] AS g
+             FROM tarr, UNNEST(generate_series(1, len(ts))) t(i))
+           GROUP BY doc_id, g),
+         ua AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_uni, COUNT(*) AS d_uni,
+                  CAST(MAX(c) AS BIGINT) AS m_uni
+           FROM uc GROUP BY doc_id),
+         bc AS (
+           SELECT doc_id, g, COUNT(*) AS c FROM (
+             SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+             FROM tarr, UNNEST(generate_series(1, len(ts) - 1)) t(i))
+           GROUP BY doc_id, g),
+         ba AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bi, COUNT(*) AS d_bi,
+                  CAST(MAX(c) AS BIGINT) AS m_bi
+           FROM bc GROUP BY doc_id)
+         SELECT ua.doc_id, n_uni, d_uni, m_uni,
+                COALESCE(n_bi, 0) AS n_bi, COALESCE(d_bi, 0) AS d_bi,
+                COALESCE(m_bi, 0) AS m_bi,
+                (m_uni * 5 <= n_uni + 5 AND COALESCE(m_bi, 0) * 8 <= n_uni + 8) AS rep_ok
+         FROM ua LEFT JOIN ba ON ba.doc_id = ua.doc_id
+         ORDER BY ua.doc_id""",
 
     "dd_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
@@ -597,6 +698,49 @@ object PipelineQueries {
            WHERE e.vec_id <> 0)
          SELECT vec_id, round(SUM(prod) / (sqrt(SUM(sa)) * sqrt(SUM(sq))), 6) AS cos_r
          FROM expl GROUP BY vec_id
+         ORDER BY cos_r DESC, vec_id LIMIT 10""",
+
+    "sim_ivf_topk" ->
+      """WITH c AS (
+           SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           WHERE vec_id BETWEEN 1 AND 8),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ac AS (
+           SELECT e.vec_id, c.cid,
+                  round(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))
+                    / (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE)^2))
+                       * sqrt(SUM(CAST(c.cvec[i] AS DOUBLE)^2))), 6) AS rcos
+           FROM embeddings e, c, UNNEST(generate_series(1, 64)) t(i)
+           WHERE e.vec_id <> 0
+           GROUP BY e.vec_id, c.cid),
+         cell AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY rcos DESC, cid) AS rn
+             FROM ac) WHERE rn = 1),
+         qs AS (
+           SELECT c.cid,
+                  round(SUM(CAST(c.cvec[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+                    / (sqrt(SUM(CAST(c.cvec[i] AS DOUBLE)^2))
+                       * sqrt(SUM(CAST(q.qe[i] AS DOUBLE)^2))), 6) AS rcos
+           FROM c, q, UNNEST(generate_series(1, 64)) t(i)
+           GROUP BY c.cid),
+         probes AS (
+           SELECT cid FROM (
+             SELECT cid, ROW_NUMBER() OVER (ORDER BY rcos DESC, cid) AS rn
+             FROM qs) WHERE rn <= 2),
+         scored AS (
+           SELECT e.vec_id,
+                  round(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+                    / (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE)^2))
+                       * sqrt(SUM(CAST(q.qe[i] AS DOUBLE)^2))), 6) AS cos_r
+           FROM embeddings e
+           JOIN cell ON cell.vec_id = e.vec_id
+           JOIN probes ON probes.cid = cell.cid, q,
+           UNNEST(generate_series(1, 64)) t(i)
+           GROUP BY e.vec_id)
+         SELECT vec_id, cos_r FROM scored
          ORDER BY cos_r DESC, vec_id LIMIT 10""",
 
     "ev_tumbling_window" ->

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Sampling, Similarity, TextOps}
+
+/** Sampling/split, repetition-quality, and IVF ANN operator semantics +
+  * plan-shape gates (DuckDB value parity is covered by the driver gate;
+  * these pin the invariants and the zero/one-shuffle plans).
+  */
+class TrainingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("tx_split: deterministic, complete, and near the 10/10/80 target") {
+    val out = SparkEntry.queries("tx_split")(spark, dir)
+    val rows = out.collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == docs)
+    // same input → same assignment (pure function of doc_id)
+    val again = SparkEntry.queries("tx_split")(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    val frac = rows.groupBy(_.getString(2)).view.mapValues(_.length.toDouble / docs)
+    // md5 buckets are uniform: generous tolerance at 50 docs
+    assert(frac.getOrElse("train", 0.0) > 0.5, frac.toMap)
+    assert(frac.getOrElse("test", 0.0) < 0.4 && frac.getOrElse("val", 0.0) < 0.4,
+      frac.toMap)
+  }
+
+  test("tx_split: map-side only — no Exchange in the pre-sort plan") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val df = d.select(col("doc_id"),
+      Sampling.hashBucket("split", col("doc_id")).as("bucket"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("tx_sample_mix: kept counts bounded by totals, pct in 1..99") {
+    val rows = SparkEntry.queries("tx_sample_mix")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pct = r.getLong(1); val n = r.getLong(2); val kept = r.getLong(3)
+      assert(pct >= 1 && pct <= 99, r.toString)
+      assert(kept >= 0 && kept <= n, r.toString)
+    }
+    // the mixture decision is per-doc deterministic: re-run identical
+    val again = SparkEntry.queries("tx_sample_mix")(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("tx_repetition: integer invariants per doc") {
+    val rows = SparkEntry.queries("tx_repetition")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == docs)
+    rows.foreach { r =>
+      val nUni = r.getLong(1); val dUni = r.getLong(2); val mUni = r.getLong(3)
+      val nBi = r.getLong(4); val dBi = r.getLong(5); val mBi = r.getLong(6)
+      assert(dUni <= nUni && mUni <= nUni && mUni >= 1, r.toString)
+      // bigram count = token count - 1 for any doc with >= 2 tokens
+      assert(nBi == math.max(nUni - 1, 0), r.toString)
+      assert(dBi <= nBi && mBi <= nBi, r.toString)
+    }
+  }
+
+  test("repetitionFeatures flags degenerate repetition") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "a varied document with many distinct interesting words inside it")
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionFeatures(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(!out(0).getBoolean(7), out(0).toString) // all-one-token doc fails
+    assert(out(1).getBoolean(7), out(1).toString)  // varied doc passes
+  }
+
+  test("sim_ivf_topk: top-1 agrees with brute force; zero-shuffle plan") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val ivf = SparkEntry.queries("sim_ivf_topk")(spark, dir)
+    val got = ivf.collect()
+    assert(got.length <= 10 && got.nonEmpty)
+    // the probed cells contain the true nearest neighbour here (recall@1)
+    val brute = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 1)
+      .collect().head.getLong(0)
+    assert(got.head.getLong(0) == brute,
+      s"ivf head ${got.head} vs brute $brute")
+    // descending by rounded cosine
+    val cs = got.map(_.getDouble(1))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, cs.mkString(","))
+    // plan: assignment is inline literals — scan → project → filter →
+    // TakeOrdered, with no Exchange and no join anywhere
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+}
