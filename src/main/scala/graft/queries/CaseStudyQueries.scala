@@ -142,6 +142,52 @@ object CaseStudyQueries {
         .limit(15)
     }),
 
+    // CS3 generalization: PageRank over the organism interaction graph
+    // (influence ranking where kg_cs_top_degree is raw degree —
+    // CS3_viz.py:33-35's "most connected organisms" summary). Directed
+    // distinct edges src-organism → target-organism via each record's
+    // hasSource/hasTarget samples; 10 fixed power iterations, damping
+    // 0.85, dangling mass dropped (documented simplification, mirrored
+    // in the oracle). Ranks are scaled by |V| and rounded to 6 dp only
+    // at the END, so cross-engine float noise (~1e-13 from summation
+    // order) never compounds into the compare. The iterative loop
+    // localCheckpoints per round — same lineage guard as the CC loop.
+    "kg_cs_pagerank" -> ((s: SparkSession, dir: String) => {
+      val t = s.table(Materialized.globiTable(s, dir))
+      val so = t.filter(col("pred") === SOSA + "isSampleOf")
+        .select(col("subj").as("sample"), col("obj").as("org"))
+      val hs = t.filter(col("pred") === EMI + "hasSource")
+        .select(col("subj").as("rec"), col("obj").as("sample"))
+      val ht = t.filter(col("pred") === EMI + "hasTarget")
+        .select(col("subj").as("rec"), col("obj").as("sample"))
+      val edges = hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
+        .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
+          Seq("rec"))
+        .select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(true)
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct().localCheckpoint(true)
+      val n = nodes.count()
+      val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      var pr = nodes.withColumn("rank", lit(1.0 / n))
+      for (_ <- 1 to 10) {
+        val contrib = pr.join(deg, Seq("node"))
+          .join(edges, col("node") === col("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("rank") / col("deg")).as("x"))
+        pr = nodes.join(contrib, Seq("node"), "left")
+          .withColumn("rank",
+            lit(0.15 / n) + lit(0.85) * coalesce(col("x"), lit(0.0)))
+          .select(col("node"), col("rank"))
+          .localCheckpoint(true)
+      }
+      pr.select(col("node").as("organism"),
+          round(col("rank") * lit(n.toDouble), 6).as("pr_scaled"))
+        .orderBy(col("pr_scaled").desc, col("organism")).limit(20)
+    }),
+
     // CS5 Leaf-Economic-Spectrum archetypes (CS5_viz.py): the trait
     // correlation matrix (plot_trait_correlations, :283-304) and the
     // StandardScaler z-score standardization (:322-324). The trydb
@@ -278,6 +324,47 @@ object CaseStudyQueries {
                  WHERE ifo.pred = '${SOSA}isFeatureOfInterestOf')
           SELECT spName, COUNT(DISTINCT dataLab) AS n_traits FROM ch
           GROUP BY 1 ORDER BY n_traits DESC, spName LIMIT 15""",
+
+    "kg_cs_pagerank" -> {
+      // 10 power iterations unrolled as chained CTEs (recursive CTEs
+      // forbid aggregation over the recursive reference). Every CTE is
+      // AS MATERIALIZED: inlined, each prK would nest its whole
+      // predecessor chain and the optimizer re-plans an exponentially
+      // deep tree (observed: minutes instead of seconds)
+      val iters = (1 to 10).map { k =>
+        s"""pr$k AS MATERIALIZED (
+            SELECT nd.node, 0.15/nn.n + 0.85*COALESCE(s.x, 0) AS rank
+            FROM nodes nd CROSS JOIN nn
+            LEFT JOIN (
+              SELECT e.dst AS node, SUM(p.rank/d.deg) AS x
+              FROM pr${k - 1} p
+              JOIN deg d ON d.node = p.node
+              JOIN e ON e.src = p.node
+              GROUP BY e.dst) s ON s.node = nd.node)"""
+      }.mkString(",\n")
+      s"""WITH g AS MATERIALIZED (SELECT * FROM $g),
+          so AS MATERIALIZED (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          e AS MATERIALIZED (
+            SELECT DISTINCT s1.org AS src, s2.org AS dst
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+          deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+          pr0 AS MATERIALIZED (SELECT node, 1.0/nn.n AS rank FROM nodes CROSS JOIN nn),
+          $iters
+          SELECT nd.node AS organism,
+                 round(pr10.rank * nn.n, 6) AS pr_scaled
+          FROM pr10 JOIN nodes nd ON nd.node = pr10.node CROSS JOIN nn
+          ORDER BY pr_scaled DESC, organism LIMIT 20"""
+    },
 
     "cs5_corr_matrix" ->
       """SELECT round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 6) AS corr_qty_price,
