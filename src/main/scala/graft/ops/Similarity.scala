@@ -173,12 +173,19 @@ object Similarity {
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               centroids: Array[(Long, Array[Float])], query: Array[Float],
               nprobe: Int, k: Int): DataFrame = {
-    require(centroids.nonEmpty, "ivfTopK needs at least one centroid")
-    val cellOf = array_min(array(centroids.map { case (cid, cv) =>
+    // zero-norm vectors have no cosine direction: a zero centroid (an
+    // empty k-means cell, say) is silently unusable rather than a NaN
+    // that crashes the driver-side BigDecimal rounding, and a zero
+    // query has no defined top-k at all
+    val usable = centroids.filter { case (_, cv) =>
+      cv.exists(_ != 0.0f) }
+    require(usable.nonEmpty, "ivfTopK needs at least one nonzero centroid")
+    require(query.exists(_ != 0.0f), "ivfTopK query must have nonzero norm")
+    val cellOf = array_min(array(usable.map { case (cid, cv) =>
       struct((-round(cosine(col(vecCol), lit(cv)), 6)).as("nr"),
         lit(cid).as("cid"))
     }: _*)).getField("cid")
-    val probes = centroids
+    val probes = usable
       .map { case (cid, cv) => (round6(cosineLocal(query, cv)), cid) }
       .sortBy { case (rc, cid) => (-rc, cid) }
       .take(nprobe).map(_._2)

@@ -92,10 +92,12 @@ object TextOps {
     * per doc, total / distinct token counts, the count of the most
     * frequent token, and the count of the most frequent word bigram —
     * all integer-exact, so the quality gate compares identically in
-    * any engine. High `m_uni`/`n_uni` or `m_bi` marks boilerplate and
-    * degenerate repetition. Two doc-keyed aggregations + one doc-keyed
-    * join: everything shuffles on doc_id only, token strings never
-    * leave their aggregation's map side beyond the (doc, gram) combine.
+    * any engine. High `m_uni`/`n_uni` or `m_bi`/`n_bi` marks
+    * boilerplate and degenerate repetition. Two doc-keyed aggregations
+    * left-joined back onto the doc base (so zero-token docs still get
+    * a row — vacuously rep_ok): everything shuffles on doc_id only,
+    * token strings never leave their aggregation's map side beyond the
+    * (doc, gram) combine.
     */
   def repetitionFeatures(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -111,11 +113,13 @@ object TextOps {
     val bi = gramStats(
       toks.select(col("doc_id"), explode(Dedup.shinglesOf(col("_ts"), 2)).as("g")),
       "bi")
-    uni.join(bi, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_bi", "d_bi", "m_bi"))
+    toks.select(col("doc_id"))
+      .join(uni, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_uni", "d_uni", "m_uni", "n_bi", "d_bi", "m_bi"))
       .withColumn("rep_ok",
         col("m_uni") * 5 <= col("n_uni") + 5 &&
-          col("m_bi") * 8 <= col("n_uni") + 8)
+          col("m_bi") * 8 <= col("n_bi") + 8)
   }
 
   /** Rolling-hash document shingle fingerprints: character n-grams of the

@@ -475,12 +475,17 @@ object PipelineQueries {
            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bi, COUNT(*) AS d_bi,
                   CAST(MAX(c) AS BIGINT) AS m_bi
            FROM bc GROUP BY doc_id)
-         SELECT ua.doc_id, n_uni, d_uni, m_uni,
+         SELECT tarr.doc_id,
+                COALESCE(n_uni, 0) AS n_uni, COALESCE(d_uni, 0) AS d_uni,
+                COALESCE(m_uni, 0) AS m_uni,
                 COALESCE(n_bi, 0) AS n_bi, COALESCE(d_bi, 0) AS d_bi,
                 COALESCE(m_bi, 0) AS m_bi,
-                (m_uni * 5 <= n_uni + 5 AND COALESCE(m_bi, 0) * 8 <= n_uni + 8) AS rep_ok
-         FROM ua LEFT JOIN ba ON ba.doc_id = ua.doc_id
-         ORDER BY ua.doc_id""",
+                (COALESCE(m_uni, 0) * 5 <= COALESCE(n_uni, 0) + 5
+                 AND COALESCE(m_bi, 0) * 8 <= COALESCE(n_bi, 0) + 8) AS rep_ok
+         FROM tarr
+         LEFT JOIN ua ON ua.doc_id = tarr.doc_id
+         LEFT JOIN ba ON ba.doc_id = tarr.doc_id
+         ORDER BY tarr.doc_id""",
 
     "dd_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

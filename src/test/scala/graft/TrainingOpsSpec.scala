@@ -75,6 +75,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(1).getBoolean(7), out(1).toString)  // varied doc passes
   }
 
+  test("repetitionFeatures: zero-token docs keep a row (vacuously ok)") {
+    import spark.implicits._
+    val docs = Seq((1L, "   "), (2L, ""), (3L, "one two three"))
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionFeatures(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(1) == 0 && out(0).getBoolean(7), out(0).toString)
+    assert(out(1).getLong(1) == 0 && out(1).getBoolean(7), out(1).toString)
+    assert(out(2).getLong(1) == 3, out(2).toString)
+  }
+
   test("sim_ivf_topk: top-1 agrees with brute force; zero-shuffle plan") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0).select(col("embedding"))
