@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches (engine-portable arithmetic only).
+  *
+  * [[hllDistinct]] is a classic 64-register HyperLogLog over 60-bit
+  * md5-derived hashes: bucket = h%64, register = MAX rho(h>>6) where
+  * rho = leading-zero count within the 54 remaining bits + 1, computed
+  * exactly as 55 − length(bin(w)) (both Spark's and DuckDB's bin() are
+  * unpadded, so no libm log2 at power-of-two boundaries). The whole
+  * sketch is a (group, bucket) MAX aggregate — map-side combinable,
+  * mergeable across partitions/increments, 64 small ints of state per
+  * group: the shape that survives 100 TB, where an exact distinct
+  * count shuffles the full key universe.
+  */
+object Sketches {
+
+  val HllRegisters = 64
+
+  /** rho for HLL over the top 54 bits of a 60-bit hash. */
+  def hllRho(w: Column): Column =
+    when(w === 0L, lit(55L)).otherwise(lit(55L) - length(bin(w)))
+
+  /** Sparse register table (groupCol, b, mreg) from (groupCol, hashCol)
+    * rows — duplicates are harmless, MAX is idempotent. This is the
+    * sketch STATE: registers from disjoint (or overlapping) inputs
+    * merge by MAX, so the table supports exact incremental maintenance
+    * (merging per-increment registers gives bit-identical estimates to
+    * a from-scratch build over the union).
+    */
+  def hllRegisters(hashed: DataFrame, groupCol: String,
+      hashCol: String): DataFrame =
+    hashed
+      .select(col(groupCol), pmod(col(hashCol), lit(HllRegisters.toLong)).as("b"),
+        shiftright(col(hashCol), 6).as("w"))
+      .withColumn("rho", hllRho(col("w")))
+      .groupBy(col(groupCol), col("b"))
+      .agg(max(col("rho")).as("mreg"))
+
+  /** MAX-merge two register tables (either side may be missing groups
+    * or buckets the other has).
+    */
+  def mergeRegisters(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(groupCol), col("b"))
+      .agg(max(col("mreg")).as("mreg"))
+
+  /** Estimate from a register table: HLL raw formula with the standard
+    * linear-counting small-range arm, rounded to 3 dp (the only
+    * cross-engine float divergence is register summation order plus a
+    * ≤1-ulp ln() in the small-range arm). Returns
+    * (groupCol, est_distinct).
+    */
+  def hllEstimate(regs: DataFrame, groupCol: String): DataFrame = {
+    val m = HllRegisters
+    // alpha_m as the same IEEE expression the SQL oracle evaluates
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    regs.groupBy(col(groupCol))
+      .agg(sum(pow(lit(2.0), -col("mreg"))).as("zocc"),
+        count(lit(1)).as("occ"))
+      .withColumn("z", col("zocc") + (lit(m.toLong) - col("occ")).cast("double"))
+      .withColumn("raw", alpha * lit((m * m).toDouble) / col("z"))
+      .withColumn("v", lit(m.toLong) - col("occ"))
+      .withColumn("est_distinct", round(
+        when(col("v") > 0 && col("raw") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+          .otherwise(col("raw")), 3))
+      .select(col(groupCol), col("est_distinct"))
+  }
+
+  /** One-shot per-group HLL estimate. */
+  def hllDistinct(hashed: DataFrame, groupCol: String,
+      hashCol: String): DataFrame =
+    hllEstimate(hllRegisters(hashed, groupCol, hashCol), groupCol)
+}

@@ -69,6 +69,35 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    "a9_sketch_distinct" -> ((s: SparkSession, dir: String) => {
+      // approximate distinct-shingle count per source via a portable
+      // 64-register HyperLogLog: bucket = h%64, register = MAX over
+      // the bucket of rho(w) = leading-zero count of the remaining 54
+      // hash bits + 1 (computed EXACTLY as 55 − length(bin(w)) — both
+      // engines' bin() is unpadded, so no libm log2 at bit
+      // boundaries); raw estimate = α·m²/Σ 2^(−M_j) with empty
+      // registers contributing 2^0, and the standard linear-counting
+      // small-range correction (raw ≤ 2.5m and V empty registers > 0
+      // → m·ln(m/V)). The sketch is a (source, bucket) MAX aggregate:
+      // map-side combinable, mergeable, 64 small ints of state per
+      // group — the 100 TB shape (a top-k-smallest KMV would need a
+      // per-group sort). α is written as the same IEEE expression on
+      // both sides; the only cross-engine float divergence is
+      // summation order + a ≤1-ulp ln(), absorbed by round-3.
+      // n_exact rides along so the error is visible (spec-asserted).
+      val d = s.read.parquet(t(dir, "documents"))
+      val sh = d.select(col("source"),
+          TextOps.tokens(TextOps.normalizeText(col("text"))).as("_ts"))
+        .select(col("source"), explode(Dedup.shinglesOf(col("_ts"), 3)).as("g"))
+        .select(col("source"), Dedup.hash60(col("g")).as("h"))
+      val est = graft.ops.Sketches.hllDistinct(sh, "source", "h")
+      val exact = sh.distinct().groupBy(col("source"))
+        .agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("n_exact"), col("est_distinct"))
+        .orderBy(col("source"))
+    }),
+
     "tx_repetition" -> ((s: SparkSession, dir: String) => {
       // Gopher-style repetition quality: most-frequent token / bigram
       // counts vs totals, integer-exact gate
@@ -451,6 +480,41 @@ object PipelineQueries {
          SELECT source, pct, COUNT(*) AS n_docs,
                 CAST(SUM(CASE WHEN b < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM x GROUP BY source, pct ORDER BY source""",
+
+    "a9_sketch_distinct" ->
+      """WITH tarr AS (
+           SELECT source, regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS ts
+           FROM documents),
+         tk AS (
+           SELECT source,
+                  ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))::BIGINT AS h
+           FROM tarr, UNNEST(generate_series(1, len(ts) - 2)) t(i)),
+         wr AS (
+           SELECT source, h % 64 AS b, h >> 6 AS w FROM tk),
+         regs AS (
+           SELECT source, b,
+                  MAX(CASE WHEN w = 0 THEN 55
+                           ELSE 55 - length(bin(w)) END) AS m
+           FROM wr GROUP BY source, b),
+         agg AS (
+           SELECT source,
+                  SUM(2.0 ^ (-m)) + CAST(64 - COUNT(*) AS DOUBLE) AS z,
+                  64 - COUNT(*) AS v
+           FROM regs GROUP BY source),
+         est AS (
+           SELECT source,
+                  round(CASE WHEN v > 0
+                              AND (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / z <= 160.0
+                             THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE))
+                             ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / z
+                        END, 3) AS est_distinct
+           FROM agg),
+         ex AS (
+           SELECT source, COUNT(*) AS n_exact
+           FROM (SELECT DISTINCT source, h FROM tk) GROUP BY source)
+         SELECT source, n_exact, est_distinct
+         FROM est JOIN ex USING (source) ORDER BY source""",
 
     "tx_repetition" ->
       """WITH tarr AS (

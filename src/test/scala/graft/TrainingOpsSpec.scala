@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Sampling, Similarity, TextOps}
+import graft.ops.{Dedup, Sampling, Similarity, Sketches, TextOps}
 
 /** Sampling/split, repetition-quality, and IVF ANN operator semantics +
   * plan-shape gates (DuckDB value parity is covered by the driver gate;
@@ -85,6 +85,49 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(0).getLong(1) == 0 && out(0).getBoolean(7), out(0).toString)
     assert(out(1).getLong(1) == 0 && out(1).getBoolean(7), out(1).toString)
     assert(out(2).getLong(1) == 3, out(2).toString)
+  }
+
+  test("hllDistinct: linear-counting arm tracks small cardinalities") {
+    import spark.implicits._
+    // 30 distinct values << 64 registers → V > 0, raw ≤ 160 → LC arm
+    val hashed = (1 to 30).map(i => ("g", s"item-$i")).toDF("grp", "s")
+      .select(col("grp"), Dedup.hash60(col("s")).as("h"))
+    val est = Sketches.hllDistinct(hashed, "grp", "h").head().getDouble(1)
+    assert(math.abs(est - 30) / 30.0 < 0.35, s"LC estimate $est for 30")
+  }
+
+  test("hllDistinct: raw arm within HLL error bounds at 20k; dup-proof") {
+    import spark.implicits._
+    val n = 20000
+    val hashed = (1 to n).map(i => ("g", s"item-$i")).toDF("grp", "s")
+      .select(col("grp"), Dedup.hash60(col("s")).as("h"))
+    val est = Sketches.hllDistinct(hashed, "grp", "h").head().getDouble(1)
+    // standard error 1.04/sqrt(64) ≈ 13%; allow 3 sigma
+    assert(math.abs(est - n).toDouble / n < 0.4, s"HLL estimate $est for $n")
+    // MAX registers are idempotent: duplicating every row changes nothing
+    val dup = Sketches.hllDistinct(hashed.union(hashed), "grp", "h")
+      .head().getDouble(1)
+    assert(dup == est, s"dup-sensitivity: $dup vs $est")
+  }
+
+  test("hllDistinct: incremental register merge == from-scratch build") {
+    import spark.implicits._
+    val all = (1 to 5000).map(i => (s"g${i % 3}", s"item-$i")).toDF("grp", "s")
+      .select(col("grp"), Dedup.hash60(col("s")).as("h"))
+    val slices = Seq(
+      all.filter(pmod(col("h"), lit(3L)) === 0L),
+      all.filter(pmod(col("h"), lit(3L)) === 1L),
+      all.filter(pmod(col("h"), lit(3L)) === 2L))
+    // fold per-slice registers through MAX-merge (the snapshot-table /
+    // streaming maintenance shape), estimate once at the end
+    val merged = slices
+      .map(s => Sketches.hllRegisters(s, "grp", "h"))
+      .reduce((a, b) => Sketches.mergeRegisters(a, b, "grp"))
+    val inc = Sketches.hllEstimate(merged, "grp")
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val full = Sketches.hllDistinct(all, "grp", "h")
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(inc.sameElements(full), s"${inc.mkString(",")} vs ${full.mkString(",")}")
   }
 
   test("sim_ivf_topk: top-1 agrees with brute force; zero-shuffle plan") {
