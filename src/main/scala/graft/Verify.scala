@@ -12,19 +12,25 @@ object Verify {
 
   /** Dump the named queries (all of them when `only` is empty) exactly
     * as the driver consumes them: one parquet dir per query plus an
-    * oracle_sql.json restricted to the dumped names.
+    * oracle_sql.json restricted to the dumped names. Returns the names
+    * that FAILED (logged, not thrown — the driver wants every other
+    * query dumped); callers that must not go silently green on a
+    * failure (QuickVerify) check the returned set.
     */
   def dump(spark: SparkSession, sfDir: String, outDir: String,
-           only: Set[String] = Set.empty): Unit = {
+           only: Set[String] = Set.empty): Seq[String] = {
     new java.io.File(outDir).mkdirs()
     val wanted =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only.contains(k) }
-    wanted.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val failed = wanted.toSeq.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +51,7 @@ object Verify {
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    failed
   }
 
   def main(args: Array[String]): Unit = {

@@ -173,14 +173,20 @@ object Similarity {
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               centroids: Array[(Long, Array[Float])], query: Array[Float],
               nprobe: Int, k: Int): DataFrame = {
-    // zero-norm vectors have no cosine direction: a zero centroid (an
-    // empty k-means cell, say) is silently unusable rather than a NaN
-    // that crashes the driver-side BigDecimal rounding, and a zero
-    // query has no defined top-k at all
+    // degenerate vectors have no cosine direction: a zero or
+    // non-finite centroid (an empty k-means cell, say) is silently
+    // unusable rather than a NaN that crashes the driver-side
+    // BigDecimal rounding, and a zero query has no defined top-k at
+    // all; zero-norm DATA rows are filtered below (Spark sorts NaN
+    // first in a descending order — they would otherwise fake top
+    // ranks, where a SQL engine's NULL sorts last)
+    def finite(cv: Array[Float]) =
+      cv.forall(v => !v.isNaN && !v.isInfinite)
     val usable = centroids.filter { case (_, cv) =>
-      cv.exists(_ != 0.0f) }
+      finite(cv) && cv.exists(_ != 0.0f) }
     require(usable.nonEmpty, "ivfTopK needs at least one nonzero centroid")
-    require(query.exists(_ != 0.0f), "ivfTopK query must have nonzero norm")
+    require(finite(query) && query.exists(_ != 0.0f),
+      "ivfTopK query must have finite nonzero norm")
     val cellOf = array_min(array(usable.map { case (cid, cv) =>
       struct((-round(cosine(col(vecCol), lit(cv)), 6)).as("nr"),
         lit(cid).as("cid"))
@@ -194,6 +200,7 @@ object Similarity {
       .filter(col("_cell").isin(probes: _*))
       .select(col(idCol).as("vec_id"),
         round(cosine(col(vecCol), lit(query)), 6).as("cos_r"))
+      .filter(!isnan(col("cos_r")))
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(k)
   }

@@ -360,9 +360,9 @@ object CaseStudyQueries {
           deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
           pr0 AS MATERIALIZED (SELECT node, 1.0/nn.n AS rank FROM nodes CROSS JOIN nn),
           $iters
-          SELECT nd.node AS organism,
+          SELECT pr10.node AS organism,
                  round(pr10.rank * nn.n, 6) AS pr_scaled
-          FROM pr10 JOIN nodes nd ON nd.node = pr10.node CROSS JOIN nn
+          FROM pr10 CROSS JOIN nn
           ORDER BY pr_scaled DESC, organism LIMIT 20"""
     },
 

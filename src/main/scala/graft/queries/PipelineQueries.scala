@@ -86,10 +86,14 @@ object PipelineQueries {
       // summation order + a ≤1-ulp ln(), absorbed by round-3.
       // n_exact rides along so the error is visible (spec-asserted).
       val d = s.read.parquet(t(dir, "documents"))
+      // materialized once: both the sketch and the exact count (which
+      // rides along for error visibility) consume the scan→tokenize→
+      // shingle→hash lineage — unchecked, the expensive part runs 2×
       val sh = d.select(col("source"),
           TextOps.tokens(TextOps.normalizeText(col("text"))).as("_ts"))
         .select(col("source"), explode(Dedup.shinglesOf(col("_ts"), 3)).as("g"))
         .select(col("source"), Dedup.hash60(col("g")).as("h"))
+        .localCheckpoint(true)
       val est = graft.ops.Sketches.hllDistinct(sh, "source", "h")
       val exact = sh.distinct().groupBy(col("source"))
         .agg(count(lit(1)).as("n_exact"))
@@ -810,6 +814,7 @@ object PipelineQueries {
            UNNEST(generate_series(1, 64)) t(i)
            GROUP BY e.vec_id)
          SELECT vec_id, cos_r FROM scored
+         WHERE cos_r IS NOT NULL
          ORDER BY cos_r DESC, vec_id LIMIT 10""",
 
     "ev_tumbling_window" ->

@@ -22,8 +22,13 @@ object QuickVerify {
     val wanted = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
     val missing = wanted.filterNot(graft.SparkEntry.queries.contains)
     require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
-    graft.Verify.dump(spark, sfDir, outDir, wanted)
-    wanted.foreach(n => println(s"[quick-verify] wrote $n"))
+    val failed = graft.Verify.dump(spark, sfDir, outDir, wanted)
+    (wanted -- failed).foreach(n => println(s"[quick-verify] wrote $n"))
     spark.stop()
+    // unlike the driver's all-queries dump, the dev loop must be LOUD
+    // on failure — a swallowed exception plus a stale parquet dir from
+    // an earlier run would let parity report OK for code that never ran
+    require(failed.isEmpty,
+      s"[quick-verify] FAILED: ${failed.mkString(",")}")
   }
 }
