@@ -74,4 +74,35 @@ object Sketches {
   def hllDistinct(hashed: DataFrame, groupCol: String,
       hashCol: String): DataFrame =
     hllEstimate(hllRegisters(hashed, groupCol, hashCol), groupCol)
+
+  /** Incremental register maintenance over a [[graft.sources.SnapshotTable]]:
+    * MAX-merge the increment's registers into the persisted register
+    * table (creating it on first use) and commit one snapshot. State
+    * stays registers-sized (groups × ≤64 rows) no matter how much data
+    * has flowed through — the per-increment cost is the increment's own
+    * aggregation plus a register-table merge, never a recount of the
+    * accumulated corpus. The idempotency key makes replayed increments
+    * (a crashed-then-retried micro-batch, say) no-ops, so a streaming
+    * foreachBatch can call this with its batchId directly. Returns the
+    * committed snapshot id.
+    */
+  def updateRegisterTable(tableDir: String, newHashed: DataFrame,
+      groupCol: String, hashCol: String, idempotencyKey: String = ""): Long = {
+    import graft.sources.SnapshotTable
+    val spark = newHashed.sparkSession
+    val delta = hllRegisters(newHashed, groupCol, hashCol)
+    val merged =
+      if (SnapshotTable.currentSnapshot(tableDir) > 0)
+        mergeRegisters(SnapshotTable.read(spark, tableDir), delta, groupCol)
+      else delta
+    // registers are tiny: one snapshot overwrite per increment keeps
+    // reads single-generation (no delta chain to re-merge on read)
+    SnapshotTable.write(merged.coalesce(1), tableDir, mode = "overwrite",
+      idempotencyKey = idempotencyKey)
+  }
+
+  /** Estimate straight from a persisted register table. */
+  def estimateFromTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, groupCol: String): DataFrame =
+    hllEstimate(graft.sources.SnapshotTable.read(spark, tableDir), groupCol)
 }

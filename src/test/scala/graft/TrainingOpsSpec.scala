@@ -133,6 +133,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(inc.sameElements(full), s"${inc.mkString(",")} vs ${full.mkString(",")}")
   }
 
+  test("hll register table: incremental snapshots == batch; replay is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hll-regs-").toString
+    val all = (1 to 6000).map(i => (s"g${i % 2}", s"item-$i")).toDF("grp", "s")
+      .select(col("grp"), Dedup.hash60(col("s")).as("h"))
+    val slices = Seq(
+      all.filter(pmod(col("h"), lit(3L)) === 0L),
+      all.filter(pmod(col("h"), lit(3L)) === 1L),
+      all.filter(pmod(col("h"), lit(3L)) === 2L))
+    val snaps = slices.zipWithIndex.map { case (sl, i) =>
+      Sketches.updateRegisterTable(dir, sl, "grp", "h", s"batch-$i")
+    }
+    assert(snaps == Seq(1L, 2L, 3L), snaps.toString)
+    // a replayed increment (crashed micro-batch retry) is a no-op
+    val replay = Sketches.updateRegisterTable(dir, slices(1), "grp", "h", "batch-1")
+    assert(replay == 2L && graft.sources.SnapshotTable.currentSnapshot(dir) == 3L)
+    val inc = Sketches.estimateFromTable(spark, dir, "grp")
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val full = Sketches.hllDistinct(all, "grp", "h")
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(inc.sameElements(full), s"${inc.mkString(",")} vs ${full.mkString(",")}")
+  }
+
   test("sim_ivf_topk: top-1 agrees with brute force; zero-shuffle plan") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0).select(col("embedding"))
