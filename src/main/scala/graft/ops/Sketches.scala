@@ -105,4 +105,49 @@ object Sketches {
   def estimateFromTable(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, groupCol: String): DataFrame =
     hllEstimate(graft.sources.SnapshotTable.read(spark, tableDir), groupCol)
+
+  // ---- count-min --------------------------------------------------------
+
+  val CmsDepth = 4
+  val CmsWidth = 16384
+
+  /** Count-min counter table (j, b, cnt) from per-key exact counts
+    * (`keyCol`, `cntCol`): row j buckets the key by a j-salted md5.
+    * Like the HLL registers this is pure SUM state — map-side
+    * combinable, mergeable by addition, CmsDepth×CmsWidth cells
+    * regardless of key cardinality. Building from pre-aggregated
+    * counts instead of raw occurrences is equivalent (SUM is linear)
+    * and one shuffle cheaper.
+    */
+  def cmsCounters(counts: DataFrame, keyCol: String,
+      cntCol: String): DataFrame =
+    counts
+      .select(explode(array((0 until CmsDepth).map { j =>
+        struct(lit(j).as("j"),
+          pmod(Dedup.hash60(concat(lit(s"cms$j:"), col(keyCol))),
+            lit(CmsWidth.toLong)).as("b"),
+          col(cntCol).as("c"))
+      }: _*)).as("e"))
+      .select(col("e.j"), col("e.b"), col("e.c"))
+      .groupBy(col("j"), col("b"))
+      .agg(sum(col("c")).as("cnt"))
+
+  /** Point-estimate counts for candidate keys from a counter table:
+    * est(key) = MIN over rows j of counter(j, bucket_j(key)). The
+    * classic one-sided guarantee holds exactly: est ≥ true count,
+    * with overestimate only on all-rows collisions.
+    */
+  def cmsEstimate(candidates: DataFrame, counters: DataFrame,
+      keyCol: String): DataFrame = {
+    val keyed = candidates
+      .select(col("*"), explode(array((0 until CmsDepth).map { j =>
+        struct(lit(j).as("j"),
+          pmod(Dedup.hash60(concat(lit(s"cms$j:"), col(keyCol))),
+            lit(CmsWidth.toLong)).as("b"))
+      }: _*)).as("e"))
+      .select(col(keyCol), col("e.j"), col("e.b"))
+    keyed.join(broadcast(counters), Seq("j", "b"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cnt")).as("est"))
+  }
 }

@@ -102,6 +102,28 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    "tx_heavy_hitters" -> ((s: SparkSession, dir: String) => {
+      // frequent-shingle (boilerplate) detection with a count-min
+      // sketch riding along: top-10 trigram shingles by exact count,
+      // each with its CMS point estimate (4×16384 counters, salted md5
+      // rows). Counters build from the pre-aggregated exact counts
+      // (SUM is linear — one shuffle cheaper than per-occurrence) and
+      // everything is integer-exact: the oracle compare needs no
+      // rounding at all. est ≥ n_exact is the CMS one-sided guarantee
+      // (spec-asserted).
+      val d = s.read.parquet(t(dir, "documents"))
+      val sh = d.select(TextOps.tokens(TextOps.normalizeText(col("text"))).as("_ts"))
+        .select(explode(Dedup.shinglesOf(col("_ts"), 3)).as("g"))
+      val exact = sh.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
+        .localCheckpoint(true)
+      val counters = graft.ops.Sketches.cmsCounters(exact, "g", "n_exact")
+      val top = exact.orderBy(col("n_exact").desc, col("g")).limit(10)
+      graft.ops.Sketches.cmsEstimate(top, counters, "g")
+        .join(top, Seq("g"))
+        .select(col("g").as("shingle"), col("n_exact"), col("est"))
+        .orderBy(col("n_exact").desc, col("shingle"))
+    }),
+
     "tx_repetition" -> ((s: SparkSession, dir: String) => {
       // Gopher-style repetition quality: most-frequent token / bigram
       // counts vs totals, integer-exact gate
@@ -519,6 +541,34 @@ object PipelineQueries {
            FROM (SELECT DISTINCT source, h FROM tk) GROUP BY source)
          SELECT source, n_exact, est_distinct
          FROM est JOIN ex USING (source) ORDER BY source""",
+
+    "tx_heavy_hitters" ->
+      """WITH tarr AS (
+           SELECT regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS ts
+           FROM documents),
+         sh AS (
+           SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+           FROM tarr, UNNEST(generate_series(1, len(ts) - 2)) t(i)),
+         ex AS (SELECT g, COUNT(*) AS n_exact FROM sh GROUP BY g),
+         cnts AS (
+           SELECT u.j,
+                  ('0x' || substr(md5('cms' || u.j || ':' || g), 1, 15))::BIGINT % 16384 AS b,
+                  CAST(SUM(n_exact) AS BIGINT) AS cnt
+           FROM ex, UNNEST(generate_series(0, 3)) u(j)
+           GROUP BY u.j, b),
+         top AS (SELECT g, n_exact FROM ex ORDER BY n_exact DESC, g LIMIT 10),
+         tg AS (
+           SELECT top.g, u.j,
+                  ('0x' || substr(md5('cms' || u.j || ':' || top.g), 1, 15))::BIGINT % 16384 AS b
+           FROM top, UNNEST(generate_series(0, 3)) u(j)),
+         est AS (
+           SELECT tg.g, MIN(cnts.cnt) AS est
+           FROM tg JOIN cnts ON cnts.j = tg.j AND cnts.b = tg.b
+           GROUP BY tg.g)
+         SELECT top.g AS shingle, n_exact, est
+         FROM top JOIN est ON est.g = top.g
+         ORDER BY n_exact DESC, shingle""",
 
     "tx_repetition" ->
       """WITH tarr AS (

@@ -156,6 +156,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(inc.sameElements(full), s"${inc.mkString(",")} vs ${full.mkString(",")}")
   }
 
+  test("tx_heavy_hitters / count-min: one-sided guarantee and tightness") {
+    val rows = SparkEntry.queries("tx_heavy_hitters")(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2)
+      assert(est >= exact, r.toString)   // CMS never underestimates
+    }
+    // 4×16384 cells on this corpus: estimates should be near-exact
+    val worst = rows.map(r => r.getLong(2) - r.getLong(1)).max
+    assert(worst <= 20, s"worst overestimate $worst")
+  }
+
+  test("cmsCounters/cmsEstimate: exact when collision-free; sums preserved") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    val counts = (1 to 200).map(i => (s"key-$i", i.toLong)).toDF("k", "c")
+    val counters = Sketches.cmsCounters(counts, "k", "c")
+    // total mass per CMS row equals the total input mass
+    val perRow = counters.groupBy(col("j")).agg(sum(col("cnt")).as("s"))
+      .collect().map(_.getLong(1))
+    assert(perRow.length == Sketches.CmsDepth && perRow.forall(_ == 20100L),
+      perRow.mkString(","))
+    val est = Sketches.cmsEstimate(counts.select(col("k")), counters, "k")
+      .join(counts, Seq("k")).collect()
+    est.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), r.toString)  // est >= true
+    }
+  }
+
   test("sim_ivf_topk: top-1 agrees with brute force; zero-shuffle plan") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0).select(col("embedding"))
