@@ -90,15 +90,46 @@ object Sketches {
       groupCol: String, hashCol: String, idempotencyKey: String = ""): Long = {
     import graft.sources.SnapshotTable
     val spark = newHashed.sparkSession
-    val delta = hllRegisters(newHashed, groupCol, hashCol)
-    val merged =
-      if (SnapshotTable.currentSnapshot(tableDir) > 0)
-        mergeRegisters(SnapshotTable.read(spark, tableDir), delta, groupCol)
-      else delta
-    // registers are tiny: one snapshot overwrite per increment keeps
-    // reads single-generation (no delta chain to re-merge on read)
-    SnapshotTable.write(merged.coalesce(1), tableDir, mode = "overwrite",
-      idempotencyKey = idempotencyKey)
+    if (idempotencyKey.nonEmpty) {
+      val prior = SnapshotTable.snapshotWithKey(tableDir, idempotencyKey)
+      if (prior.isDefined) return prior.get
+    }
+    val delta = hllRegisters(newHashed, groupCol, hashCol).localCheckpoint(true)
+    // optimistic read-merge-overwrite with CONFLICT REPAIR: the
+    // SnapshotTable CAS guarantees ids are handed out without loss,
+    // but an overwrite committed from a stale read would still drop
+    // the interleaved writer's registers from the new head. Snapshot
+    // ids are sequential, so "my commit == base+1" proves nothing
+    // landed in between; otherwise the skipped snapshots are still in
+    // history — MAX-merge them in (registers are idempotent, merging
+    // a superset is always safe) and commit again until no gap.
+    var mergedFrom = 0L
+    var merged = delta
+    var key = idempotencyKey
+    var attempt = 0
+    while (true) {
+      val base = SnapshotTable.currentSnapshot(tableDir)
+      ((mergedFrom + 1) to base).foreach { s =>
+        merged = mergeRegisters(
+          SnapshotTable.read(spark, tableDir, Some(s)), merged, groupCol)
+      }
+      mergedFrom = base
+      // registers are tiny: one coalesced overwrite per increment keeps
+      // reads single-generation (no delta chain to re-merge on read)
+      val committed = SnapshotTable.write(merged.coalesce(1), tableDir,
+        mode = "overwrite", idempotencyKey = key)
+      if (committed <= base) return committed // idempotent replay raced in
+      if (committed == base + 1) return committed // no interleaved commit
+      // conflict: snapshots (base, committed) hold state our head is
+      // missing. mergedFrom stays at base, so the next pass re-merges
+      // the gap AND our own commit (idempotent) before re-committing;
+      // retries must not be no-op'd by the original idempotency key
+      attempt += 1
+      require(attempt < 32,
+        s"updateRegisterTable: gave up after $attempt conflict repairs")
+      key = if (idempotencyKey.isEmpty) "" else s"$idempotencyKey#repair$attempt"
+    }
+    -1L // unreachable
   }
 
   /** Estimate straight from a persisted register table. */
@@ -119,13 +150,19 @@ object Sketches {
     * counts instead of raw occurrences is equivalent (SUM is linear)
     * and one shuffle cheaper.
     */
+  /** The ONE bucket definition both the build and probe sides use —
+    * same single-definition rule as [[Dedup.hash60]]: a salt or width
+    * drifting between the two call sites would silently break the
+    * one-sided est ≥ exact guarantee.
+    */
+  private def cmsBucket(j: Int, key: Column): Column =
+    pmod(Dedup.hash60(concat(lit(s"cms$j:"), key)), lit(CmsWidth.toLong))
+
   def cmsCounters(counts: DataFrame, keyCol: String,
       cntCol: String): DataFrame =
     counts
       .select(explode(array((0 until CmsDepth).map { j =>
-        struct(lit(j).as("j"),
-          pmod(Dedup.hash60(concat(lit(s"cms$j:"), col(keyCol))),
-            lit(CmsWidth.toLong)).as("b"),
+        struct(lit(j).as("j"), cmsBucket(j, col(keyCol)).as("b"),
           col(cntCol).as("c"))
       }: _*)).as("e"))
       .select(col("e.j"), col("e.b"), col("e.c"))
@@ -133,21 +170,22 @@ object Sketches {
       .agg(sum(col("c")).as("cnt"))
 
   /** Point-estimate counts for candidate keys from a counter table:
-    * est(key) = MIN over rows j of counter(j, bucket_j(key)). The
-    * classic one-sided guarantee holds exactly: est ≥ true count,
-    * with overestimate only on all-rows collisions.
+    * est(key) = MIN over rows j of counter(j, bucket_j(key)), where an
+    * EMPTY bucket counts as 0 (left join + coalesce) — a key never fed
+    * to the counters correctly estimates 0 instead of vanishing or
+    * min-ing over only its occupied buckets. The classic one-sided
+    * guarantee holds exactly: est ≥ true count, with overestimate only
+    * on all-rows collisions.
     */
   def cmsEstimate(candidates: DataFrame, counters: DataFrame,
       keyCol: String): DataFrame = {
     val keyed = candidates
       .select(col("*"), explode(array((0 until CmsDepth).map { j =>
-        struct(lit(j).as("j"),
-          pmod(Dedup.hash60(concat(lit(s"cms$j:"), col(keyCol))),
-            lit(CmsWidth.toLong)).as("b"))
+        struct(lit(j).as("j"), cmsBucket(j, col(keyCol)).as("b"))
       }: _*)).as("e"))
       .select(col(keyCol), col("e.j"), col("e.b"))
-    keyed.join(broadcast(counters), Seq("j", "b"))
+    keyed.join(broadcast(counters), Seq("j", "b"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("cnt")).as("est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 }

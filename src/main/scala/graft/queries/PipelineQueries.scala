@@ -117,7 +117,10 @@ object PipelineQueries {
       val exact = sh.groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
         .localCheckpoint(true)
       val counters = graft.ops.Sketches.cmsCounters(exact, "g", "n_exact")
+      // 10 rows, but its lineage is a global top-k over the full count
+      // table — referenced twice (probe + rejoin), so pin it
       val top = exact.orderBy(col("n_exact").desc, col("g")).limit(10)
+        .localCheckpoint(true)
       graft.ops.Sketches.cmsEstimate(top, counters, "g")
         .join(top, Seq("g"))
         .select(col("g").as("shingle"), col("n_exact"), col("est"))

@@ -178,11 +178,21 @@ class TrainingOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(perRow.length == Sketches.CmsDepth && perRow.forall(_ == 20100L),
       perRow.mkString(","))
+    // 200 keys into 4×16384 buckets: an all-rows collision is a ~2e-8
+    // event AND deterministic (fixed md5), so exact equality is a
+    // stable assertion — it pins down systematic over-counting that a
+    // mere est >= true check would let through
     val est = Sketches.cmsEstimate(counts.select(col("k")), counters, "k")
       .join(counts, Seq("k")).collect()
     est.foreach { r =>
-      assert(r.getLong(1) >= r.getLong(2), r.toString)  // est >= true
+      assert(r.getLong(1) == r.getLong(2), r.toString)
     }
+    // a key never fed to the counters estimates 0 (empty bucket = 0),
+    // not a dropped row
+    val unseen = Sketches.cmsEstimate(
+      Seq("never-seen-key-xyz").toDF("k"), counters, "k").collect()
+    assert(unseen.length == 1 && unseen.head.getLong(1) == 0L,
+      unseen.mkString(","))
   }
 
   test("sim_ivf_topk: top-1 agrees with brute force; zero-shuffle plan") {
