@@ -76,58 +76,70 @@ object Sketches {
     hllEstimate(hllRegisters(hashed, groupCol, hashCol), groupCol)
 
   /** Incremental register maintenance over a [[graft.sources.SnapshotTable]]:
-    * MAX-merge the increment's registers into the persisted register
-    * table (creating it on first use) and commit one snapshot. State
-    * stays registers-sized (groups × ≤64 rows) no matter how much data
-    * has flowed through — the per-increment cost is the increment's own
-    * aggregation plus a register-table merge, never a recount of the
-    * accumulated corpus. The idempotency key makes replayed increments
-    * (a crashed-then-retried micro-batch, say) no-ops, so a streaming
-    * foreachBatch can call this with its batchId directly. Returns the
-    * committed snapshot id.
+    * APPEND the increment's registers as rows; the authoritative state
+    * is the read-side MAX re-aggregation ([[registersFromTable]]).
+    *
+    * Append-only is what makes this lossless and crash-safe with no
+    * read-modify-write cycle at all: the table's append CAS re-unions
+    * against whatever parent actually won, so two concurrent
+    * increments both land (an overwrite formulation committed from a
+    * stale read silently drops the interleaved writer's registers —
+    * an earlier draft here did exactly that); a crash anywhere leaves
+    * at worst an unappended increment whose keyed replay appends it.
+    * Per-increment cost is the increment's own aggregation — prior
+    * state is never read. Rows grow by ≤ groups×64 per increment
+    * until [[compactRegisterTable]] collapses them. The idempotency
+    * key makes replayed increments (a crashed-then-retried
+    * micro-batch) no-ops, so a streaming foreachBatch can pass its
+    * batchId directly. Returns the committed snapshot id.
     */
   def updateRegisterTable(tableDir: String, newHashed: DataFrame,
       groupCol: String, hashCol: String, idempotencyKey: String = ""): Long = {
     import graft.sources.SnapshotTable
-    val spark = newHashed.sparkSession
-    if (idempotencyKey.nonEmpty) {
-      val prior = SnapshotTable.snapshotWithKey(tableDir, idempotencyKey)
-      if (prior.isDefined) return prior.get
-    }
-    val delta = hllRegisters(newHashed, groupCol, hashCol).localCheckpoint(true)
-    // optimistic read-merge-overwrite with CONFLICT REPAIR: the
-    // SnapshotTable CAS guarantees ids are handed out without loss,
-    // but an overwrite committed from a stale read would still drop
-    // the interleaved writer's registers from the new head. Snapshot
-    // ids are sequential, so "my commit == base+1" proves nothing
-    // landed in between; otherwise the skipped snapshots are still in
-    // history — MAX-merge them in (registers are idempotent, merging
-    // a superset is always safe) and commit again until no gap.
-    var mergedFrom = 0L
-    var merged = delta
-    var key = idempotencyKey
+    val delta = hllRegisters(newHashed, groupCol, hashCol)
+    SnapshotTable.write(delta.coalesce(1), tableDir, mode = "append",
+      idempotencyKey = idempotencyKey)
+  }
+
+  /** Current authoritative registers from a persisted table: MAX
+    * re-aggregation over the appended increment rows (idempotent —
+    * works identically on compacted and uncompacted tables).
+    */
+  def registersFromTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, groupCol: String): DataFrame =
+    graft.sources.SnapshotTable.read(spark, tableDir)
+      .groupBy(col(groupCol), col("b"))
+      .agg(max(col("mreg")).as("mreg"))
+
+  /** Collapse the appended increment rows into one registers-sized
+    * overwrite snapshot. MAINTENANCE OPERATION — run it while ingest
+    * is quiesced (the same single-writer contract as any rewrite
+    * racing appends, cf. Iceberg's rewrite guidance): an overwrite
+    * committed concurrently with an append would drop that append's
+    * rows. A best-effort conflict check retries when an interleaved
+    * commit is detected (sequential snapshot ids: committed == base+1
+    * proves nothing landed in between), folding the missed delta rows
+    * back in via readDelta.
+    */
+  def compactRegisterTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, groupCol: String): Long = {
+    import graft.sources.SnapshotTable
+    var base = SnapshotTable.currentSnapshot(tableDir)
+    var state = registersFromTable(spark, tableDir, groupCol)
     var attempt = 0
     while (true) {
-      val base = SnapshotTable.currentSnapshot(tableDir)
-      ((mergedFrom + 1) to base).foreach { s =>
-        merged = mergeRegisters(
-          SnapshotTable.read(spark, tableDir, Some(s)), merged, groupCol)
-      }
-      mergedFrom = base
-      // registers are tiny: one coalesced overwrite per increment keeps
-      // reads single-generation (no delta chain to re-merge on read)
-      val committed = SnapshotTable.write(merged.coalesce(1), tableDir,
-        mode = "overwrite", idempotencyKey = key)
-      if (committed <= base) return committed // idempotent replay raced in
-      if (committed == base + 1) return committed // no interleaved commit
-      // conflict: snapshots (base, committed) hold state our head is
-      // missing. mergedFrom stays at base, so the next pass re-merges
-      // the gap AND our own commit (idempotent) before re-committing;
-      // retries must not be no-op'd by the original idempotency key
+      val committed = SnapshotTable.write(state.coalesce(1), tableDir,
+        mode = "overwrite")
+      if (committed == base + 1) return committed
+      // interleaved append(s): their rows are exactly the files added
+      // after `base` and before our overwrite — fold them in and retry
       attempt += 1
       require(attempt < 32,
-        s"updateRegisterTable: gave up after $attempt conflict repairs")
-      key = if (idempotencyKey.isEmpty) "" else s"$idempotencyKey#repair$attempt"
+        s"compactRegisterTable: gave up after $attempt conflict repairs")
+      state = mergeRegisters(state,
+        SnapshotTable.readDelta(spark, tableDir, base, Some(committed - 1)),
+        groupCol)
+      base = committed
     }
     -1L // unreachable
   }
@@ -135,12 +147,19 @@ object Sketches {
   /** Estimate straight from a persisted register table. */
   def estimateFromTable(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, groupCol: String): DataFrame =
-    hllEstimate(graft.sources.SnapshotTable.read(spark, tableDir), groupCol)
+    hllEstimate(registersFromTable(spark, tableDir, groupCol), groupCol)
 
   // ---- count-min --------------------------------------------------------
 
   val CmsDepth = 4
   val CmsWidth = 16384
+
+  // The ONE bucket definition both the build and probe sides use —
+  // same single-definition rule as Dedup.hash60: a salt or width
+  // drifting between the two call sites would silently break the
+  // one-sided est ≥ exact guarantee.
+  private def cmsBucket(j: Int, key: Column): Column =
+    pmod(Dedup.hash60(concat(lit(s"cms$j:"), key)), lit(CmsWidth.toLong))
 
   /** Count-min counter table (j, b, cnt) from per-key exact counts
     * (`keyCol`, `cntCol`): row j buckets the key by a j-salted md5.
@@ -150,14 +169,6 @@ object Sketches {
     * counts instead of raw occurrences is equivalent (SUM is linear)
     * and one shuffle cheaper.
     */
-  /** The ONE bucket definition both the build and probe sides use —
-    * same single-definition rule as [[Dedup.hash60]]: a salt or width
-    * drifting between the two call sites would silently break the
-    * one-sided est ≥ exact guarantee.
-    */
-  private def cmsBucket(j: Int, key: Column): Column =
-    pmod(Dedup.hash60(concat(lit(s"cms$j:"), key)), lit(CmsWidth.toLong))
-
   def cmsCounters(counts: DataFrame, keyCol: String,
       cntCol: String): DataFrame =
     counts

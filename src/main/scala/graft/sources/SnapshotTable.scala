@@ -92,19 +92,6 @@ object SnapshotTable {
   def committedKey(dir: String, snap: Long): Option[String] =
     metaJson(dir, snap).flatMap(metaStr(_, "idempotency_key")).filter(_.nonEmpty)
 
-  /** Parent snapshot id recorded by snapshot `snap`. Because ids are
-    * sequential CAS winners, `parentOf(s) == s-1` always holds; the
-    * accessor exists so optimistic read-merge-overwrite callers can
-    * verify their commit landed directly on the base they merged from
-    * (a gap means a concurrent committer's state is missing from the
-    * merge).
-    */
-  def parentOf(dir: String, snap: Long): Option[Long] =
-    metaJson(dir, snap).flatMap { j =>
-      """"parent_snapshot_id":(\d+)""".r.findFirstMatchIn(j)
-        .map(_.group(1).toLong)
-    }
-
   /** Schema DDL recorded by snapshot `snap` (empty reads reconstitute
     * the DataFrame schema from this).
     */

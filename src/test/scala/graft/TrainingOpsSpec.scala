@@ -154,6 +154,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     val full = Sketches.hllDistinct(all, "grp", "h")
       .orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(1)))
     assert(inc.sameElements(full), s"${inc.mkString(",")} vs ${full.mkString(",")}")
+    // compaction collapses the appended rows without changing estimates
+    val rowsBefore = graft.sources.SnapshotTable.read(spark, dir).count()
+    val snap = Sketches.compactRegisterTable(spark, dir, "grp")
+    assert(snap == 4L, snap.toString)
+    val rowsAfter = graft.sources.SnapshotTable.read(spark, dir).count()
+    assert(rowsAfter <= rowsBefore, s"$rowsAfter vs $rowsBefore")
+    val compacted = Sketches.estimateFromTable(spark, dir, "grp")
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(compacted.sameElements(full), compacted.mkString(","))
+    // appends after compaction keep merging correctly
+    Sketches.updateRegisterTable(dir, slices(0), "grp", "h", "batch-0-again2")
+    val after = Sketches.estimateFromTable(spark, dir, "grp")
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(after.sameElements(full), after.mkString(","))
   }
 
   test("tx_heavy_hitters / count-min: one-sided guarantee and tightness") {
