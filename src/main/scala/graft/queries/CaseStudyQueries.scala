@@ -388,8 +388,8 @@ object CaseStudyQueries {
           loc AS (SELECT DISTINCT subj AS rec FROM g
                   WHERE pred = '${PROV}atLocation')
           SELECT ilabel,
-                 SUM(CASE WHEN loc.rec IS NOT NULL THEN 1 ELSE 0 END) AS n_with_loc,
-                 SUM(CASE WHEN loc.rec IS NULL THEN 1 ELSE 0 END) AS n_without_loc
+                 CAST(SUM(CASE WHEN loc.rec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_loc,
+                 CAST(SUM(CASE WHEN loc.rec IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_loc
           FROM cw JOIN lbl USING (itype) LEFT JOIN loc ON loc.rec = cw.rec
           GROUP BY ilabel ORDER BY ilabel""")
 }
