@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *
   * Convergence when the edge multiset stops changing (checked via a
   * count + sum-of-hashes aggregate — one tiny action per iteration).
-  * Each iteration is shuffle-bounded by groupBy(u); high-degree hubs are
-  * exactly what large-star splits, so the algorithm self-handles skew.
+  * Each star step is ONE shuffle (window partitionBy(u) min) with a
+  * single-pass two-arm emission; high-degree hubs are exactly what
+  * large-star splits, so the algorithm self-handles skew.
   * Lineage is cut by an eager localCheckpoint per iteration — at
   * 10^12-doc scale the loop runs O(log d) iterations.
   *
@@ -44,27 +45,48 @@ object Canonical {
       e.select(col("src").as("u"), col("dst").as("v"))
         .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
 
-    // Hub-degree-safe star steps: per-node min (a constant-size partial
-    // aggregate) joined back against the symmetrized edges — NO
-    // collect_set, so a celebrity node with 10^7 neighbors never
-    // materializes its neighbor list in one aggregation buffer. The join
-    // streams (SortMergeJoin) and AQE's skew-join splits the hub key's
-    // stream side at runtime.
-    def largeStar(e: DataFrame): DataFrame = {
-      val s = sym(e)
-      val nbrs = s.groupBy(col("u")).agg(min(least(col("v"), col("u"))).as("m"))
-      s.join(nbrs, Seq("u"))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("src"), col("m").as("dst"))
-        .unionByName(nbrs.select(col("u").as("src"), col("m").as("dst")))
-    }
+    // Emit up to two (s, d) pairs per input row in ONE pass (array →
+    // filter nulls → explode): the star steps each produce a "reroute
+    // every neighbor" arm and a "once per node" arm, and computing them
+    // as two filtered projections of the same window subtree would
+    // execute the sort+window twice.
+    def emit2(cond1: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column,
+        d1: org.apache.spark.sql.Column, cond2: org.apache.spark.sql.Column,
+        s2: org.apache.spark.sql.Column, d2: org.apache.spark.sql.Column) =
+      explode(filter(
+        array(when(cond1, struct(s1.as("s"), d1.as("d"))),
+          when(cond2, struct(s2.as("s"), d2.as("d")))),
+        x => x.isNotNull))
 
-    def smallStar(e: DataFrame): DataFrame = {
-      val s = sym(e).filter(col("v") <= col("u"))
-      val nbrs = s.groupBy(col("u")).agg(min(col("v")).as("m"))
-      s.join(nbrs, Seq("u"))
-        .select(col("v").as("src"), col("m").as("dst"))
-        .unionByName(nbrs.select(col("u").as("src"), col("m").as("dst")))
+    // Fused large-star ∘ small-star round, hub-degree-safe: per-node
+    // mins come from WINDOW aggregates (one shuffle + sort per star
+    // step, streaming spill on hub partitions) instead of a groupBy +
+    // self-join (two shuffles per step and the join re-executes its
+    // input subtree once per reference) — and small-star skips the
+    // re-symmetrize entirely because every large-star output edge
+    // already points downward (d = some min ≤ s), so the v ≤ u half of
+    // sym(largeStar(e)) is largeStar(e) itself. Neither step ever
+    // materializes a neighbor LIST: a celebrity node with 10^7
+    // neighbors is a big sorted partition, not an aggregation buffer —
+    // and large-star is precisely the step that splits such hubs.
+    def round(e: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy("u")
+      // large-star: m = min(N(u) ∪ {u}); reroute v > u to m, attach u
+      val s = sym(e)
+        .withColumn("m", min(least(col("v"), col("u"))).over(wu))
+        .withColumn("mv", min(col("v")).over(wu))
+      val ls = s
+        .select(emit2(
+          col("v") > col("u"), col("v"), col("m"),
+          col("v") === col("mv"), col("u"), col("m")).as("e"))
+        .select(col("e.s").as("u"), col("e.d").as("v"))
+      // small-star on the downward edge list: m = min(N≤(u) ∪ {u})
+      val t = ls.withColumn("m", min(col("v")).over(wu))
+      t.select(emit2(
+          lit(true), col("v"), col("m"),
+          col("v") === col("m"), col("u"), col("m")).as("e"))
+        .select(col("e.s").as("src"), col("e.d").as("dst"))
     }
 
     def signature(e: DataFrame): (Long, Long) = {
@@ -84,20 +106,19 @@ object Canonical {
     // steps are monotone (a converged edge set is a fixpoint, so the
     // extra round is a no-op), and halving the signature actions halves
     // the driver round-trips that dominate the tail iterations.
-    // every round IS checkpointed: each star step references its input
-    // 3× (sym edges + per-node mins + the union arm), so an
-    // un-materialized round would re-execute the previous round's DAG
-    // multiplicatively — measured 5× slower when tried. Only the
-    // SIGNATURE action runs every 2nd round.
+    // every round IS checkpointed: sym() references the round input
+    // twice, so an un-materialized round would re-execute the previous
+    // round's DAG multiplicatively — measured 5× slower when tried.
+    // Only the SIGNATURE action runs every 2nd round.
     var cur = canon(edges).localCheckpoint(true)
     var sig = signature(cur)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val mid = canon(smallStar(largeStar(cur))).localCheckpoint(true)
+      val mid = canon(round(cur)).localCheckpoint(true)
       val next =
         if (it + 1 < maxIter)
-          canon(smallStar(largeStar(mid))).localCheckpoint(true)
+          canon(round(mid)).localCheckpoint(true)
         else mid
       val nextSig = signature(next)
       converged = nextSig == sig

@@ -103,33 +103,93 @@ object Sketches {
 
   /** Current authoritative registers from a persisted table: MAX
     * re-aggregation over the appended increment rows (idempotent —
-    * works identically on compacted and uncompacted tables).
+    * works identically on compacted and uncompacted tables). Reading
+    * the head (no explicit snapshot) first verifies — and repairs —
+    * any torn compaction ([[repairCompactionIfTorn]]); a time-travel
+    * read returns that snapshot's content as committed.
     */
   def registersFromTable(spark: org.apache.spark.sql.SparkSession,
-      tableDir: String, groupCol: String): DataFrame =
-    graft.sources.SnapshotTable.read(spark, tableDir)
+      tableDir: String, groupCol: String,
+      snapshot: Option[Long] = None): DataFrame = {
+    if (snapshot.isEmpty) repairCompactionIfTorn(spark, tableDir, groupCol)
+    graft.sources.SnapshotTable.read(spark, tableDir, snapshot)
       .groupBy(col(groupCol), col("b"))
       .agg(max(col("mreg")).as("mreg"))
+  }
+
+  private val CompactKeyPrefix = "hll-compact@"
+
+  /** Detect and heal a torn compaction. Every compaction overwrite
+    * records, in its idempotency key, the base snapshot whose content
+    * it folded through; snapshot ids are sequential, so a consistent
+    * compaction commits at exactly base+1. A head overwrite at
+    * base+1+k (k>0) means k appends interleaved with the compaction
+    * and a crash stopped the in-line conflict repair — those appends'
+    * register rows are missing from the head. The heal re-folds them
+    * (readDelta over (base, head-1]) and overwrites, keyed by the torn
+    * head's id so concurrent healers coalesce to one repair snapshot.
+    * O(one metadata read) when consistent; called on every head read.
+    *
+    * Requires the interleaved snapshots to still be retained —
+    * expireSnapshots between a torn compaction and its heal would
+    * discard the only copy of those rows, so expiry of this table
+    * should go through a healed read first (estimate/registers calls
+    * do this implicitly).
+    */
+  def repairCompactionIfTorn(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, groupCol: String): Unit = {
+    import graft.sources.SnapshotTable
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      val head = SnapshotTable.currentSnapshot(tableDir)
+      if (head <= 0) return
+      val tornBase = SnapshotTable.committedKey(tableDir, head)
+        .filter(_.startsWith(CompactKeyPrefix))
+        .flatMap(k => scala.util.Try(k.stripPrefix(CompactKeyPrefix).toLong).toOption)
+        .filter(base => head > base + 1)
+      if (tornBase.isEmpty) return
+      val base = tornBase.get
+      val missed = SnapshotTable.readDelta(spark, tableDir, base, Some(head - 1))
+      val repaired = mergeRegisters(
+        SnapshotTable.read(spark, tableDir, Some(head))
+          .groupBy(col(groupCol), col("b")).agg(max(col("mreg")).as("mreg")),
+        missed, groupCol)
+      SnapshotTable.write(repaired.coalesce(1), tableDir, mode = "overwrite",
+        idempotencyKey = s"$CompactKeyPrefix$head")
+      // loop: the repair itself may have raced another append — the
+      // next iteration re-checks the new head and heals again if torn
+    }
+    throw new IllegalStateException(
+      s"repairCompactionIfTorn: still torn after $guard heals on $tableDir")
+  }
 
   /** Collapse the appended increment rows into one registers-sized
     * overwrite snapshot. MAINTENANCE OPERATION — run it while ingest
     * is quiesced (the same single-writer contract as any rewrite
     * racing appends, cf. Iceberg's rewrite guidance): an overwrite
     * committed concurrently with an append would drop that append's
-    * rows. A best-effort conflict check retries when an interleaved
-    * commit is detected (sequential snapshot ids: committed == base+1
-    * proves nothing landed in between), folding the missed delta rows
-    * back in via readDelta.
+    * rows. Two safety nets close the gap:
+    *
+    *  1. in-line conflict repair: sequential snapshot ids mean
+    *     committed == base+1 proves no interleaving; otherwise the
+    *     missed delta rows are folded back in and re-committed;
+    *  2. every overwrite's idempotency key records the base it folded
+    *     through, so a crash BETWEEN an understated overwrite and its
+    *     repair is detected — and healed — by the next head read
+    *     ([[repairCompactionIfTorn]]); the head can no longer stay
+    *     silently understated.
     */
   def compactRegisterTable(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, groupCol: String): Long = {
     import graft.sources.SnapshotTable
+    repairCompactionIfTorn(spark, tableDir, groupCol)
     var base = SnapshotTable.currentSnapshot(tableDir)
-    var state = registersFromTable(spark, tableDir, groupCol)
+    var state = registersFromTable(spark, tableDir, groupCol, Some(base))
     var attempt = 0
     while (true) {
       val committed = SnapshotTable.write(state.coalesce(1), tableDir,
-        mode = "overwrite")
+        mode = "overwrite", idempotencyKey = s"$CompactKeyPrefix$base")
       if (committed == base + 1) return committed
       // interleaved append(s): their rows are exactly the files added
       // after `base` and before our overwrite — fold them in and retry

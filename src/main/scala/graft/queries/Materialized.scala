@@ -122,12 +122,17 @@ object Materialized {
       val triples = Materialize
         .globiTriplesFused(records, dictId, dictName, Some(mm))
         .withColumn("n_docs", lit(n))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       triples.write.mode("overwrite").parquet(s"$SideDir/globi_triples_n$n")
+      // Build the engine-side bucketed table FROM the re-read dump, not
+      // from the shared persisted DF: if cached partitions were evicted
+      // between the two writes, the second would silently recompute the
+      // emission lineage — any future nondeterminism there would diverge
+      // the engine table from the oracle's side-channel. Reading the
+      // dump back makes the two sides bit-identical by construction.
       val tbl = s"graft_globi_triples_n$n"
       dropTable(spark, tbl)
-      Bucketing.writeBucketed(triples, tbl, "subj", 16)
-      triples.unpersist()
+      Bucketing.writeBucketed(
+        spark.read.parquet(s"$SideDir/globi_triples_n$n"), tbl, "subj", 16)
       tbl
     }
 
@@ -138,12 +143,13 @@ object Materialized {
       val triples = Trydb
         .run(spark, Trydb.trydbData(spark, n, 32), Trydb.trydbLineage(spark), None)
         .withColumn("n_docs", lit(n))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       triples.write.mode("overwrite").parquet(s"$SideDir/trydb_triples_n$n")
+      // same dump-identity guarantee as globiTable: bucketed table is
+      // built from the re-read side-channel parquet
       val tbl = s"graft_trydb_triples_n$n"
       dropTable(spark, tbl)
-      Bucketing.writeBucketed(triples, tbl, "subj", 16)
-      triples.unpersist()
+      Bucketing.writeBucketed(
+        spark.read.parquet(s"$SideDir/trydb_triples_n$n"), tbl, "subj", 16)
       tbl
     }
 }

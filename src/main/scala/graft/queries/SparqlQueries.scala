@@ -68,9 +68,14 @@ object SparqlQueries {
       .join(pat(t, EMI + "inTaxon", "target", "wdxTarget")
         .join(pat(t, RDFS_LABEL, "target", "targetName"), Seq("target")), Seq("target"))
     val inTaxon = pat(t, EMI + "inTaxon", "s", "wdx")
-    val viaSource = intxn.join(inTaxon, col("source") === col("s")).select(col("wdx"))
-    val viaTarget = intxn.join(inTaxon, col("target") === col("s")).select(col("wdx"))
-    viaSource.unionAll(viaTarget)
+    // SPARQL's UNION of the source-side and target-side bindings, as ONE
+    // pass over the star join: explode each interaction row into its two
+    // taxon ends, then probe inTaxon once. The naive per-arm formulation
+    // referenced `intxn` twice and executed the whole 7-pattern join
+    // subtree once per arm — at corpus scale that doubles the most
+    // expensive serving join.
+    val ends = intxn.select(explode(array(col("source"), col("target"))).as("s"))
+    ends.join(inTaxon, Seq("s"))
       .agg(countDistinct(col("wdx")).as("totalDistinctTaxa"))
   }
 

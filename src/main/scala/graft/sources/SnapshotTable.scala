@@ -52,6 +52,14 @@ object SnapshotTable {
   def currentSnapshot(dir: String): Long = {
     val p = hintPath(dir)
     var snap = if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+    // The forward scan can only trust its floor if the floor itself is a
+    // committed, still-retained snapshot. A regressed hint whose target
+    // (and that target's successor) were since expired would otherwise
+    // strand the scan below the true head — recover by listing the
+    // retained metadata (what history() does) instead.
+    val floorCommitted = snap > 0 && Files.exists(versionPath(dir, snap))
+    if (!floorCommitted && !Files.exists(versionPath(dir, snap + 1)))
+      snap = history(dir).lastOption.map(_.id).getOrElse(snap)
     while (Files.exists(versionPath(dir, snap + 1))) snap += 1
     snap
   }
@@ -138,12 +146,8 @@ object SnapshotTable {
     // tmp+move so a crash can never leave a torn marker; a crash BEFORE
     // this line is covered by snapshotWithKey's bounded fallback scan
     if (idempotencyKey.nonEmpty) {
-      val marker = keyMarkerPath(dir, idempotencyKey)
-      Files.createDirectories(marker.getParent)
-      val tmpM = marker.resolveSibling(marker.getFileName.toString + ".tmp")
-      Files.writeString(tmpM, snap.toString)
-      Files.move(tmpM, marker, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      ensureKeyIndex(dir)
+      writeKeyMarker(dir, idempotencyKey, snap)
     }
     // best-effort pointer (readers forward-scan past staleness); only
     // move it forward so a slow loser never regresses a newer commit
@@ -171,6 +175,44 @@ object SnapshotTable {
     Paths.get(dir, "metadata", "keys", s"k-$h")
   }
 
+  private def writeKeyMarker(dir: String, idempotencyKey: String, snap: Long): Unit = {
+    val marker = keyMarkerPath(dir, idempotencyKey)
+    Files.createDirectories(marker.getParent)
+    val tmpM = marker.resolveSibling(marker.getFileName.toString + s".tmp-$snap")
+    Files.writeString(tmpM, snap.toString)
+    Files.move(tmpM, marker, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Sentinel recording that the key index covers ALL retained
+    * snapshots, not just those committed after the index appeared. The
+    * bounded marker-miss window is only sound when this file exists; a
+    * partially-backfilled index (crash mid-backfill) lacks it and keeps
+    * the whole-retained-history scan.
+    */
+  private def keyIndexSentinel(dir: String) =
+    Paths.get(dir, "metadata", "keys", ".complete")
+
+  /** Create the key index if missing — and, critically, BACKFILL markers
+    * for every retained snapshot's key first, so keys committed by a
+    * pre-index writer version (or before a crash wiped a marker) stay
+    * visible to the O(1) probe forever, not just for [[KeyScanWindow]]
+    * snapshots. Idempotent and concurrency-safe: marker writes are
+    * atomic per-key moves and two backfillers write identical content.
+    */
+  private def ensureKeyIndex(dir: String): Unit = {
+    if (Files.exists(keyIndexSentinel(dir))) return
+    val keysDir = Paths.get(dir, "metadata", "keys")
+    Files.createDirectories(keysDir)
+    history(dir).foreach { s =>
+      committedKey(dir, s.id).foreach(k => writeKeyMarker(dir, k, s.id))
+    }
+    val tmp = keysDir.resolve(s".complete.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    Files.writeString(tmp, "1")
+    Files.move(tmp, keyIndexSentinel(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** How far back the marker-miss fallback scans. A marker can only be
     * missing for a committed key if the committer crashed in the
     * instant between metadata creation and marker creation; the
@@ -196,20 +238,19 @@ object SnapshotTable {
           .filter(s => committedKey(dir, s).contains(idempotencyKey))
       viaIndex.orElse {
         val cur = currentSnapshot(dir)
-        // a table with NO key index (written by a pre-index version)
-        // must keep the original whole-retained-history guarantee; an
-        // indexed table only needs the bounded crashed-marker window
+        // the bounded crashed-marker window is only sound when the index
+        // provably covers all retained snapshots (backfill sentinel) —
+        // a pre-index or partially-backfilled table keeps the original
+        // whole-retained-history guarantee
         val floor =
-          if (Files.exists(Paths.get(dir, "metadata", "keys")))
+          if (Files.exists(keyIndexSentinel(dir)))
             math.max(1L, cur - KeyScanWindow + 1)
           else 1L
         val found = (cur to floor by -1L)
           .find(s => committedKey(dir, s).contains(idempotencyKey))
         found.foreach { s =>
-          try {
-            Files.createDirectories(marker.getParent)
-            Files.writeString(marker, s.toString)
-          } catch { case _: java.io.IOException => () }
+          try writeKeyMarker(dir, idempotencyKey, s)
+          catch { case _: java.io.IOException => () }
         }
         found
       }
@@ -258,9 +299,16 @@ object SnapshotTable {
       var attempt = 0
       while (true) {
         val parent = currentSnapshot(dir)
-        // another writer may have committed our key while we raced
+        // another writer may have committed our key while we raced: our
+        // data files will never be referenced by any manifest — delete
+        // them (and any lost-CAS manifest attempts) instead of leaving
+        // permanent orphans behind
         val racedKey = snapshotWithKey(dir, idempotencyKey)
-        if (racedKey.isDefined) return racedKey.get
+        if (racedKey.isDefined) {
+          deleteRecursively(Paths.get(dataDir))
+          cleanWriterAttempts(dir, token, keepRel = None)
+          return racedKey.get
+        }
         val snap = parent + 1
         val manifestRel = s"manifests/snap-$snap-$token"
         val stamped = newEntries.withColumn("snapshot_id", lit(snap))
@@ -274,17 +322,42 @@ object SnapshotTable {
         try {
           commitCas(dir, snap, mode, parent, df.schema.toDDL, partitionBy,
             manifestRel, stats.getLong(0), stats.getLong(1), idempotencyKey)
+          // reclaim this writer's own lost-CAS manifest attempts
+          cleanWriterAttempts(dir, token, keepRel = Some(manifestRel))
           return snap
         } catch {
           case _: FileAlreadyExistsException =>
-            // lost the race: leave the (unreferenced) manifest attempt
-            // behind and retry on top of the winner
+            // lost the race: retry on top of the winner (the attempt's
+            // manifest dir is reclaimed on eventual success/raced-key
+            // return, or by expireSnapshots' orphan sweep)
             attempt += 1
             require(attempt < 100, s"commit contention on $dir")
         }
       }
       throw new IllegalStateException("unreachable")
     } finally newEntries.unpersist()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+
+  /** Delete this writer token's manifest attempt dirs, except the one
+    * (if any) a committed snapshot references.
+    */
+  private def cleanWriterAttempts(dir: String, token: String,
+      keepRel: Option[String]): Unit = {
+    val root = Paths.get(dir, "manifests")
+    if (!Files.exists(root)) return
+    import scala.jdk.CollectionConverters._
+    val stream = Files.list(root)
+    try stream.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(s"-$token"))
+      .filterNot(p => keepRel.contains(s"manifests/${p.getFileName.toString}"))
+      .foreach(deleteRecursively)
+    finally stream.close()
   }
 
   private def emptyOf(spark: SparkSession, dir: String, snap: Long): DataFrame = {
@@ -378,11 +451,10 @@ object SnapshotTable {
     * without this). Returns (expired snapshot ids, deleted data files).
     */
   def expireSnapshots(spark: SparkSession, dir: String,
-      keepLast: Int = 1): (Seq[Long], Long) = {
+      keepLast: Int = 1, sweepOrphansOlderThanMs: Long = 3600000L): (Seq[Long], Long) = {
     val all = history(dir).map(_.id)
     val keep = all.takeRight(math.max(keepLast, 1)).toSet
     val expire = all.filterNot(keep)
-    if (expire.isEmpty) return (Nil, 0L)
     def files(snaps: Iterable[Long]): Set[String] =
       snaps.toSeq.flatMap { s =>
         val m = manifestDir(dir, s)
@@ -405,18 +477,62 @@ object SnapshotTable {
           .foreach(Files.deleteIfExists(_))
       Files.deleteIfExists(versionPath(dir, s))
     }
+    sweepOrphans(spark, dir, keep, retained, sweepOrphansOlderThanMs)
     // reclaim key-index markers pointing at expired snapshots
     val keysDir = Paths.get(dir, "metadata", "keys")
     if (Files.exists(keysDir)) {
       import scala.jdk.CollectionConverters._
       val expired = expire.toSet
       val stream = Files.list(keysDir)
-      try stream.iterator().asScala.toSeq.foreach { p =>
-        val snap = scala.util.Try(Files.readString(p).trim.toLong).toOption
-        if (snap.exists(expired.contains)) Files.deleteIfExists(p)
-      } finally stream.close()
+      try stream.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("k-"))
+        .foreach { p =>
+          val snap = scala.util.Try(Files.readString(p).trim.toLong).toOption
+          if (snap.exists(expired.contains)) Files.deleteIfExists(p)
+        } finally stream.close()
     }
     (expire, orphans.size.toLong)
+  }
+
+  /** Orphan sweep (the `remove_orphan_files` analogue): delete
+    * writer data dirs (`data/w-...`) and manifest dirs that NO retained
+    * snapshot references — the residue of lost CAS races, raced
+    * idempotent writers, and crashes between data write and commit. The age guard
+    * (`olderThanMs` since last modification) protects an in-flight
+    * writer whose files exist but whose commit hasn't landed yet — the
+    * same reason Iceberg's remove_orphan_files defaults to 3 days.
+    */
+  private def sweepOrphans(spark: SparkSession, dir: String,
+      keep: Set[Long], retainedFiles: Set[String], olderThanMs: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val cutoff = System.currentTimeMillis() - math.max(olderThanMs, 0L)
+    def oldEnough(p: java.nio.file.Path): Boolean =
+      scala.util.Try(Files.getLastModifiedTime(p).toMillis).toOption.exists(_ <= cutoff)
+    def toAbs(f: String): String =
+      (if (f.startsWith("file:")) Paths.get(new java.net.URI(f)) else Paths.get(f))
+        .toAbsolutePath.normalize.toString
+    val retainedAbs = retainedFiles.map(toAbs)
+    val retainedManifests =
+      keep.map(s => Paths.get(manifestDir(dir, s)).toAbsolutePath.normalize.toString)
+    def subdirs(root: java.nio.file.Path): Seq[java.nio.file.Path] =
+      if (!Files.exists(root)) Nil
+      else {
+        val stream = Files.list(root)
+        try stream.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+        finally stream.close()
+      }
+    subdirs(Paths.get(dir, "manifests"))
+      .filterNot(p => retainedManifests.contains(p.toAbsolutePath.normalize.toString))
+      .filter(oldEnough)
+      .foreach(deleteRecursively)
+    subdirs(Paths.get(dir, "data"))
+      .filter(_.getFileName.toString.startsWith("w-"))
+      .filterNot { d =>
+        val prefix = d.toAbsolutePath.normalize.toString + "/"
+        retainedAbs.exists(_.startsWith(prefix))
+      }
+      .filter(oldEnough)
+      .foreach(deleteRecursively)
   }
 
   /** Snapshot history from the versioned metadata. */

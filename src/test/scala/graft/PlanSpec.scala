@@ -118,4 +118,17 @@ class PlanSpec extends AnyFunSuite {
     val dropped = Dedup.lshDroppedBuckets(bands, 100).collect()
     assert(dropped.length == 1 && dropped.head.getLong(2) == 3000L)
   }
+
+  test("kg_sparql_wdids evaluates the 7-pattern star join ONCE") {
+    // The SPARQL UNION merges source-side and target-side taxa; a naive
+    // per-arm formulation references the star-join subtree twice and
+    // executes it once per arm. The single-pass form (explode both taxon
+    // ends) must contain exactly one hasSource pattern scan in the
+    // optimized plan — at 100 TB a second copy doubles the most
+    // expensive serving join.
+    val df = graft.queries.SparqlQueries.globiWikidataIds(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val occurrences = "hasSource".r.findAllIn(plan).size
+    assert(occurrences == 1, s"star join subtree appears $occurrences times")
+  }
 }

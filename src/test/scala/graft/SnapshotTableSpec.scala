@@ -613,4 +613,89 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(back.count() == 100)
     assert(back.select("p").distinct().count() == 3)
   }
+
+  test("stale regressed hint naming an expired snapshot still finds the head") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("snaphint").toString + "/t"
+    val df = (0 until 10).map(i => (s"r$i", i)).toDF("id", "v")
+    (0 until 5).foreach(_ => SnapshotTable.write(df, dir, mode = "append"))
+    SnapshotTable.expireSnapshots(spark, dir, keepLast = 1)
+    assert(SnapshotTable.history(dir).map(_.id) == Seq(5L))
+    // the documented writer race: the best-effort hint regressed to a
+    // snapshot that expiry has since deleted — the forward scan's floor
+    // (v2.json, and v3.json after it) no longer exists
+    Files.writeString(Paths.get(dir, "metadata", "version-hint.text"), "2")
+    assert(SnapshotTable.currentSnapshot(dir) == 5L)
+    assert(SnapshotTable.read(spark, dir).count() == 50)
+  }
+
+  test("key-index backfill keeps pre-index keys exactly-once visible") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("snapback").toString + "/t"
+    val df = (0 until 10).map(i => (s"r$i", i)).toDF("id", "v")
+    (0 until 3).foreach(i =>
+      SnapshotTable.write(df, dir, mode = "append", idempotencyKey = s"pre-$i"))
+    // simulate a table written by a pre-index version: no key index
+    val keysDir = Paths.get(dir, "metadata", "keys")
+    Files.walk(keysDir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    assert(!Files.exists(keysDir))
+    // indexless probes keep the whole-retained-history guarantee
+    assert(SnapshotTable.snapshotWithKey(dir, "pre-0").contains(1L))
+    // the next keyed commit creates the index and BACKFILLS all retained
+    // keys (completeness sentinel last, so a backfill crash can never
+    // silently enable the bounded probe window)
+    SnapshotTable.write(df, dir, mode = "append", idempotencyKey = "post-0")
+    val names = {
+      val s = Files.list(keysDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toSet finally s.close()
+    }
+    assert(names.contains(".complete"), names.toString)
+    assert(names.count(_.startsWith("k-")) == 4, names.toString)
+    // a replayed pre-index publish short-circuits instead of duplicating
+    assert(SnapshotTable.write(df, dir, mode = "append", idempotencyKey = "pre-1") == 2L)
+    assert(SnapshotTable.currentSnapshot(dir) == 4L)
+    assert(SnapshotTable.read(spark, dir).count() == 40)
+  }
+
+  test("raced writers and crash residue leave no permanent orphan dirs") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("snaporph").toString + "/t"
+    val df = (0 until 10).map(i => (s"r$i", i)).toDF("id", "v")
+    // two writers race the SAME idempotency key: exactly one commits,
+    // and the loser must reclaim its own never-referenced data dir
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futures = (0 until 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { latch.await(); SnapshotTable.write(df, dir, mode = "append", idempotencyKey = "same-key") }
+      })
+    }
+    latch.countDown()
+    val snaps = futures.map(_.get())
+    pool.shutdown()
+    assert(snaps.toSet == Set(1L), snaps.toString)
+    def subdirs(p: java.nio.file.Path): Set[String] =
+      if (!Files.exists(p)) Set.empty
+      else { val s = Files.list(p); try s.iterator().asScala.map(_.getFileName.toString).toSet finally s.close() }
+    assert(subdirs(Paths.get(dir, "data")).size == 1,
+      s"loser's data dir not reclaimed: ${subdirs(Paths.get(dir, "data"))}")
+    // crash residue: a data dir + manifest attempt no snapshot references
+    Files.createDirectories(Paths.get(dir, "data", "w-crashed"))
+    Files.writeString(Paths.get(dir, "data", "w-crashed", "part-0.parquet"), "junk")
+    Files.createDirectories(Paths.get(dir, "manifests", "snap-99-crashed"))
+    Files.writeString(Paths.get(dir, "manifests", "snap-99-crashed", "part-0.parquet"), "junk")
+    // fresh orphans survive the default sweep (in-flight writer guard)
+    SnapshotTable.expireSnapshots(spark, dir, keepLast = 1)
+    assert(Files.exists(Paths.get(dir, "data", "w-crashed")))
+    // and are reclaimed once past the age threshold
+    SnapshotTable.expireSnapshots(spark, dir, keepLast = 1, sweepOrphansOlderThanMs = 0L)
+    assert(!Files.exists(Paths.get(dir, "data", "w-crashed")))
+    assert(!Files.exists(Paths.get(dir, "manifests", "snap-99-crashed")))
+    // the retained snapshot is untouched
+    assert(SnapshotTable.read(spark, dir).count() == 10)
+    assert(subdirs(Paths.get(dir, "data")).size == 1)
+    assert(subdirs(Paths.get(dir, "manifests")).size == 1)
+  }
 }
