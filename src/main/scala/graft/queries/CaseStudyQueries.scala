@@ -71,6 +71,39 @@ object CaseStudyQueries {
         .limit(20)
     }),
 
+    // CS3 directional degrees (CS3_viz.py:88-93): the reference builds
+    // a networkx DiGraph over (sourceName → targetName) label pairs —
+    // parallel edges COLLAPSE (DiGraph) — and reports out_degree /
+    // in_degree / total per species. Distinct directed name edges, then
+    // two counts full-outer-joined.
+    "kg_cs_degree_dir" -> ((s: SparkSession, dir: String) => {
+      val t = s.table(Materialized.globiTable(s, dir))
+      val hs = t.filter(col("pred") === EMI + "hasSource")
+        .select(col("subj").as("intxn"), col("obj").as("src"))
+      val ht = t.filter(col("pred") === EMI + "hasTarget")
+        .select(col("subj").as("intxn"), col("obj").as("tgt"))
+      val lbl = t.filter(col("pred") === RDFS_LABEL)
+        .select(col("subj"), col("obj").as("name"))
+      val edges = hs.join(ht, Seq("intxn"))
+        .join(lbl.withColumnRenamed("subj", "src")
+          .withColumnRenamed("name", "sourceName"), Seq("src"))
+        .join(lbl.withColumnRenamed("subj", "tgt")
+          .withColumnRenamed("name", "targetName"), Seq("tgt"))
+        .select(col("sourceName"), col("targetName")).distinct()
+      val outD = edges.groupBy(col("sourceName").as("species"))
+        .agg(count(lit(1)).as("out_degree"))
+      val inD = edges.groupBy(col("targetName").as("species"))
+        .agg(count(lit(1)).as("in_degree"))
+      outD.join(inD, Seq("species"), "full_outer")
+        .select(col("species"),
+          (coalesce(col("out_degree"), lit(0L)) +
+            coalesce(col("in_degree"), lit(0L))).as("total_connections"),
+          coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+          coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+        .orderBy(col("total_connections").desc, col("species"))
+        .limit(20)
+    }),
+
     // CS1: cross-dataset species completeness (CS1_viz.py:63-75) — the
     // species common to the interaction AND trait datasets, the
     // common_only=True network input. Species names come from sample
@@ -229,6 +262,38 @@ object CaseStudyQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // cs5_pca: the principal-component decomposition itself
+    // (CS5_viz.py:319-379, perform_pca: StandardScaler → PCA() →
+    // explained_variance_ratio_ + loadings). Covariance of standardized
+    // data == correlation of raw data, so ONE map-side-combinable
+    // moment aggregate (the same single-pass shape as cs5_corr_matrix)
+    // feeds a closed-form symmetric-3×3 eigensolve appended as Column
+    // expressions on the 1-row result — the N×d matrix is never
+    // shuffled or collected, and the oracle reproduces the identical
+    // trigonometric formula in SQL so the round-6 gate covers the
+    // eigenvalue path end-to-end. Loadings/eigenvectors (dimension-
+    // sized) are spec-pinned via ops.Pca.eig3Corr.
+    "cs5_pca" -> ((s: SparkSession, dir: String) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet").select(
+        col("l_quantity").cast("double").as("qty"),
+        col("l_extendedprice").cast("double").as("price"),
+        col("l_discount").cast("double").as("disc"))
+      val m = l.agg(
+        corr(col("qty"), col("price")).as("c12"),
+        corr(col("qty"), col("disc")).as("c13"),
+        corr(col("price"), col("disc")).as("c23"))
+      val Seq(evr1, evr2, evr3) =
+        graft.ops.Pca.eigRatioCols(col("c12"), col("c13"), col("c23"))
+      m.select(
+        round(col("c12"), 6).as("corr_qty_price"),
+        round(col("c13"), 6).as("corr_qty_disc"),
+        round(col("c23"), 6).as("corr_price_disc"),
+        round(evr1, 6).as("evr1"),
+        round(evr2, 6).as("evr2"),
+        round(evr3, 6).as("evr3"),
+        round(evr1 + evr2, 6).as("cum2"))
+    }),
+
     // CS2: interaction-type crosstab — per type label, how many
     // interaction records carry a locality vs not (the value_counts/
     // crosstab heatmap input). Label join runs on the bucketed subj.
@@ -277,6 +342,29 @@ object CaseStudyQueries {
           FROM ends JOIN so USING (sample)
           GROUP BY organism
           ORDER BY degree DESC, organism LIMIT 20""",
+
+    "kg_cs_degree_dir" ->
+      s"""WITH g AS (SELECT * FROM $g),
+          hs AS (SELECT subj AS intxn, obj AS src FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS intxn, obj AS tgt FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          lbl AS (SELECT subj, obj AS name FROM g WHERE pred = '$RDFS_LABEL'),
+          e AS (SELECT DISTINCT ls.name AS sourceName, lt.name AS targetName
+                FROM hs JOIN ht USING (intxn)
+                JOIN lbl ls ON ls.subj = hs.src
+                JOIN lbl lt ON lt.subj = ht.tgt),
+          o AS (SELECT sourceName AS species, COUNT(*) AS out_degree
+                FROM e GROUP BY 1),
+          i AS (SELECT targetName AS species, COUNT(*) AS in_degree
+                FROM e GROUP BY 1)
+          SELECT species,
+                 CAST(COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS BIGINT)
+                   AS total_connections,
+                 CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+                 CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree
+          FROM o FULL OUTER JOIN i USING (species)
+          ORDER BY total_connections DESC, species LIMIT 20""",
 
     "kg_cs_completeness" ->
       s"""WITH g AS (SELECT * FROM $g), t AS (SELECT * FROM $gT),
@@ -378,6 +466,34 @@ object CaseStudyQueries {
                         - AVG(CAST(l_extendedprice AS DOUBLE)) OVER (PARTITION BY l_returnflag))
                       / stddev_samp(CAST(l_extendedprice AS DOUBLE)) OVER (PARTITION BY l_returnflag), 6) AS z
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    // same closed-form symmetric-3×3 eigensolve as Pca.eigRatioCols,
+    // spelled in SQL: unit-diagonal correlation matrix, q = tr/3 = 1,
+    // p = sqrt((c12²+c13²+c23²)/3), det((A−I)/p) = 2·c12·c13·c23/p³,
+    // λk = 1 + 2p·cos(φ + 2πk/3) descending for k = 0,2,1
+    "cs5_pca" ->
+      """WITH m AS (
+           SELECT corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)) AS c12,
+                  corr(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)) AS c13,
+                  corr(CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE)) AS c23
+           FROM lineitem),
+         e AS (SELECT *, sqrt((c12*c12 + c13*c13 + c23*c23) / 3.0) AS p FROM m),
+         f AS (SELECT *,
+                 acos(greatest(-1.0, least(1.0, c12*c13*c23 / (p*p*p)))) / 3.0 AS phi
+               FROM e),
+         l AS (SELECT *,
+                 CASE WHEN p = 0 THEN 1.0 ELSE 1.0 + 2.0*p*cos(phi) END AS l1,
+                 CASE WHEN p = 0 THEN 1.0
+                      ELSE 1.0 + 2.0*p*cos(phi + 2.0*pi()/3.0) END AS l3
+               FROM f)
+         SELECT round(c12, 6) AS corr_qty_price,
+                round(c13, 6) AS corr_qty_disc,
+                round(c23, 6) AS corr_price_disc,
+                round(l1/3.0, 6) AS evr1,
+                round((3.0 - l1 - l3)/3.0, 6) AS evr2,
+                round(l3/3.0, 6) AS evr3,
+                round(l1/3.0 + (3.0 - l1 - l3)/3.0, 6) AS cum2
+         FROM l""",
 
     "kg_cs_crosstab" ->
       s"""WITH g AS (SELECT * FROM $g),

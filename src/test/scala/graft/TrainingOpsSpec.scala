@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Sampling, Similarity, Sketches, TextOps}
+import graft.ops.{Dedup, Pca, Sampling, Similarity, Sketches, TextOps}
 
 /** Sampling/split, repetition-quality, and IVF ANN operator semantics +
   * plan-shape gates (DuckDB value parity is covered by the driver gate;
@@ -170,6 +170,44 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(after.sameElements(full), after.mkString(","))
   }
 
+  test("torn compaction (crash before its in-line repair) heals on head read") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("hll-torn-").toString
+    val all = (1 to 4000).map(i => (s"g${i % 2}", s"item-$i")).toDF("grp", "s")
+      .select(col("grp"), Dedup.hash60(col("s")).as("h"))
+    val s0 = all.filter(pmod(col("h"), lit(2L)) === 0L)
+    val s1 = all.filter(pmod(col("h"), lit(2L)) === 1L)
+    Sketches.updateRegisterTable(dir, s0, "grp", "h", "b0") // snap 1
+    Sketches.updateRegisterTable(dir, s1, "grp", "h", "b1") // snap 2
+    // simulate the crash window: an overwrite that folded through
+    // snapshot 1 only (append 2 interleaved) lands as the head and the
+    // compactor dies before its in-line conflict repair
+    val understated = SnapshotTable.read(spark, dir, Some(1L))
+      .groupBy(col("grp"), col("b")).agg(max(col("mreg")).as("mreg"))
+    val torn = SnapshotTable.write(understated.coalesce(1), dir,
+      mode = "overwrite", idempotencyKey = "hll-compact@1")
+    assert(torn == 3L)
+    val full = Sketches.hllDistinct(all, "grp", "h")
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(1)))
+    // the tear is real: a raw time-travel read of the torn head is
+    // missing append 2's registers
+    val rawTornRegs = Sketches.registersFromTable(spark, dir, "grp", Some(3L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fullRegs = Sketches.hllRegisters(all, "grp", "h")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rawTornRegs != fullRegs, "fixture did not produce a real tear")
+    // a head read detects base+1 < head from the recorded key and heals
+    val est = Sketches.estimateFromTable(spark, dir, "grp")
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(est.sameElements(full), est.mkString(","))
+    assert(SnapshotTable.currentSnapshot(dir) == 4L)
+    assert(SnapshotTable.committedKey(dir, 4L).contains("hll-compact@3"))
+    // the heal is exactly-once: further reads commit nothing new
+    Sketches.estimateFromTable(spark, dir, "grp").collect()
+    assert(SnapshotTable.currentSnapshot(dir) == 4L)
+  }
+
   test("tx_heavy_hitters / count-min: one-sided guarantee and tightness") {
     val rows = SparkEntry.queries("tx_heavy_hitters")(spark, dir).collect()
     assert(rows.length == 10)
@@ -209,7 +247,7 @@ class TrainingOpsSpec extends AnyFunSuite {
       unseen.mkString(","))
   }
 
-  test("sim_ivf_topk: top-1 agrees with brute force; zero-shuffle plan") {
+  test("sim_ivf_topk: top-1 agrees with brute force; zero-shuffle core; recall floor") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0).toArray
@@ -225,10 +263,73 @@ class TrainingOpsSpec extends AnyFunSuite {
     // descending by rounded cosine
     val cs = got.map(_.getDouble(1))
     assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, cs.mkString(","))
-    // plan: assignment is inline literals — scan → project → filter →
-    // TakeOrdered, with no Exchange and no join anywhere
-    val plan = ivf.queryExecution.executedPlan.toString
+    // recall@10 honesty rider: constant across rows, above the pinned
+    // floor on the deterministic fixture (2-of-8 probed cells)
+    val rec = got.map(_.getDouble(2)).distinct
+    assert(rec.length == 1, s"recall rider not constant: ${rec.mkString(",")}")
+    assert(rec.head >= 0.7 && rec.head <= 1.0, s"recall@10 = ${rec.head}")
+    // plan gate on the IVF CORE (the production serving path — the
+    // driver query adds the brute-force recall rider, which is
+    // verification-only): assignment is inline literals — scan →
+    // project → filter → TakeOrdered, no Exchange and no join anywhere
+    val cents = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val core = Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id",
+      "embedding", cents, q, nprobe = 2, k = 10)
+    val plan = core.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
+  test("cs5 pca: eig3Corr matches the numpy fixture; A·v = λ·v; orthonormal") {
+    val (c12, c13, c23) = (0.5, 0.2, 0.3)
+    val (w, v) = Pca.eig3Corr(c12, c13, c23)
+    // numpy.linalg.eigh fixture for [[1,.5,.2],[.5,1,.3],[.2,.3,1]]
+    val wExp = Array(1.68390863, 0.82893084, 0.48716053)
+    val vExp = Array(
+      Array(0.60759268, 0.64655665, 0.46129777),
+      Array(-0.45590689, -0.19167408, 0.86914323),
+      Array(-0.65036916, 0.7383939, -0.17830987))
+    w.zip(wExp).foreach { case (a, b) => assert(math.abs(a - b) < 1e-7, (a, b)) }
+    v.zip(vExp).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-7, (x, y)) }
+    }
+    // algebraic: A·v = λ·v, unit norm, pairwise orthogonal
+    val a = Array(Array(1.0, c12, c13), Array(c12, 1.0, c23), Array(c13, c23, 1.0))
+    for (i <- 0 until 3) {
+      val av = a.map(row => row.zip(v(i)).map { case (x, y) => x * y }.sum)
+      av.zip(v(i)).foreach { case (x, y) =>
+        assert(math.abs(x - w(i) * y) < 1e-10, s"A·v≠λ·v at $i") }
+      assert(math.abs(v(i).map(x => x * x).sum - 1.0) < 1e-12)
+      for (j <- i + 1 until 3)
+        assert(math.abs(v(i).zip(v(j)).map { case (x, y) => x * y }.sum) < 1e-10)
+    }
+    // loadings: column scaled by sqrt(λ) ⇒ squared norm of loading i = λi
+    val ld = Pca.loadings(w, v)
+    ld.zip(w).foreach { case (l, lam) =>
+      assert(math.abs(l.map(x => x * x).sum - lam) < 1e-10) }
+  }
+
+  test("cs5 pca: Column eigensolve == driver closed form; projection orthogonality") {
+    import spark.implicits._
+    val (w, v) = Pca.eig3Corr(0.5, 0.2, 0.3)
+    val one = Seq((0.5, 0.2, 0.3)).toDF("c12", "c13", "c23")
+    val got = one.select(Pca.eigRatioCols(col("c12"), col("c13"), col("c23")): _*)
+      .head()
+    for (i <- 0 until 3)
+      assert(math.abs(got.getDouble(i) - w(i) / 3.0) < 1e-12,
+        s"evr${i + 1}: ${got.getDouble(i)} vs ${w(i) / 3.0}")
+    // projecting the eigenvectors themselves onto the PCs gives the
+    // identity (orthonormality through the DataFrame path, no shuffle)
+    val rows = v.toSeq.map(r => (r(0), r(1), r(2)))
+    val proj = Pca.project(rows.toDF("x1", "x2", "x3"),
+      Seq("x1", "x2", "x3"), v, 3)
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"))
+    val out = proj.collect()
+    for ((r, i) <- out.zipWithIndex; j <- 0 until 3)
+      assert(math.abs(r.getDouble(3 + j) - (if (i == j) 1.0 else 0.0)) < 1e-10,
+        s"proj($i,$j) = ${r.getDouble(3 + j)}")
   }
 }
