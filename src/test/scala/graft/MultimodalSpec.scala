@@ -3,14 +3,15 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Multimodal
 
-/** Codec-seam contract tests: `Multimodal.decodeStub` is the single
+/** Codec-seam contract tests: `Multimodal.Codec` is the single
   * clearly-marked swap point for a real codec (libjpeg/ffmpeg/
   * soundfile, absent from this container). These tests pin the CONTRACT
   * a drop-in replacement must keep — signature
   * `Array[Byte] => Array[Float]`, fixed feature width, L1
-  * normalization, determinism — plus golden outputs for the stub
-  * itself, so swapping the body is verified by re-running this suite
-  * with new goldens and nothing else changes.
+  * normalization, determinism — plus golden outputs for the stub, AND
+  * prove the swap is genuinely drop-in by running a second, fully
+  * functional in-repo codec (`decodePpm`, a real NetPBM P6 parser)
+  * through the identical operators.
   */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -73,5 +74,49 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getInt(1) % 2 == 0) // every 2nd frame
       assert(r.getSeq[Float](3).length == 16)
     }
+  }
+
+  test("decodePpm: a real P6 decoder honors the NetPBM format") {
+    // constant-color 4×3 image: means are exact, luma lands in one bin
+    val w = 4; val h = 3
+    val header = s"P6\n# comment to skip\n$w $h\n255\n".getBytes("US-ASCII")
+    val raster = Array.fill(w * h)(Array(200.toByte, 100.toByte, 50.toByte)).flatten
+    val f = Multimodal.decodePpm(header ++ raster)
+    assert(f.length == 16, "same feature-width contract as the stub")
+    assert(math.abs(f(0) - 200f / 255f) < 1e-6f, s"meanR ${f(0)}")
+    assert(math.abs(f(1) - 100f / 255f) < 1e-6f, s"meanG ${f(1)}")
+    assert(math.abs(f(2) - 50f / 255f) < 1e-6f, s"meanB ${f(2)}")
+    val luma = (299 * 200 + 587 * 100 + 114 * 50) / 1000
+    val bin = math.min(luma * 13 / 256, 12)
+    (0 until 13).foreach(k =>
+      assert(f(3 + k) == (if (k == bin) 1f else 0f), s"luma bin $k"))
+    // malformed payloads are data rows, not job aborts
+    assert(Multimodal.decodePpm("P5\n1 1\n255\n!".getBytes).forall(_ == 0f))
+    assert(Multimodal.decodePpm(header.dropRight(10)).forall(_ == 0f))
+    assert(Multimodal.decodePpm(Array.empty[Byte]).forall(_ == 0f))
+  }
+
+  test("codec swap is drop-in: both codecs run through the SAME operators") {
+    import spark.implicits._
+    // media rows whose payloads are real PPM images
+    val media = spark.range(0, 10, 1, 3).map { i =>
+      Multimodal.MediaRow(s"PPM-$i", "image",
+        Multimodal.ppmPayload(8, 6, i), 8, 6)
+    }
+    // one-argument swap — identical operator, schema, and partitioning
+    val viaStub = Multimodal.extractFeatures(media).collect()
+    val viaPpm = Multimodal.extractFeatures(media, Multimodal.decodePpm).collect()
+    assert(viaStub.length == 10 && viaPpm.length == 10)
+    assert(viaStub.head.features.length == viaPpm.head.features.length)
+    // the PPM decode is a genuine decode: channel means in (0,1) and the
+    // luma histogram L1-normalizes over pixels
+    viaPpm.foreach { r =>
+      assert(r.features.take(3).forall(x => x > 0f && x < 1f), r.features.mkString(","))
+      assert(math.abs(r.features.drop(3).sum - 1f) < 1e-4f)
+    }
+    // featureTable bridge accepts the swapped codec too
+    val tbl = Multimodal.featureTable(media, Multimodal.decodePpm)
+    assert(tbl.columns.toSeq == Seq("media_ref", "kind", "embedding"))
+    assert(tbl.count() == 10)
   }
 }
