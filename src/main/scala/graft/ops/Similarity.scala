@@ -232,4 +232,89 @@ object Similarity {
       .withColumn("cos", cosine(col("va"), col("vb")))
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Fixed-point scale for the integer-exact k-means arithmetic: float
+    * components are floored to `x * 2^20` longs ONCE at the scan, so
+    * every per-cluster component sum is an exact, order-independent
+    * integer — the piece of the computation a hash gate can pin without
+    * any float-association caveat.
+    */
+  val KmeansScale: Long = 1L << 20
+
+  /** Distributed Lloyd's k-means over an embedding column — the
+    * centroid refinement [[ivfTopK]]'s coarse quantizer slots in, and
+    * the clustering step of a SemDeDup-style semantic dedup.
+    *
+    * The 100 TB shape per iteration:
+    *  - ASSIGNMENT is an inline-literal argmin exactly like ivfTopK's
+    *    cell assignment — a pure map-side projection, zero shuffle,
+    *    no join: the k×d centroid matrix rides into codegen as
+    *    literals.
+    *  - UPDATE is ONE map-side-combinable aggregate (count + d
+    *    component sums per cluster): the shuffle carries k×(d+1)
+    *    numbers per map task, never vectors. The k×d result is
+    *    collected to the driver (dimension-sized, like the dictionary
+    *    pulls elsewhere) to become the next round's literals.
+    *
+    * Portability: scaled-long components make the sums exact;
+    * centroid components are s/n (one IEEE division of exact
+    * integers), and squared distances are rounded to 6 dp (in
+    * unscaled units) before every argmin comparison with a cid
+    * tiebreak — the same convention that keeps ivfTopK's assignment
+    * oracle-exact. Returns the final assignment's per-cluster count
+    * plus the exact scaled component sums of the first three
+    * dimensions: an integer-exact, order-independent signature of the
+    * full clustering.
+    */
+  def kmeans(vecs: DataFrame, idCol: String, vecCol: String,
+      seedIds: Seq[Long], iters: Int): DataFrame = {
+    require(iters >= 1, "kmeans needs at least one assignment pass")
+    val scaled = vecs.select(col(idCol).as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(KmeansScale.toDouble)).cast("long"))
+        .as("v"))
+    // seed centroids: the designated rows, dimension-sized driver pull
+    val seeds = scaled.filter(col("id").isin(seedIds: _*)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(seeds.nonEmpty, "no seed vectors found")
+    val d = seeds.head._2.length
+    val sc2 = KmeansScale.toDouble * KmeansScale.toDouble
+
+    def assignCol(cents: Array[(Long, Array[Double])]): Column =
+      array_min(array(cents.map { case (cid, cv) =>
+        struct(
+          round(aggregate(
+            zip_with(col("v"), lit(cv), (a, b) => {
+              val diff = a.cast("double") - b
+              diff * diff
+            }),
+            lit(0.0), (acc, x) => acc + x) / lit(sc2), 6).as("d2"),
+          lit(cid).as("cid"))
+      }: _*)).getField("cid")
+
+    var cents: Array[(Long, Array[Double])] =
+      seeds.map { case (cid, sv) => (cid, sv.map(_.toDouble)) }
+    var it = 0
+    while (it < iters - 1) {
+      // update step: one shuffle of k×(d+1) partial sums, driver pull
+      val sums = scaled.withColumn("cell", assignCol(cents))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          (0 until d).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i")): _*)
+        .collect()
+      cents = sums.map { r =>
+        val n = r.getLong(1).toDouble
+        (r.getLong(0), Array.tabulate(d)(i => r.getLong(2 + i) / n))
+      }.sortBy(_._1)
+      it += 1
+    }
+    scaled.withColumn("cell", assignCol(cents))
+      .groupBy(col("cell").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(element_at(col("v"), 1)).as("s0"),
+        sum(element_at(col("v"), 2)).as("s1"),
+        sum(element_at(col("v"), 3)).as("s2"))
+      .orderBy(col("cluster_id"))
+  }
 }

@@ -132,4 +132,27 @@ object TextOps {
     val idx = sequence(lit(1), greatest(length(norm) - (n - 1), lit(0)))
     transform(idx, i => norm.substr(i, lit(n)))
   }
+
+  /** PII redaction patterns — deliberately written without `\d`/`\b`
+    * (class shorthands and word-boundary semantics are where Java
+    * regex and RE2 drift); `[.]` instead of an escaped dot keeps the
+    * pattern string byte-identical in Scala and SQL. A production
+    * deployment extends the list (SSNs, IBANs, addresses) through the
+    * same replace chain.
+    */
+  val EmailPattern = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Count PII occurrences (codegen'd regexp_count — the audit side). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailPattern)).cast("long"),
+    "n_phones" -> regexp_count(text, lit(PhonePattern)).cast("long"))
+
+  /** Redact PII in place: replace-all per pattern, order fixed (emails
+    * before phones) so the output bytes are deterministic.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
 }

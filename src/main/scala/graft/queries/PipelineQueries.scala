@@ -165,6 +165,79 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "tx_unigram_lm" -> ((s: SparkSession, dir: String) => {
+      // CCNet-style LM quality score: per-doc mean unigram log-prob
+      // under the corpus's own MLE unigram model. Two aggregates: the
+      // vocab-sized count table (broadcast — at 100 TB this becomes
+      // top-V + an OOV floor, same plan), then one groupBy(doc) over
+      // token instances. ln() of exact integer ratios both engines,
+      // sum/count spelled explicitly, round-6 absorbs libm/assoc drift.
+      val toks = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextOps.tokens(TextOps.normalizeText(col("text")))).as("tok"))
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c")).cast("double").as("n_total"))
+      toks.join(broadcast(counts), Seq("tok"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(log(col("c").cast("double") / col("n_total")))
+            / count(lit(1)), 6).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "tx_decontaminate" -> ((s: SparkSession, dir: String) => {
+      // train/eval decontamination: flag training docs sharing verbatim
+      // word 5-grams with the held-out suite (doc_id % 97 == 0 stands in
+      // for the benchmark set). The 100 TB shape: the eval shingle set
+      // is benchmark-sized → BROADCAST against the corpus scan, so the
+      // training shingles never shuffle; only the contaminated matches
+      // reach the tiny aggregate. Shingles hashed to 60-bit longs at
+      // the scan (the dd_shingle_lsh convention).
+      val sh = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id").as("id"),
+          TextOps.tokens(TextOps.normalizeText(col("text"))).as("_ts"))
+        .select(col("id"), explode(Dedup.shinglesOf(col("_ts"), 5)).as("sh"))
+        .select(col("id"), Dedup.hash60(col("sh")).as("token"))
+        .distinct()
+      val evalSh = sh.filter(col("id") % 97 === 0)
+        .select(col("id").as("eval_id"), col("token"))
+      sh.filter(col("id") % 97 =!= 0)
+        .join(broadcast(evalSh), Seq("token"))
+        .groupBy(col("id").as("doc_id"))
+        .agg(countDistinct(col("token")).as("n_shared_ngrams"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .filter(col("n_shared_ngrams") >= 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    "tx_pii_scrub" -> ((s: SparkSession, dir: String) => {
+      // PII audit + redaction. The corpus carries no PII, so a
+      // deterministic injection (emails on doc_id%3, phones on doc_id%5)
+      // reconstructs the production input both engines-side; the op
+      // itself is the pure map-side count + replace chain. n_residual
+      // proves the scrub converged; the md5 fingerprint pins the
+      // redacted bytes exactly.
+      val d = s.read.parquet(t(dir, "documents"))
+      val txt = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      val scrubbed = TextOps.scrubPii(txt)
+      val counts = TextOps.piiCounts(txt)
+      val residual = TextOps.piiCounts(scrubbed)
+        .map(_._2).reduce(_ + _).as("n_residual")
+      d.select(Seq(col("doc_id")) ++
+          counts.map { case (n, c) => c.as(n) } ++
+          Seq(residual, md5(scrubbed).as("scrubbed_fp")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup ----------------------------------------------------------
     "dd_exact" -> ((s: SparkSession, dir: String) => {
       Dedup.exact(s.read.parquet(t(dir, "documents")), "doc_id", "text")
@@ -335,6 +408,16 @@ object PipelineQueries {
       val recall = ivf.join(bruteIds, Seq("vec_id"), "left_semi")
         .agg(round(count(lit(1)) / lit(10.0), 6).as("recall_at_10"))
       ivf.crossJoin(recall).orderBy(col("cos_r").desc, col("vec_id"))
+    }),
+
+    "sim_kmeans" -> ((s: SparkSession, dir: String) => {
+      // two Lloyd iterations refining the IVF seed centroids — the
+      // SemDeDup-style clustering step. Assignment is an inline-literal
+      // argmin (zero shuffle); each update is one map-side-combinable
+      // k×(d+1) aggregate. Integer-exact gate: per-cluster counts plus
+      // exact scaled component sums (see Similarity.kmeans).
+      Similarity.kmeans(s.read.parquet(t(dir, "embeddings")),
+        "vec_id", "embedding", seedIds = 1L to 8L, iters = 2)
     }),
 
     "sim_lsh_buckets" -> ((s: SparkSession, dir: String) => {
@@ -614,6 +697,67 @@ object PipelineQueries {
          FROM top JOIN est ON est.g = top.g
          ORDER BY n_exact DESC, shingle""",
 
+    "tx_unigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id, UNNEST(regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+')) AS tok
+           FROM documents),
+         cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+         tot AS (SELECT CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS n_total FROM cnt)
+         SELECT t.doc_id,
+                COUNT(*) AS n_tokens,
+                round(SUM(ln(CAST(cnt.c AS DOUBLE) / tot.n_total))
+                      / COUNT(*), 6) AS avg_logprob
+         FROM toks t JOIN cnt USING (tok) CROSS JOIN tot
+         GROUP BY t.doc_id
+         ORDER BY doc_id""",
+
+    "tx_decontaminate" ->
+      """WITH tarr AS (
+           SELECT doc_id AS id, regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS ts
+           FROM documents),
+         tok5 AS (
+           SELECT DISTINCT id,
+             ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+               || ' ' || ts[i+3] || ' ' || ts[i+4]), 1, 15))::BIGINT AS token
+           FROM tarr, UNNEST(generate_series(1, len(ts) - 4)) t(i)),
+         ev AS (SELECT id AS eval_id, token FROM tok5 WHERE id % 97 = 0),
+         tr AS (SELECT id, token FROM tok5 WHERE id % 97 <> 0)
+         SELECT tr.id AS doc_id,
+                CAST(COUNT(DISTINCT tr.token) AS BIGINT) AS n_shared_ngrams,
+                CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+         FROM tr JOIN ev USING (token)
+         GROUP BY tr.id
+         HAVING COUNT(DISTINCT tr.token) >= 3
+         ORDER BY doc_id""",
+
+    "tx_pii_scrub" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  text
+                  || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com now' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS txt
+           FROM documents),
+         scrub AS (
+           SELECT doc_id, txt,
+                  regexp_replace(
+                    regexp_replace(txt, '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'),
+                    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+           FROM aug)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(txt, '[a-z0-9]+@[a-z0-9]+[.][a-z]+')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(scrubbed, '[a-z0-9]+@[a-z0-9]+[.][a-z]+'))
+                     + len(regexp_extract_all(scrubbed, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_residual,
+                md5(scrubbed) AS scrubbed_fp
+         FROM scrub ORDER BY doc_id""",
+
     "tx_repetition" ->
       """WITH tarr AS (
            SELECT doc_id, regexp_extract_all(
@@ -777,6 +921,62 @@ object PipelineQueries {
                                 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh
            FROM bits b JOIN cnt c ON c.id = b.id GROUP BY b.id)
          SELECT id AS doc_id, sh FROM sig ORDER BY doc_id""",
+
+    // Two unrolled Lloyd iterations mirroring Similarity.kmeans: the
+    // same scaled-long components (floor(x*2^20)), the same seed
+    // centroids, the same round-6 d² (in unscaled units, /2^40) with
+    // cid tiebreak, the same s/n centroid division — so assignment
+    // decisions are identical and the final counts + scaled component
+    // sums are integer-exact. AS MATERIALIZED: inlined chained CTEs
+    // re-plan exponentially in DuckDB (the pagerank lesson).
+    "sim_kmeans" ->
+      """WITH sv AS MATERIALIZED (
+           SELECT vec_id AS id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS v
+           FROM embeddings),
+         c0 AS MATERIALIZED (
+           SELECT id AS cid, i, CAST(v[i] AS DOUBLE) AS c
+           FROM sv, UNNEST(generate_series(1, 64)) t(i)
+           WHERE id BETWEEN 1 AND 8),
+         d1 AS MATERIALIZED (
+           SELECT sv.id, c0.cid,
+                  round(SUM((CAST(sv.v[c0.i] AS DOUBLE) - c0.c)^2)
+                        / 1099511627776.0, 6) AS d2
+           FROM sv CROSS JOIN c0
+           GROUP BY sv.id, c0.cid),
+         a1 AS MATERIALIZED (
+           SELECT id, cid AS cell FROM (
+             SELECT id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+             FROM d1) WHERE rn = 1),
+         c1n AS MATERIALIZED (
+           SELECT cell AS cid, COUNT(*) AS n FROM a1 GROUP BY 1),
+         c1 AS MATERIALIZED (
+           SELECT a1.cell AS cid, t.i,
+                  CAST(CAST(SUM(sv.v[t.i]) AS BIGINT) AS DOUBLE) / ANY_VALUE(c1n.n) AS c
+           FROM a1 JOIN sv USING (id) JOIN c1n ON c1n.cid = a1.cell,
+                UNNEST(generate_series(1, 64)) t(i)
+           GROUP BY a1.cell, t.i),
+         d2_ AS MATERIALIZED (
+           SELECT sv.id, c1.cid,
+                  round(SUM((CAST(sv.v[c1.i] AS DOUBLE) - c1.c)^2)
+                        / 1099511627776.0, 6) AS d2
+           FROM sv CROSS JOIN c1
+           GROUP BY sv.id, c1.cid),
+         a2 AS MATERIALIZED (
+           SELECT id, cid AS cell FROM (
+             SELECT id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+             FROM d2_) WHERE rn = 1)
+         SELECT a2.cell AS cluster_id,
+                COUNT(*) AS n_members,
+                CAST(SUM(sv.v[1]) AS BIGINT) AS s0,
+                CAST(SUM(sv.v[2]) AS BIGINT) AS s1,
+                CAST(SUM(sv.v[3]) AS BIGINT) AS s2
+         FROM a2 JOIN sv USING (id)
+         GROUP BY a2.cell
+         ORDER BY cluster_id""",
 
     "sim_lsh_buckets" ->
       """WITH comp AS (

@@ -283,6 +283,69 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("sim_kmeans: partition invariants and near-shuffle-free plan") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("sim_kmeans")(spark, dir)
+    val rows = out.collect()
+    // a partition of the data: every vector in exactly one cluster
+    assert(rows.map(_.getLong(1)).sum == e.count())
+    assert(rows.nonEmpty && rows.length <= 8)
+    // deterministic across runs (pure function of the data)
+    val again = SparkEntry.queries("sim_kmeans")(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // ASSIGNMENT is inline literals (no join anywhere); the only
+    // exchanges are the final aggregation + output sort — at 100 TB the
+    // vectors themselves never shuffle
+    // AQE renders Initial+Final sections — count the FINAL plan only
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
+  }
+
+  test("tx_unigram_lm: proper log-probs, every tokenized doc scored") {
+    val rows = SparkEntry.queries("tx_unigram_lm")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == docs) // fixture has no zero-token docs
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      // MLE unigram log-prob of a multi-token corpus is strictly negative
+      // and bounded below by ln(1/N)
+      val lp = r.getDouble(2)
+      assert(lp < 0.0 && lp > -30.0, r.toString)
+    }
+  }
+
+  test("tx_decontaminate: flags only training docs, against real eval overlap") {
+    val rows = SparkEntry.queries("tx_decontaminate")(spark, dir).collect()
+    // the synthetic corpus contains near-dups of eval docs → nonempty
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 != 0, s"eval doc ${r.getLong(0)} flagged as training")
+      assert(r.getLong(1) >= 3 && r.getLong(2) >= 1, r.toString)
+    }
+  }
+
+  test("tx_pii_scrub: complete redaction, idempotent, audit counts line up") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("tx_pii_scrub")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, emails, phones, residual) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(residual == 0L, s"doc $id: residual PII after scrub")
+      if (id % 3 == 0) assert(emails >= 1, s"doc $id: injected email not counted")
+      if (id % 5 == 0) assert(phones >= 1, s"doc $id: injected phone not counted")
+    }
+    // idempotence: scrubbing scrubbed text is a no-op (the replacement
+    // tokens never match the patterns)
+    val once = Seq("reach me at bob1@mail.com or 555-123-4567 ok").toDF("t")
+      .select(TextOps.scrubPii(col("t")).as("s"))
+    val twice = once.select(TextOps.scrubPii(col("s")).as("s2")).head.getString(0)
+    assert(twice == "reach me at <EMAIL> or <PHONE> ok", twice)
+  }
+
   test("cs5 pca: eig3Corr matches the numpy fixture; A·v = λ·v; orthonormal") {
     val (c12, c13, c23) = (0.5, 0.2, 0.3)
     val (w, v) = Pca.eig3Corr(c12, c13, c23)
