@@ -266,39 +266,49 @@ object Similarity {
     * dimensions: an integer-exact, order-independent signature of the
     * full clustering.
     */
-  def kmeans(vecs: DataFrame, idCol: String, vecCol: String,
-      seedIds: Seq[Long], iters: Int): DataFrame = {
+  /** Fixed-point scaled copy of an embedding column (see [[KmeansScale]]). */
+  def scaledVec(vec: Column): Column =
+    transform(vec,
+      x => floor(x.cast("double") * lit(KmeansScale.toDouble)).cast("long"))
+
+  /** Inline-literal nearest-centroid assignment over a SCALED vector
+    * column: round-6 d² (unscaled units) with cid tiebreak — zero
+    * shuffle, no join; the k×d matrix rides into codegen as literals.
+    */
+  def kmeansCellCol(scaledV: Column,
+      cents: Array[(Long, Array[Double])]): Column = {
+    val sc2 = KmeansScale.toDouble * KmeansScale.toDouble
+    array_min(array(cents.map { case (cid, cv) =>
+      struct(
+        round(aggregate(
+          zip_with(scaledV, lit(cv), (a, b) => {
+            val diff = a.cast("double") - b
+            diff * diff
+          }),
+          lit(0.0), (acc, x) => acc + x) / lit(sc2), 6).as("d2"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+  }
+
+  /** Lloyd update loop: `iters - 1` refinement rounds from the seed
+    * rows, each one map-side-combinable k×(d+1) aggregate + a
+    * dimension-sized driver pull. Returns the centroids the FINAL
+    * assignment pass should use.
+    */
+  def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      seedIds: Seq[Long], iters: Int): Array[(Long, Array[Double])] = {
     require(iters >= 1, "kmeans needs at least one assignment pass")
-    val scaled = vecs.select(col(idCol).as("id"),
-      transform(col(vecCol),
-        x => floor(x.cast("double") * lit(KmeansScale.toDouble)).cast("long"))
-        .as("v"))
-    // seed centroids: the designated rows, dimension-sized driver pull
+    val scaled = vecs.select(col(idCol).as("id"), scaledVec(col(vecCol)).as("v"))
     val seeds = scaled.filter(col("id").isin(seedIds: _*)).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
     require(seeds.nonEmpty, "no seed vectors found")
     val d = seeds.head._2.length
-    val sc2 = KmeansScale.toDouble * KmeansScale.toDouble
-
-    def assignCol(cents: Array[(Long, Array[Double])]): Column =
-      array_min(array(cents.map { case (cid, cv) =>
-        struct(
-          round(aggregate(
-            zip_with(col("v"), lit(cv), (a, b) => {
-              val diff = a.cast("double") - b
-              diff * diff
-            }),
-            lit(0.0), (acc, x) => acc + x) / lit(sc2), 6).as("d2"),
-          lit(cid).as("cid"))
-      }: _*)).getField("cid")
-
     var cents: Array[(Long, Array[Double])] =
       seeds.map { case (cid, sv) => (cid, sv.map(_.toDouble)) }
     var it = 0
     while (it < iters - 1) {
-      // update step: one shuffle of k×(d+1) partial sums, driver pull
-      val sums = scaled.withColumn("cell", assignCol(cents))
+      val sums = scaled.withColumn("cell", kmeansCellCol(col("v"), cents))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),
           (0 until d).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i")): _*)
@@ -309,12 +319,67 @@ object Similarity {
       }.sortBy(_._1)
       it += 1
     }
-    scaled.withColumn("cell", assignCol(cents))
+    cents
+  }
+
+  def kmeans(vecs: DataFrame, idCol: String, vecCol: String,
+      seedIds: Seq[Long], iters: Int): DataFrame = {
+    val cents = kmeansCentroids(vecs, idCol, vecCol, seedIds, iters)
+    vecs.select(col(idCol).as("id"), scaledVec(col(vecCol)).as("v"))
+      .withColumn("cell", kmeansCellCol(col("v"), cents))
       .groupBy(col("cell").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
         sum(element_at(col("v"), 1)).as("s0"),
         sum(element_at(col("v"), 2)).as("s1"),
         sum(element_at(col("v"), 3)).as("s2"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** SemDeDup-style semantic dedup ACTION: cluster (k-means), then
+    * prune near-duplicates WITHIN each semantic cluster — a document
+    * is dropped when a lower-id vector in the SAME k-means cell and
+    * the same sign-LSH bucket has cosine ≥ threshold.
+    *
+    * The 100 TB shape: candidates must share (kmeans cell, band, LSH
+    * cell) — the in-cluster pair space is bucketed exactly like
+    * [[signLshPairs]] (ids-only candidate join, one dot per verified
+    * pair), never the O((n/k)²) within-cluster cross product. The
+    * k-means assignment is the same zero-shuffle inline argmin as
+    * [[kmeans]]; the LSH keys are the same deterministic prime-sign
+    * planes as [[signLshPairs]], so both halves are oracle-exact.
+    * Returns the dropped ids with their in-cell lower-id near-dup
+    * count (integer-exact gate).
+    */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      seedIds: Seq[Long], iters: Int, planes: Int = 4, bands: Int = 2,
+      threshold: Double = 0.4): DataFrame = {
+    require(planes * bands <= lshPrimes.size, "raise the prime table")
+    val cents = kmeansCentroids(vecs, idCol, vecCol, seedIds, iters)
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"),
+        kmeansCellCol(scaledVec(col(vecCol)), cents).as("kcell"))
+    val keyed = base.select(col("id"), col("kcell"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          signCell(col("v"), lshPrimes.slice(b * planes, (b + 1) * planes))
+            .as("cell"))
+      }: _*)).as("bc"))
+      .select(col("id"), col("kcell"), col("bc.band"), col("bc.cell"))
+    val l = keyed.as("l"); val r = keyed.as("r")
+    val cands = l.join(r,
+        col("l.kcell") === col("r.kcell") && col("l.band") === col("r.band") &&
+          col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val arrs = base.select(col("id"), col("v"), col("nrm"))
+    cands
+      .join(arrs.select(col("id").as("id_a"), col("v").as("_va"), col("nrm").as("_na")),
+        Seq("id_a"))
+      .join(arrs.select(col("id").as("id_b"), col("v").as("_vb"), col("nrm").as("_nb")),
+        Seq("id_b"))
+      .filter(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")) >= threshold)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups_lower"))
+      .orderBy(col("vec_id"))
   }
 }

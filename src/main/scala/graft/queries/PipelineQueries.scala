@@ -420,6 +420,15 @@ object PipelineQueries {
         "vec_id", "embedding", seedIds = 1L to 8L, iters = 2)
     }),
 
+    "sim_semdedup" -> ((s: SparkSession, dir: String) => {
+      // the SemDeDup ACTION: k-means cells gate sign-LSH-bucketed
+      // candidate pairs, exact cosine verifies, lower-id keeper wins —
+      // the vectors never cross-product, even within a cluster
+      Similarity.semDedup(s.read.parquet(t(dir, "embeddings")),
+        "vec_id", "embedding", seedIds = 1L to 8L, iters = 2,
+        planes = 4, bands = 2, threshold = 0.4)
+    }),
+
     "sim_lsh_buckets" -> ((s: SparkSession, dir: String) => {
       // hyperplane-LSH candidates: Spark-native hash planes; rows-only check
       Similarity.lshCandidates(s.read.parquet(t(dir, "embeddings")),
@@ -508,6 +517,89 @@ object PipelineQueries {
 
   // word tokens hashed to 60-bit md5-prefix longs — mirrors
   // Dedup.docTokensHashed so the LSH shuffles carry longs, not strings
+  /** The deterministic prime-sign-plane LSH banding CTEs ending in
+    * `bands(vec_id, band, cell)` — mirrors Similarity.signCell (2 bands
+    * x 4 planes); shared by dd_embedding_cosine and the semantic dedup
+    * oracle.
+    */
+  private val signBandsCtes =
+    """comp AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(generate_series(1, 64)) t(i)),
+         proj AS (
+           SELECT vec_id,
+             SUM(x * (CASE WHEN ((i-1)*3)  % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p0,
+             SUM(x * (CASE WHEN ((i-1)*5)  % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p1,
+             SUM(x * (CASE WHEN ((i-1)*7)  % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p2,
+             SUM(x * (CASE WHEN ((i-1)*11) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p3,
+             SUM(x * (CASE WHEN ((i-1)*13) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p4,
+             SUM(x * (CASE WHEN ((i-1)*17) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p5,
+             SUM(x * (CASE WHEN ((i-1)*19) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p6,
+             SUM(x * (CASE WHEN ((i-1)*23) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p7
+           FROM comp GROUP BY vec_id),
+         cells AS (
+           SELECT vec_id,
+             (CASE WHEN round(p0,6)>=0 THEN 1 ELSE 0 END)
+             + 2*(CASE WHEN round(p1,6)>=0 THEN 1 ELSE 0 END)
+             + 4*(CASE WHEN round(p2,6)>=0 THEN 1 ELSE 0 END)
+             + 8*(CASE WHEN round(p3,6)>=0 THEN 1 ELSE 0 END) AS c0,
+             (CASE WHEN round(p4,6)>=0 THEN 1 ELSE 0 END)
+             + 2*(CASE WHEN round(p5,6)>=0 THEN 1 ELSE 0 END)
+             + 4*(CASE WHEN round(p6,6)>=0 THEN 1 ELSE 0 END)
+             + 8*(CASE WHEN round(p7,6)>=0 THEN 1 ELSE 0 END) AS c1
+           FROM proj),
+         bands AS (
+           SELECT vec_id, 0 AS band, c0 AS cell FROM cells
+           UNION ALL
+           SELECT vec_id, 1 AS band, c1 AS cell FROM cells)"""
+
+  /** The two-unrolled-Lloyd-iteration CTE chain ending in
+    * `a2(id, cell)` — shared by the sim_kmeans gate and the semantic
+    * dedup oracle. Mirrors Similarity.kmeansCentroids/kmeansCellCol
+    * exactly (scaled-long components, round-6 d2, cid tiebreak, s/n
+    * centroid division).
+    */
+  private val kmeansCtes =
+    """sv AS MATERIALIZED (
+           SELECT vec_id AS id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS v
+           FROM embeddings),
+         c0 AS MATERIALIZED (
+           SELECT id AS cid, i, CAST(v[i] AS DOUBLE) AS c
+           FROM sv, UNNEST(generate_series(1, 64)) t(i)
+           WHERE id BETWEEN 1 AND 8),
+         d1 AS MATERIALIZED (
+           SELECT sv.id, c0.cid,
+                  round(SUM((CAST(sv.v[c0.i] AS DOUBLE) - c0.c)^2)
+                        / 1099511627776.0, 6) AS d2
+           FROM sv CROSS JOIN c0
+           GROUP BY sv.id, c0.cid),
+         a1 AS MATERIALIZED (
+           SELECT id, cid AS cell FROM (
+             SELECT id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+             FROM d1) WHERE rn = 1),
+         c1n AS MATERIALIZED (
+           SELECT cell AS cid, COUNT(*) AS n FROM a1 GROUP BY 1),
+         c1 AS MATERIALIZED (
+           SELECT a1.cell AS cid, t.i,
+                  CAST(CAST(SUM(sv.v[t.i]) AS BIGINT) AS DOUBLE) / ANY_VALUE(c1n.n) AS c
+           FROM a1 JOIN sv USING (id) JOIN c1n ON c1n.cid = a1.cell,
+                UNNEST(generate_series(1, 64)) t(i)
+           GROUP BY a1.cell, t.i),
+         d2_ AS MATERIALIZED (
+           SELECT sv.id, c1.cid,
+                  round(SUM((CAST(sv.v[c1.i] AS DOUBLE) - c1.c)^2)
+                        / 1099511627776.0, 6) AS d2
+           FROM sv CROSS JOIN c1
+           GROUP BY sv.id, c1.cid),
+         a2 AS MATERIALIZED (
+           SELECT id, cid AS cell FROM (
+             SELECT id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+             FROM d2_) WHERE rn = 1)"""
+
   private val hashedTokensCte =
     """tok AS (
          SELECT DISTINCT id,
@@ -930,45 +1022,7 @@ object PipelineQueries {
     // sums are integer-exact. AS MATERIALIZED: inlined chained CTEs
     // re-plan exponentially in DuckDB (the pagerank lesson).
     "sim_kmeans" ->
-      """WITH sv AS MATERIALIZED (
-           SELECT vec_id AS id,
-                  list_transform(embedding,
-                    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS v
-           FROM embeddings),
-         c0 AS MATERIALIZED (
-           SELECT id AS cid, i, CAST(v[i] AS DOUBLE) AS c
-           FROM sv, UNNEST(generate_series(1, 64)) t(i)
-           WHERE id BETWEEN 1 AND 8),
-         d1 AS MATERIALIZED (
-           SELECT sv.id, c0.cid,
-                  round(SUM((CAST(sv.v[c0.i] AS DOUBLE) - c0.c)^2)
-                        / 1099511627776.0, 6) AS d2
-           FROM sv CROSS JOIN c0
-           GROUP BY sv.id, c0.cid),
-         a1 AS MATERIALIZED (
-           SELECT id, cid AS cell FROM (
-             SELECT id, cid,
-                    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-             FROM d1) WHERE rn = 1),
-         c1n AS MATERIALIZED (
-           SELECT cell AS cid, COUNT(*) AS n FROM a1 GROUP BY 1),
-         c1 AS MATERIALIZED (
-           SELECT a1.cell AS cid, t.i,
-                  CAST(CAST(SUM(sv.v[t.i]) AS BIGINT) AS DOUBLE) / ANY_VALUE(c1n.n) AS c
-           FROM a1 JOIN sv USING (id) JOIN c1n ON c1n.cid = a1.cell,
-                UNNEST(generate_series(1, 64)) t(i)
-           GROUP BY a1.cell, t.i),
-         d2_ AS MATERIALIZED (
-           SELECT sv.id, c1.cid,
-                  round(SUM((CAST(sv.v[c1.i] AS DOUBLE) - c1.c)^2)
-                        / 1099511627776.0, 6) AS d2
-           FROM sv CROSS JOIN c1
-           GROUP BY sv.id, c1.cid),
-         a2 AS MATERIALIZED (
-           SELECT id, cid AS cell FROM (
-             SELECT id, cid,
-                    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-             FROM d2_) WHERE rn = 1)
+      s"""WITH $kmeansCtes
          SELECT a2.cell AS cluster_id,
                 COUNT(*) AS n_members,
                 CAST(SUM(sv.v[1]) AS BIGINT) AS s0,
@@ -977,6 +1031,34 @@ object PipelineQueries {
          FROM a2 JOIN sv USING (id)
          GROUP BY a2.cell
          ORDER BY cluster_id""",
+
+    // SemDeDup action: kmeans cells (a2) x sign-LSH buckets (bands)
+    // gate the candidate pairs; one exact-cosine verify per pair; a
+    // vector is dropped when a LOWER-id same-cell near-dup exists.
+    "sim_semdedup" ->
+      s"""WITH $kmeansCtes,
+         $signBandsCtes,
+         cand AS (
+           SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+           FROM bands l
+           JOIN bands r ON l.band = r.band AND l.cell = r.cell
+                        AND l.vec_id < r.vec_id
+           JOIN a2 ka ON ka.id = l.vec_id
+           JOIN a2 kb ON kb.id = r.vec_id AND kb.cell = ka.cell),
+         expl AS (
+           SELECT c.id_a, c.id_b,
+                  CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS prod,
+                  CAST(a.embedding[i] AS DOUBLE)^2 AS sa,
+                  CAST(b.embedding[i] AS DOUBLE)^2 AS sb
+           FROM cand c
+           JOIN embeddings a ON a.vec_id = c.id_a
+           JOIN embeddings b ON b.vec_id = c.id_b,
+           UNNEST(generate_series(1, 64)) t(i)),
+         ver AS (
+           SELECT id_a, id_b FROM expl GROUP BY id_a, id_b
+           HAVING SUM(prod) / (sqrt(SUM(sa)) * sqrt(SUM(sb))) >= 0.4)
+         SELECT id_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups_lower
+         FROM ver GROUP BY id_b ORDER BY vec_id""",
 
     "sim_lsh_buckets" ->
       """WITH comp AS (
@@ -1009,35 +1091,7 @@ object PipelineQueries {
          ORDER BY id_a, id_b""",
 
     "dd_embedding_cosine" ->
-      """WITH comp AS (
-           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-           FROM embeddings, UNNEST(generate_series(1, 64)) t(i)),
-         proj AS (
-           SELECT vec_id,
-             SUM(x * (CASE WHEN ((i-1)*3)  % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p0,
-             SUM(x * (CASE WHEN ((i-1)*5)  % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p1,
-             SUM(x * (CASE WHEN ((i-1)*7)  % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p2,
-             SUM(x * (CASE WHEN ((i-1)*11) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p3,
-             SUM(x * (CASE WHEN ((i-1)*13) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p4,
-             SUM(x * (CASE WHEN ((i-1)*17) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p5,
-             SUM(x * (CASE WHEN ((i-1)*19) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p6,
-             SUM(x * (CASE WHEN ((i-1)*23) % 64 < 32 THEN 1.0 ELSE -1.0 END)) AS p7
-           FROM comp GROUP BY vec_id),
-         cells AS (
-           SELECT vec_id,
-             (CASE WHEN round(p0,6)>=0 THEN 1 ELSE 0 END)
-             + 2*(CASE WHEN round(p1,6)>=0 THEN 1 ELSE 0 END)
-             + 4*(CASE WHEN round(p2,6)>=0 THEN 1 ELSE 0 END)
-             + 8*(CASE WHEN round(p3,6)>=0 THEN 1 ELSE 0 END) AS c0,
-             (CASE WHEN round(p4,6)>=0 THEN 1 ELSE 0 END)
-             + 2*(CASE WHEN round(p5,6)>=0 THEN 1 ELSE 0 END)
-             + 4*(CASE WHEN round(p6,6)>=0 THEN 1 ELSE 0 END)
-             + 8*(CASE WHEN round(p7,6)>=0 THEN 1 ELSE 0 END) AS c1
-           FROM proj),
-         bands AS (
-           SELECT vec_id, 0 AS band, c0 AS cell FROM cells
-           UNION ALL
-           SELECT vec_id, 1 AS band, c1 AS cell FROM cells),
+      s"""WITH $signBandsCtes,
          cand AS (
            SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
            FROM bands l JOIN bands r

@@ -304,6 +304,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
   }
 
+  test("sim_semdedup: drops are a subset of LSH near-dups, within one cell") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dropped = SparkEntry.queries("sim_semdedup")(spark, dir).collect()
+    assert(dropped.nonEmpty)
+    assert(dropped.forall(_.getLong(1) >= 1))
+    // the kmeans-cell gate can only REMOVE candidates vs plain sign-LSH:
+    // every dropped id must appear as the higher id of some verified
+    // sign-LSH near-dup pair at the same threshold
+    val lshB = Similarity.signLshPairs(e, "vec_id", "embedding",
+        planes = 4, bands = 2, threshold = 0.4)
+      .select(col("id_b")).distinct().collect().map(_.getLong(0)).toSet
+    val ids = dropped.map(_.getLong(0)).toSet
+    assert(ids.subsetOf(lshB), s"${ids -- lshB} dropped without an LSH pair")
+  }
+
   test("tx_unigram_lm: proper log-probs, every tokenized doc scored") {
     val rows = SparkEntry.queries("tx_unigram_lm")(spark, dir).collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet").count()
