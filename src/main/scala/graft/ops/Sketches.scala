@@ -101,6 +101,35 @@ object Sketches {
       idempotencyKey = idempotencyKey)
   }
 
+  /** The shape every mergeable sketch state shares: cell key columns,
+    * one value column, and the fold that collapses duplicate cell rows
+    * (MAX for HLL registers, SUM for count-min counters). All the
+    * append-only snapshot-table maintenance below — re-aggregate read,
+    * quiesced compaction, torn-compaction heal — is written once
+    * against this shape.
+    */
+  private final case class MergeableState(keyCols: Seq[String],
+      valCol: String, fold: Column => Column, compactKeyPrefix: String)
+
+  private val HllState =
+    (g: String) => MergeableState(Seq(g, "b"), "mreg", max, "hll-compact@")
+  private val CmsState =
+    MergeableState(Seq("j", "b"), "cnt", sum, "cms-compact@")
+
+  private def foldState(st: MergeableState, df: DataFrame): DataFrame =
+    df.groupBy(st.keyCols.map(col): _*)
+      .agg(st.fold(col(st.valCol)).as(st.valCol))
+
+  private def mergeState(st: MergeableState, a: DataFrame, b: DataFrame): DataFrame =
+    foldState(st, a.unionByName(b))
+
+  private def stateFromTable(st: MergeableState,
+      spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      snapshot: Option[Long]): DataFrame = {
+    if (snapshot.isEmpty) repairTornCompaction(st, spark, tableDir)
+    foldState(st, graft.sources.SnapshotTable.read(spark, tableDir, snapshot))
+  }
+
   /** Current authoritative registers from a persisted table: MAX
     * re-aggregation over the appended increment rows (idempotent —
     * works identically on compacted and uncompacted tables). Reading
@@ -110,14 +139,8 @@ object Sketches {
     */
   def registersFromTable(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, groupCol: String,
-      snapshot: Option[Long] = None): DataFrame = {
-    if (snapshot.isEmpty) repairCompactionIfTorn(spark, tableDir, groupCol)
-    graft.sources.SnapshotTable.read(spark, tableDir, snapshot)
-      .groupBy(col(groupCol), col("b"))
-      .agg(max(col("mreg")).as("mreg"))
-  }
-
-  private val CompactKeyPrefix = "hll-compact@"
+      snapshot: Option[Long] = None): DataFrame =
+    stateFromTable(HllState(groupCol), spark, tableDir, snapshot)
 
   /** Detect and heal a torn compaction. Every compaction overwrite
     * records, in its idempotency key, the base snapshot whose content
@@ -137,7 +160,11 @@ object Sketches {
     * do this implicitly).
     */
   def repairCompactionIfTorn(spark: org.apache.spark.sql.SparkSession,
-      tableDir: String, groupCol: String): Unit = {
+      tableDir: String, groupCol: String): Unit =
+    repairTornCompaction(HllState(groupCol), spark, tableDir)
+
+  private def repairTornCompaction(st: MergeableState,
+      spark: org.apache.spark.sql.SparkSession, tableDir: String): Unit = {
     import graft.sources.SnapshotTable
     var guard = 0
     while (guard < 32) {
@@ -145,23 +172,22 @@ object Sketches {
       val head = SnapshotTable.currentSnapshot(tableDir)
       if (head <= 0) return
       val tornBase = SnapshotTable.committedKey(tableDir, head)
-        .filter(_.startsWith(CompactKeyPrefix))
-        .flatMap(k => scala.util.Try(k.stripPrefix(CompactKeyPrefix).toLong).toOption)
+        .filter(_.startsWith(st.compactKeyPrefix))
+        .flatMap(k => scala.util.Try(k.stripPrefix(st.compactKeyPrefix).toLong).toOption)
         .filter(base => head > base + 1)
       if (tornBase.isEmpty) return
       val base = tornBase.get
       val missed = SnapshotTable.readDelta(spark, tableDir, base, Some(head - 1))
-      val repaired = mergeRegisters(
-        SnapshotTable.read(spark, tableDir, Some(head))
-          .groupBy(col(groupCol), col("b")).agg(max(col("mreg")).as("mreg")),
-        missed, groupCol)
+      val repaired = mergeState(st,
+        foldState(st, SnapshotTable.read(spark, tableDir, Some(head))),
+        missed)
       SnapshotTable.write(repaired.coalesce(1), tableDir, mode = "overwrite",
-        idempotencyKey = s"$CompactKeyPrefix$head")
+        idempotencyKey = s"${st.compactKeyPrefix}$head")
       // loop: the repair itself may have raced another append — the
       // next iteration re-checks the new head and heals again if torn
     }
     throw new IllegalStateException(
-      s"repairCompactionIfTorn: still torn after $guard heals on $tableDir")
+      s"repairTornCompaction: still torn after $guard heals on $tableDir")
   }
 
   /** Collapse the appended increment rows into one registers-sized
@@ -181,24 +207,27 @@ object Sketches {
     *     silently understated.
     */
   def compactRegisterTable(spark: org.apache.spark.sql.SparkSession,
-      tableDir: String, groupCol: String): Long = {
+      tableDir: String, groupCol: String): Long =
+    compactStateTable(HllState(groupCol), spark, tableDir)
+
+  private def compactStateTable(st: MergeableState,
+      spark: org.apache.spark.sql.SparkSession, tableDir: String): Long = {
     import graft.sources.SnapshotTable
-    repairCompactionIfTorn(spark, tableDir, groupCol)
+    repairTornCompaction(st, spark, tableDir)
     var base = SnapshotTable.currentSnapshot(tableDir)
-    var state = registersFromTable(spark, tableDir, groupCol, Some(base))
+    var state = stateFromTable(st, spark, tableDir, Some(base))
     var attempt = 0
     while (true) {
       val committed = SnapshotTable.write(state.coalesce(1), tableDir,
-        mode = "overwrite", idempotencyKey = s"$CompactKeyPrefix$base")
+        mode = "overwrite", idempotencyKey = s"${st.compactKeyPrefix}$base")
       if (committed == base + 1) return committed
       // interleaved append(s): their rows are exactly the files added
       // after `base` and before our overwrite — fold them in and retry
       attempt += 1
       require(attempt < 32,
-        s"compactRegisterTable: gave up after $attempt conflict repairs")
-      state = mergeRegisters(state,
-        SnapshotTable.readDelta(spark, tableDir, base, Some(committed - 1)),
-        groupCol)
+        s"compactStateTable: gave up after $attempt conflict repairs")
+      state = mergeState(st, state,
+        SnapshotTable.readDelta(spark, tableDir, base, Some(committed - 1)))
       base = committed
     }
     -1L // unreachable
@@ -259,4 +288,39 @@ object Sketches {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Incremental count-min maintenance over a snapshot table — the SUM
+    * twin of [[updateRegisterTable]] (counters are addition-mergeable,
+    * so the same append-only protocol applies verbatim: append the
+    * increment's own counters, never read prior state; keyed replays
+    * no-op; read-side SUM re-aggregation is authoritative; compaction
+    * is a quiesced overwrite with the same base-recording key and
+    * torn-compaction heal). Pass per-key exact counts for the NEW
+    * increment only.
+    */
+  def updateCmsTable(tableDir: String, newCounts: DataFrame,
+      keyCol: String, cntCol: String, idempotencyKey: String = ""): Long = {
+    val delta = cmsCounters(newCounts, keyCol, cntCol)
+    graft.sources.SnapshotTable.write(delta.coalesce(1), tableDir,
+      mode = "append", idempotencyKey = idempotencyKey)
+  }
+
+  /** Authoritative counters from a persisted table (SUM re-aggregate;
+    * heals torn compactions on head reads).
+    */
+  def cmsCountersFromTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, snapshot: Option[Long] = None): DataFrame =
+    stateFromTable(CmsState, spark, tableDir, snapshot)
+
+  /** Quiesced compaction of an incremental counter table. */
+  def compactCmsTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): Long =
+    compactStateTable(CmsState, spark, tableDir)
+
+  /** Point estimates for candidate keys straight from a persisted
+    * incremental counter table.
+    */
+  def cmsEstimateFromTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, candidates: DataFrame, keyCol: String): DataFrame =
+    cmsEstimate(candidates, cmsCountersFromTable(spark, tableDir), keyCol)
 }

@@ -208,6 +208,55 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(SnapshotTable.currentSnapshot(dir) == 4L)
   }
 
+  test("cms counter table: incremental snapshots == batch; torn compaction heals") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("cms-inc-").toString
+    val all = (1 to 9000).map(i => (s"key-${i % 300}", 1L)).toDF("k", "c")
+      .groupBy("k").agg(sum("c").as("c"))
+    val slices = Seq(
+      all.filter(Dedup.hash60(col("k")) % 3 === 0L),
+      all.filter(Dedup.hash60(col("k")) % 3 === 1L),
+      all.filter(Dedup.hash60(col("k")) % 3 === 2L))
+    val snaps = slices.zipWithIndex.map { case (sl, i) =>
+      Sketches.updateCmsTable(dir, sl, "k", "c", s"batch-$i")
+    }
+    assert(snaps == Seq(1L, 2L, 3L), snaps.toString)
+    // keyed replay no-ops
+    assert(Sketches.updateCmsTable(dir, slices(0), "k", "c", "batch-0") == 1L)
+    assert(SnapshotTable.currentSnapshot(dir) == 3L)
+    val cand = (0 until 300 by 7).map(i => s"key-$i").toDF("k")
+    val batch = Sketches.cmsEstimate(cand, Sketches.cmsCounters(all, "k", "c"), "k")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    val inc = Sketches.cmsEstimateFromTable(spark, dir, cand, "k")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(inc.sameElements(batch), s"${inc.mkString(",")} vs ${batch.mkString(",")}")
+    // compaction preserves estimates and shrinks rows
+    val before = SnapshotTable.read(spark, dir).count()
+    assert(Sketches.compactCmsTable(spark, dir) == 4L)
+    assert(SnapshotTable.read(spark, dir).count() <= before)
+    val comp = Sketches.cmsEstimateFromTable(spark, dir, cand, "k")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(comp.sameElements(batch), comp.mkString(","))
+    // torn compaction: an overwrite folded through snapshot 4 only while
+    // an append lands as 5... simulate directly like the HLL twin
+    Sketches.updateCmsTable(dir, slices(1), "k", "c", "b1-again")
+    val understated = SnapshotTable.read(spark, dir, Some(4L))
+      .groupBy(col("j"), col("b")).agg(sum(col("cnt")).as("cnt"))
+    val torn = SnapshotTable.write(understated.coalesce(1), dir,
+      mode = "overwrite", idempotencyKey = "cms-compact@4")
+    assert(torn == 6L)
+    // head read heals: estimates equal batch-over-union(all + slices(1))
+    val union = all.unionByName(slices(1)).groupBy("k").agg(sum("c").as("c"))
+    val expect = Sketches.cmsEstimate(cand, Sketches.cmsCounters(union, "k", "c"), "k")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    val healed = Sketches.cmsEstimateFromTable(spark, dir, cand, "k")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(healed.sameElements(expect), healed.mkString(","))
+    assert(SnapshotTable.currentSnapshot(dir) == 7L)
+    assert(SnapshotTable.committedKey(dir, 7L).contains("cms-compact@6"))
+  }
+
   test("tx_heavy_hitters / count-min: one-sided guarantee and tightness") {
     val rows = SparkEntry.queries("tx_heavy_hitters")(spark, dir).collect()
     assert(rows.length == 10)
