@@ -119,6 +119,33 @@ class PlanSpec extends AnyFunSuite {
     assert(dropped.length == 1 && dropped.head.getLong(2) == 3000L)
   }
 
+  test("tx_decontaminate broadcasts the eval shingles; no corpus shuffle join") {
+    val plan = planOf(SparkEntry.queries("tx_decontaminate")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("tx_unigram_lm broadcasts the vocab count table") {
+    val plan = planOf(SparkEntry.queries("tx_unigram_lm")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("tx_pii_scrub is pure map-side until the output sort") {
+    val plan = planOf(SparkEntry.queries("tx_pii_scrub")(spark, dir))
+    assert(!plan.contains("Join"), plan)
+    // only the deterministic ORDER BY may exchange
+    val ex = "Exchange".r.findAllIn(plan).size
+    assert(ex <= 1, s"$ex exchanges:\n$plan")
+  }
+
+  test("sim_semdedup candidate join is equi-keyed (no cartesian/NL join)") {
+    val plan = planOf(SparkEntry.queries("sim_semdedup")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("kg_sparql_wdids evaluates the 7-pattern star join ONCE") {
     // The SPARQL UNION merges source-side and target-side taxa; a naive
     // per-arm formulation references the star-join subtree twice and
