@@ -289,6 +289,67 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  // ---- bloom filter -----------------------------------------------------
+
+  val BloomBits = 16384
+  val BloomK = 4
+
+  // same single-definition rule as cmsBucket: build and probe must
+  // derive bit positions identically
+  private def bloomBit(j: Int, key: Column): Column =
+    pmod(Dedup.hash60(concat(lit(s"bloom$j:"), key)), lit(BloomBits.toLong))
+
+  /** Bloom SET-membership state: the distinct bit positions set by the
+    * keys — sparse (bit, one) rows, OR-mergeable (union + distinct),
+    * ≤ BloomBits rows regardless of key cardinality. The third
+    * mergeable-sketch shape next to the HLL MAX-registers and the CMS
+    * SUM-counters, sharing the same append-only maintenance core.
+    */
+  def bloomBitsOf(keys: DataFrame, keyCol: String): DataFrame =
+    keys
+      .select(explode(array((0 until BloomK).map(j =>
+        bloomBit(j, col(keyCol))): _*)).as("bit"))
+      .distinct()
+      .withColumn("one", lit(1L))
+
+  /** Membership probe: might_contain = 1 iff ALL BloomK bit positions
+    * are set (an unset position counts 0 via left join + coalesce).
+    * Classic one-sided guarantee: no false negatives ever; false
+    * positives only on all-positions collisions.
+    */
+  def bloomMightContain(candidates: DataFrame, bits: DataFrame,
+      keyCol: String): DataFrame = {
+    val keyed = candidates
+      .select(col(keyCol), explode(array((0 until BloomK).map(j =>
+        bloomBit(j, col(keyCol))): _*)).as("bit"))
+    keyed.join(broadcast(bits), Seq("bit"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("one"), lit(0L))).as("might_contain"))
+  }
+
+  private val BloomState =
+    MergeableState(Seq("bit"), "one", max, "bloom-compact@")
+
+  /** Incremental bloom maintenance — append the increment's own bit
+    * rows (OR is idempotent AND mergeable, so the protocol is the same
+    * as the HLL/CMS twins: never read prior state, keyed replays
+    * no-op, read-side distinct authoritative, quiesced compaction with
+    * torn-heal).
+    */
+  def updateBloomTable(tableDir: String, newKeys: DataFrame,
+      keyCol: String, idempotencyKey: String = ""): Long =
+    graft.sources.SnapshotTable.write(
+      bloomBitsOf(newKeys, keyCol).coalesce(1), tableDir,
+      mode = "append", idempotencyKey = idempotencyKey)
+
+  def bloomBitsFromTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, snapshot: Option[Long] = None): DataFrame =
+    stateFromTable(BloomState, spark, tableDir, snapshot)
+
+  def compactBloomTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): Long =
+    compactStateTable(BloomState, spark, tableDir)
+
   /** Incremental count-min maintenance over a snapshot table — the SUM
     * twin of [[updateRegisterTable]] (counters are addition-mergeable,
     * so the same append-only protocol applies verbatim: append the

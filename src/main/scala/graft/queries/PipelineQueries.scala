@@ -132,6 +132,32 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    "a10_bloom" -> ((s: SparkSession, dir: String) => {
+      // bloom membership over the corpus's normalized-text fingerprints
+      // (the cheap pre-filter in front of exact dedup: a new shard's
+      // fingerprints probe a BloomBits-sized broadcast instead of
+      // joining the full fingerprint universe). Candidates mix present
+      // fingerprints with synthetic absent keys; might_contain carries
+      // the one-sided guarantee (no false negatives), and the exact
+      // presence flag rides along for error visibility — both integer.
+      val d = s.read.parquet(t(dir, "documents"))
+      val fps = d.select(TextOps.fingerprint(col("text")).as("fp"))
+      val bits = graft.ops.Sketches.bloomBitsOf(fps, "fp")
+      val cands = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("key"))
+        .unionByName(d.filter(col("doc_id") % 10 === 1)
+          .select(col("doc_id"),
+            md5(concat(lit("absent:"), col("doc_id").cast("string"))).as("key")))
+      val present = fps.select(col("fp").as("key")).distinct()
+        .withColumn("actually_present", lit(1L))
+      graft.ops.Sketches.bloomMightContain(cands.select(col("key")).distinct(),
+          bits, "key")
+        .join(present, Seq("key"), "left")
+        .select(col("key"), col("might_contain"),
+          coalesce(col("actually_present"), lit(0L)).as("actually_present"))
+        .orderBy(col("key"))
+    }),
+
     "tx_heavy_hitters" -> ((s: SparkSession, dir: String) => {
       // frequent-shingle (boilerplate) detection with a count-min
       // sketch riding along: top-10 trigram shingles by exact count,
@@ -725,6 +751,39 @@ object PipelineQueries {
          SELECT source, pct, COUNT(*) AS n_docs,
                 CAST(SUM(CASE WHEN b < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM x GROUP BY source, pct ORDER BY source""",
+
+    // bloom bit positions mirror Sketches.bloomBit: 60-bit md5-prefix
+    // hash of 'bloom<j>:' || key, mod 16384; might_contain = MIN over
+    // the 4 positions of set/unset
+    "a10_bloom" ->
+      """WITH fps AS (
+           SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         bits AS (
+           SELECT DISTINCT
+             ('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || ':' || fp), 1, 15))::BIGINT % 16384 AS bit
+           FROM fps, UNNEST(generate_series(0, 3)) t(j)),
+         cands AS (
+           SELECT DISTINCT key FROM (
+             SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS key
+             FROM documents WHERE doc_id % 10 = 0
+             UNION ALL
+             SELECT md5('absent:' || CAST(doc_id AS VARCHAR)) AS key
+             FROM documents WHERE doc_id % 10 = 1)),
+         probe AS (
+           SELECT c.key,
+             ('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || ':' || c.key), 1, 15))::BIGINT % 16384 AS bit
+           FROM cands c, UNNEST(generate_series(0, 3)) t(j)),
+         mc AS (
+           SELECT p.key,
+                  CAST(MIN(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                    AS might_contain
+           FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+           GROUP BY p.key)
+         SELECT mc.key, mc.might_contain,
+                CAST(CASE WHEN EXISTS (SELECT 1 FROM fps WHERE fps.fp = mc.key)
+                     THEN 1 ELSE 0 END AS BIGINT) AS actually_present
+         FROM mc ORDER BY key""",
 
     "a9_sketch_distinct" ->
       """WITH tarr AS (

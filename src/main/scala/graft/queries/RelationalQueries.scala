@@ -228,6 +228,23 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    "w5_median" -> ((s: SparkSession, dir: String) => {
+      // exact lower median per group, defined positionally (the value at
+      // rank (n+1)//2 of the ascending sort) so both engines agree with
+      // no interpolation-rule drift. One per-group window sort — the
+      // exact-quantile shape; at petabyte scale an approx-percentile
+      // sketch replaces the sort, this is the w-family exact operator.
+      val l = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
+      val cw = Window.partitionBy(col("l_returnflag"))
+      l.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .filter(col("rn") === ((col("n") + 1) / 2).cast("long"))
+        .select(col("l_returnflag"), col("q").as("median_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "w2_sort" -> ((s: SparkSession, dir: String) => {
       s.read.parquet(t(dir, "orders"))
         .select(col("o_orderkey"), col("o_orderdate"))
@@ -473,6 +490,16 @@ object RelationalQueries {
                     ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
            FROM customer)
          WHERE rn = 1 ORDER BY c_nationkey""",
+
+    // positional lower median: the value at rank (n+1)//2 ascending —
+    // no interpolation rule to drift between engines
+    "w5_median" ->
+      """SELECT l_returnflag, q AS median_qty FROM (
+           SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+                  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""",
 
     "w2_sort" ->
       """SELECT o_orderkey, o_orderdate FROM orders

@@ -257,6 +257,38 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(SnapshotTable.committedKey(dir, 7L).contains("cms-compact@6"))
   }
 
+  test("bloom: no false negatives ever; incremental table == batch; heal") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val keys = (1 to 3000).map(i => s"member-$i").toDF("k")
+    val bits = Sketches.bloomBitsOf(keys, "k")
+    // every inserted key MUST probe positive (one-sided guarantee)
+    val pos = Sketches.bloomMightContain(keys, bits, "k")
+      .agg(min(col("might_contain"))).head.getLong(0)
+    assert(pos == 1L, "false negative!")
+    // absent keys mostly negative at this fill (fp rate (fill)^4)
+    val absent = (1 to 3000).map(i => s"ghost-$i").toDF("k")
+    val negs = Sketches.bloomMightContain(absent, bits, "k")
+      .filter(col("might_contain") === 0L).count()
+    assert(negs > 2000, s"only $negs/3000 ghosts rejected")
+    // incremental: three appended slices == batch bits; replay no-ops
+    val dir = java.nio.file.Files.createTempDirectory("bloom-inc-").toString
+    val slices = (0 until 3).map(j =>
+      keys.filter(Dedup.hash60(col("k")) % 3 === j.toLong))
+    slices.zipWithIndex.foreach { case (sl, i) =>
+      Sketches.updateBloomTable(dir, sl, "k", s"b-$i") }
+    assert(Sketches.updateBloomTable(dir, slices(0), "k", "b-0") == 1L)
+    val incBits = Sketches.bloomBitsFromTable(spark, dir)
+      .select("bit").collect().map(_.getLong(0)).toSet
+    val batchBits = bits.select("bit").collect().map(_.getLong(0)).toSet
+    assert(incBits == batchBits)
+    // compaction preserves the set
+    assert(Sketches.compactBloomTable(spark, dir) == 4L)
+    val compBits = Sketches.bloomBitsFromTable(spark, dir)
+      .select("bit").collect().map(_.getLong(0)).toSet
+    assert(compBits == batchBits)
+  }
+
   test("tx_heavy_hitters / count-min: one-sided guarantee and tightness") {
     val rows = SparkEntry.queries("tx_heavy_hitters")(spark, dir).collect()
     assert(rows.length == 10)
