@@ -229,18 +229,24 @@ object RelationalQueries {
     }),
 
     "w5_median" -> ((s: SparkSession, dir: String) => {
-      // exact lower median per group, defined positionally (the value at
-      // rank (n+1)//2 of the ascending sort) so both engines agree with
-      // no interpolation-rule drift. One per-group window sort — the
-      // exact-quantile shape; at petabyte scale an approx-percentile
-      // sketch replaces the sort, this is the w-family exact operator.
+      // exact lower median per group, defined positionally (the value
+      // at rank (n+1)//2 ascending) so both engines agree with no
+      // interpolation-rule drift. Histogram formulation: ONE map-side-
+      // combinable (group, value) count aggregate — the N rows never
+      // sort; the cumulative pass runs over the value-cardinality-sized
+      // histogram (the exact-quantile shape that survives 100 TB when
+      // values are discrete; for continuous values the approx sketch
+      // replaces the histogram, same two-phase plan).
       val l = s.read.parquet(t(dir, "lineitem"))
         .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
+      val h = l.groupBy(col("l_returnflag"), col("q"))
+        .agg(count(lit(1)).as("c"))
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
       val cw = Window.partitionBy(col("l_returnflag"))
-      l.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(cw))
-        .filter(col("rn") === ((col("n") + 1) / 2).cast("long"))
+      h.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(cw))
+        .withColumn("r", ((col("n") + 1) / 2).cast("long"))
+        .filter(col("cum") >= col("r") && col("cum") - col("c") < col("r"))
         .select(col("l_returnflag"), col("q").as("median_qty"))
         .orderBy(col("l_returnflag"))
     }),
@@ -491,15 +497,19 @@ object RelationalQueries {
            FROM customer)
          WHERE rn = 1 ORDER BY c_nationkey""",
 
-    // positional lower median: the value at rank (n+1)//2 ascending —
-    // no interpolation rule to drift between engines
+    // positional lower median via the same histogram + cumulative-count
+    // formulation as the engine: the value whose cumulative count first
+    // reaches rank (n+1)//2 — no interpolation rule to drift
     "w5_median" ->
       """SELECT l_returnflag, q AS median_qty FROM (
-           SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q,
-                  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
-                  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-           FROM lineitem)
-         WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""",
+           SELECT l_returnflag, q, c,
+                  SUM(c) OVER (PARTITION BY l_returnflag ORDER BY q) AS cum,
+                  SUM(c) OVER (PARTITION BY l_returnflag) AS n
+           FROM (
+             SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q, COUNT(*) AS c
+             FROM lineitem GROUP BY 1, 2))
+         WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2
+         ORDER BY l_returnflag""",
 
     "w2_sort" ->
       """SELECT o_orderkey, o_orderdate FROM orders
