@@ -92,8 +92,13 @@ object Multimodal {
       require(w > 0 && h > 0 && maxval > 0 && maxval < 65536, "bad ppm header")
       pos += 1 // single whitespace after maxval, per spec
       val bytesPerSample = if (maxval < 256) 1 else 2
-      val n = w * h
-      require(payload.length - pos >= n * 3 * bytesPerSample, "truncated raster")
+      // size arithmetic in Long: a corrupt header like 65536x65536
+      // overflows Int (w*h = 0) and would sail past the truncation
+      // guard into garbage features instead of the zero vector
+      val nL = w.toLong * h.toLong
+      require(nL * 3L * bytesPerSample <= (payload.length - pos).toLong,
+        "truncated raster")
+      val n = nL.toInt
       def sample(idx: Int): Int =
         if (bytesPerSample == 1) payload(pos + idx) & 0xff
         else ((payload(pos + 2 * idx) & 0xff) << 8) | (payload(pos + 2 * idx + 1) & 0xff)

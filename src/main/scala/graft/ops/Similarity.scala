@@ -82,24 +82,29 @@ object Similarity {
     */
   def signLshPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    planes: Int = 4, bands: Int = 2,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   gate: Option[Column] = None): DataFrame = {
     require(planes * bands <= lshPrimes.size, "raise the prime table")
     val allPrimes = lshPrimes
     // candidate generation carries ONLY ids: the band self-join and the
     // pair dedup shuffle (id, band, cell) rows, never vectors; the
     // per-vector norm is computed once, so the verify stage is one dot
-    // product per pair (not three)
+    // product per pair (not three). `gate` is an optional extra per-row
+    // key candidates must also share (e.g. a k-means cell for the
+    // SemDeDup composition) — it rides the same ids-only join.
     val keyed = vecs.select(
       col(idCol).as("id"),
+      gate.getOrElse(lit(0L)).as("gate"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           signCell(col(vecCol), allPrimes.slice(b * planes, (b + 1) * planes))
             .as("cell"))
       }: _*)).as("bc"))
-      .select(col("id"), col("bc.band"), col("bc.cell"))
+      .select(col("id"), col("gate"), col("bc.band"), col("bc.cell"))
     val l = keyed.as("l"); val r = keyed.as("r")
     val cands = l.join(r,
-        col("l.band") === col("r.band") && col("l.cell") === col("r.cell") &&
+        col("l.gate") === col("r.gate") &&
+          col("l.band") === col("r.band") && col("l.cell") === col("r.cell") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
@@ -353,31 +358,9 @@ object Similarity {
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
       seedIds: Seq[Long], iters: Int, planes: Int = 4, bands: Int = 2,
       threshold: Double = 0.4): DataFrame = {
-    require(planes * bands <= lshPrimes.size, "raise the prime table")
     val cents = kmeansCentroids(vecs, idCol, vecCol, seedIds, iters)
-    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("nrm"),
-        kmeansCellCol(scaledVec(col(vecCol)), cents).as("kcell"))
-    val keyed = base.select(col("id"), col("kcell"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          signCell(col("v"), lshPrimes.slice(b * planes, (b + 1) * planes))
-            .as("cell"))
-      }: _*)).as("bc"))
-      .select(col("id"), col("kcell"), col("bc.band"), col("bc.cell"))
-    val l = keyed.as("l"); val r = keyed.as("r")
-    val cands = l.join(r,
-        col("l.kcell") === col("r.kcell") && col("l.band") === col("r.band") &&
-          col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-    val arrs = base.select(col("id"), col("v"), col("nrm"))
-    cands
-      .join(arrs.select(col("id").as("id_a"), col("v").as("_va"), col("nrm").as("_na")),
-        Seq("id_a"))
-      .join(arrs.select(col("id").as("id_b"), col("v").as("_vb"), col("nrm").as("_nb")),
-        Seq("id_b"))
-      .filter(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")) >= threshold)
+    signLshPairs(vecs, idCol, vecCol, planes, bands, threshold,
+        gate = Some(kmeansCellCol(scaledVec(col(vecCol)), cents)))
       .groupBy(col("id_b").as("vec_id"))
       .agg(count(lit(1)).as("n_dups_lower"))
       .orderBy(col("vec_id"))

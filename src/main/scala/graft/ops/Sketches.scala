@@ -177,10 +177,26 @@ object Sketches {
         .filter(base => head > base + 1)
       if (tornBase.isEmpty) return
       val base = tornBase.get
-      val missed = SnapshotTable.readDelta(spark, tableDir, base, Some(head - 1))
-      val repaired = mergeState(st,
-        foldState(st, SnapshotTable.read(spark, tableDir, Some(head))),
-        missed)
+      // the heal needs the interleaved snapshots' rows — if
+      // expireSnapshots already discarded them the loss is permanent
+      // (exactly the ordering the compaction contract warns against).
+      // Degrade instead of bricking every subsequent read with a failed
+      // time-travel: seal the surviving head content under a
+      // consistent compaction key (committed == base' + 1) so the table
+      // stays readable and the tear stops re-triggering.
+      val retained = SnapshotTable.history(tableDir).map(_.id).toSet
+      val healable = ((base + 1) until head).forall(retained.contains)
+      if (!healable)
+        System.err.println(
+          s"repairTornCompaction: interleaved snapshots of $tableDir " +
+            s"(${base + 1}..${head - 1}) already expired — torn rows lost, " +
+            "sealing the surviving head")
+      val headState = foldState(st,
+        SnapshotTable.read(spark, tableDir, Some(head)))
+      val missed =
+        if (healable) SnapshotTable.readDelta(spark, tableDir, base, Some(head - 1))
+        else headState.limit(0)
+      val repaired = mergeState(st, headState, missed)
       SnapshotTable.write(repaired.coalesce(1), tableDir, mode = "overwrite",
         idempotencyKey = s"${st.compactKeyPrefix}$head")
       // loop: the repair itself may have raced another append — the

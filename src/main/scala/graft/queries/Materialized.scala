@@ -51,7 +51,9 @@ object Materialized {
     */
   private def once[T <: AnyRef](spark: SparkSession, what: String, dir: String)(
       f: => T): T = {
-    val key = s"${System.identityHashCode(spark.sparkContext)}:$what:$dir"
+    // applicationId, not identityHashCode: hash reuse after GC could
+    // resurface a dead context's cached tables/DataFrames
+    val key = s"${spark.sparkContext.applicationId}:$what:$dir"
     val cached = memo.get(key)
     if (cached != null) return cached.asInstanceOf[T]
     val lock = locks.computeIfAbsent(key, _ => new Object)

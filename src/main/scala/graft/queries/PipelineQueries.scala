@@ -38,7 +38,10 @@ object PipelineQueries {
 
   private def verifiedLshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsMemo.computeIfAbsent(
-      s"${System.identityHashCode(s.sparkContext)}:$dir",
+      // applicationId is unique per context — an identityHashCode key
+      // can be reused after GC and would hand a later session a
+      // checkpointed DataFrame of a dead SparkContext
+      s"${s.sparkContext.applicationId}:$dir",
       _ => Dedup.minhashLsh(s.read.parquet(t(dir, "documents")), "doc_id",
           "text", k = 4, rowsPerBand = 2, threshold = 0.8)
         .select(col("id_a"), col("id_b"))
@@ -140,18 +143,20 @@ object PipelineQueries {
       // fingerprints with synthetic absent keys; might_contain carries
       // the one-sided guarantee (no false negatives), and the exact
       // presence flag rides along for error visibility — both integer.
-      val d = s.read.parquet(t(dir, "documents"))
-      val fps = d.select(TextOps.fingerprint(col("text")).as("fp"))
-      val bits = graft.ops.Sketches.bloomBitsOf(fps, "fp")
-      val cands = d.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("key"))
-        .unionByName(d.filter(col("doc_id") % 10 === 1)
-          .select(col("doc_id"),
-            md5(concat(lit("absent:"), col("doc_id").cast("string"))).as("key")))
-      val present = fps.select(col("fp").as("key")).distinct()
+      // one fingerprint pass feeds all three consumers (bits build,
+      // candidate arm, exact-presence flag) — materialized so the
+      // corpus scan + md5 run once, not three times
+      val base = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .localCheckpoint(true)
+      val bits = graft.ops.Sketches.bloomBitsOf(base.select(col("fp")), "fp")
+      val cands = base.filter(col("doc_id") % 10 === 0)
+        .select(col("fp").as("key"))
+        .unionByName(base.filter(col("doc_id") % 10 === 1)
+          .select(md5(concat(lit("absent:"), col("doc_id").cast("string"))).as("key")))
+      val present = base.select(col("fp").as("key")).distinct()
         .withColumn("actually_present", lit(1L))
-      graft.ops.Sketches.bloomMightContain(cands.select(col("key")).distinct(),
-          bits, "key")
+      graft.ops.Sketches.bloomMightContain(cands.distinct(), bits, "key")
         .join(present, Seq("key"), "left")
         .select(col("key"), col("might_contain"),
           coalesce(col("actually_present"), lit(0L)).as("actually_present"))
@@ -399,10 +404,14 @@ object PipelineQueries {
       val e = s.read.parquet(t(dir, "embeddings"))
       val q = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).toArray
-      Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
-        .withColumn("cos_r", round(col("cos"), 6))
-        .select(col("vec_id"), col("cos_r"))
+      // top-10 selected by the ORACLE's (round-6 cos, vec_id) order —
+      // an unrounded limit could disagree at a 6-dp tie on the boundary;
+      // the plan is still scan → project → TakeOrderedAndProject
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), lit(q)), 6).as("cos_r"))
         .orderBy(col("cos_r").desc, col("vec_id"))
+        .limit(10)
     }),
 
     "sim_ivf_topk" -> ((s: SparkSession, dir: String) => {
@@ -428,8 +437,14 @@ object PipelineQueries {
       // exists only to measure the approximation — production serving
       // uses the IVF plan alone, exactly like the HLL sketch's
       // verification-only exact-count arm.
-      val bruteIds = Similarity
-        .bruteForceTopK(data, "vec_id", "embedding", q, 10)
+      // the brute set must be selected by the SAME (round-6 cos, vec_id)
+      // order the oracle uses — an unrounded limit(10) could disagree at
+      // a 6-dp tie on the rank-10/11 boundary
+      val bruteIds = data
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), lit(q)), 6).as("bcos"))
+        .orderBy(col("bcos").desc, col("vec_id"))
+        .limit(10)
         .select(col("vec_id"))
       val recall = ivf.join(bruteIds, Seq("vec_id"), "left_semi")
         .agg(round(count(lit(1)) / lit(10.0), 6).as("recall_at_10"))

@@ -451,7 +451,7 @@ object SnapshotTable {
     * without this). Returns (expired snapshot ids, deleted data files).
     */
   def expireSnapshots(spark: SparkSession, dir: String,
-      keepLast: Int = 1, sweepOrphansOlderThanMs: Long = 3600000L): (Seq[Long], Long) = {
+      keepLast: Int = 1, sweepOrphansOlderThanMs: Long = 259200000L): (Seq[Long], Long) = {
     val all = history(dir).map(_.id)
     val keep = all.takeRight(math.max(keepLast, 1)).toSet
     val expire = all.filterNot(keep)

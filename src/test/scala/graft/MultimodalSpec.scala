@@ -94,6 +94,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePpm("P5\n1 1\n255\n!".getBytes).forall(_ == 0f))
     assert(Multimodal.decodePpm(header.dropRight(10)).forall(_ == 0f))
     assert(Multimodal.decodePpm(Array.empty[Byte]).forall(_ == 0f))
+    // adversarial header whose w*h overflows Int (65536^2 = 0 in Int
+    // arithmetic) must hit the truncation guard, not emit garbage
+    assert(Multimodal.decodePpm(
+      ("P6\n65536 65536\n255\n" + "x" * 100).getBytes).forall(_ == 0f))
   }
 
   test("codec swap is drop-in: both codecs run through the SAME operators") {

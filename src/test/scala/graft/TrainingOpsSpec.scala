@@ -289,6 +289,40 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(compBits == batchBits)
   }
 
+  test("torn compaction whose interleaved snapshots expired degrades, not bricks") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("hll-torn-exp-").toString
+    val all = (1 to 2000).map(i => (s"g${i % 2}", s"item-$i")).toDF("grp", "s")
+      .select(col("grp"), Dedup.hash60(col("s")).as("h"))
+    val s0 = all.filter(pmod(col("h"), lit(2L)) === 0L)
+    val s1 = all.filter(pmod(col("h"), lit(2L)) === 1L)
+    Sketches.updateRegisterTable(dir, s0, "grp", "h", "b0") // snap 1
+    Sketches.updateRegisterTable(dir, s1, "grp", "h", "b1") // snap 2
+    val understated = SnapshotTable.read(spark, dir, Some(1L))
+      .groupBy(col("grp"), col("b")).agg(max(col("mreg")).as("mreg"))
+    assert(SnapshotTable.write(understated.coalesce(1), dir,
+      mode = "overwrite", idempotencyKey = "hll-compact@1") == 3L)
+    // the anti-pattern the contract warns against: expiry BEFORE a
+    // healing head read discards the interleaved append's rows
+    SnapshotTable.expireSnapshots(spark, dir, keepLast = 1,
+      sweepOrphansOlderThanMs = 0L)
+    // reads must keep working (sealed head, s1's contribution lost)
+    val est = Sketches.estimateFromTable(spark, dir, "grp").collect()
+    assert(est.nonEmpty)
+    // sealed exactly once: head advanced by one, consistent key
+    assert(SnapshotTable.currentSnapshot(dir) == 4L)
+    assert(SnapshotTable.committedKey(dir, 4L).contains("hll-compact@3"))
+    Sketches.estimateFromTable(spark, dir, "grp").collect()
+    assert(SnapshotTable.currentSnapshot(dir) == 4L)
+    // and the surviving content is exactly the s0-only build
+    val s0only = Sketches.hllDistinct(s0, "grp", "h")
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val got = Sketches.estimateFromTable(spark, dir, "grp")
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.sameElements(s0only), got.mkString(","))
+  }
+
   test("tx_heavy_hitters / count-min: one-sided guarantee and tightness") {
     val rows = SparkEntry.queries("tx_heavy_hitters")(spark, dir).collect()
     assert(rows.length == 10)
