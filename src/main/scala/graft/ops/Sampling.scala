@@ -47,4 +47,25 @@ object Sampling {
     */
   def mixtureKeep(key: Column, pct: Column): Column =
     hashBucket("mixdoc", key) < pct
+
+  /** Deterministic per-domain cap rank: a record's position within its
+    * domain when the domain's records are ordered by salted hash (ties
+    * by key). Keeping rank ≤ cap is the crawl-pipeline domain-cap
+    * operator: an unbiased, re-run-stable "random" cap — which records
+    * survive depends only on their hashes, not on arrival order or
+    * partitioning.
+    *
+    * The rank is a window over (domain) — ONE shuffle partitioned by
+    * domain. At 100 TB the lever for a mega-domain is a pre-filter:
+    * count per domain, broadcast the per-domain count, and drop rows
+    * whose hash exceeds ~(cap/count)-quantile BEFORE the window so the
+    * hot partition ranks ~cap rows instead of billions (AQE skew-join
+    * handles the residual imbalance).
+    */
+  def domainCapRank(domain: Column, key: Column): Column =
+    row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(domain)
+        .orderBy(
+          Dedup.hash60(concat(lit("domcap:"), key.cast("string"))).asc,
+          key.asc))
 }

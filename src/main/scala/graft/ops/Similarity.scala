@@ -340,6 +340,61 @@ object Similarity {
       .orderBy(col("cluster_id"))
   }
 
+  /** Symmetric int8 scalar quantization of a NORMALIZED vector: each
+    * component of the unit vector maps to floor(uᵢ · 127) ∈ [−127, 127]
+    * (the FAISS SQ8 shape for cosine/IP metrics — normalizing first is
+    * what makes the integer dot product track the cosine ranking; an
+    * affine per-dim shift would swamp the score with the offset terms).
+    * floor (not round) and a fixed association order — square-sum in
+    * array order, then (x / n) · 127 — make the result reproducible in
+    * any IEEE engine; the SQL oracle writes the identical expressions
+    * over a list-ordered fold. Zero-norm vectors quantize to all-zero
+    * (score 0, never NaN).
+    *
+    * `normCol` must be a MATERIALIZED column (projected in a previous
+    * step), not an inline norm expression: a subexpression referenced
+    * inside a `transform` lambda re-evaluates per ELEMENT.
+    */
+  def quantizedVec(vec: Column, normCol: Column): Column =
+    transform(vec, x =>
+      when(normCol === 0.0, lit(0L))
+        .otherwise(floor(x.cast("double") / normCol * lit(127.0))))
+
+  /** Driver-side twin of [[quantizedVec]] for the query vector — same
+    * IEEE ops in the same order, so the literal the plan carries equals
+    * what the oracle computes in SQL.
+    */
+  def quantizeLocal(v: Array[Float]): Array[Long] = {
+    var ss = 0.0; var i = 0
+    while (i < v.length) { val x = v(i).toDouble; ss += x * x; i += 1 }
+    val n = math.sqrt(ss)
+    Array.tabulate(v.length)(j =>
+      if (n == 0.0) 0L else math.floor(v(j).toDouble / n * 127.0).toLong)
+  }
+
+  /** Scalar-quantized (int8-style) top-k: the memory-bound ANN scale
+    * path — 4× smaller vectors and an all-integer scoring loop (the
+    * shape SIMD int8 kernels exploit on real hardware; qdot/127² ≈
+    * cosine). Quantization happens inline in the scan projection (the
+    * quantized query rides into codegen as a literal — zero shuffle,
+    * no join), scoring is an exact integer dot product, and the plan
+    * ends in TakeOrderedAndProject. The integer score makes the gate
+    * hash-exact with no rounding convention at all.
+    */
+  def scalarQuantTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      queryQ: Array[Long], k: Int): DataFrame = {
+    vecs
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_v"),
+        norm(col(vecCol)).as("_n"))
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(quantizedVec(col("_v"), col("_n")), lit(queryQ),
+            (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("qdot"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** SemDeDup-style semantic dedup ACTION: cluster (k-means), then
     * prune near-duplicates WITHIN each semantic cluster — a document
     * is dropped when a lower-id vector in the SAME k-means cell and

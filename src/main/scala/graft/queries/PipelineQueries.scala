@@ -88,6 +88,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "tx_domain_cap" -> ((s: SparkSession, dir: String) => {
+      // per-domain document cap (the crawl-pipeline "max N pages per
+      // domain" operator): rank within domain by salted hash — an
+      // unbiased, re-run-stable cap — keep rank ≤ 100. Output is the
+      // per-domain ledger (total vs kept) plus an order-independent
+      // bit_xor fingerprint of the kept ids, so the gate pins the exact
+      // survivor SET without shipping it.
+      val d = s.read.parquet(t(dir, "documents"))
+      val cap = 100
+      d.select(col("doc_id"), col("source"),
+          Sampling.domainCapRank(col("source"), col("doc_id")).as("rk"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+          bit_xor(when(col("rk") <= cap,
+            Dedup.hash60(concat(lit("domcapfp:"), col("doc_id").cast("string")))))
+            .as("kept_fp"))
+        .orderBy(col("source"))
+    }),
+
     "tx_sample_mix" -> ((s: SparkSession, dir: String) => {
       // source-mixture sampling: each source keeps a deterministic pct
       // of its docs (hash-bucket < weight); reported per source. The
@@ -451,6 +471,32 @@ object PipelineQueries {
       ivf.crossJoin(recall).orderBy(col("cos_r").desc, col("vec_id"))
     }),
 
+    "sim_sq_topk" -> ((s: SparkSession, dir: String) => {
+      // scalar-quantized (int8-style) ANN: unit-normalize, quantize each
+      // component to floor(u·127), score by the all-integer dot product
+      // (≈ cosine·127²) → TakeOrderedAndProject. The integer score is
+      // hash-exact with no rounding convention; the recall rider
+      // measures the quantization loss against the exact cosine top-10
+      // the same way sim_ivf_topk accounts for its probes.
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val qq = Similarity.quantizeLocal(q)
+      val data = e.filter(col("vec_id") =!= 0)
+      val sq = Similarity.scalarQuantTopK(data, "vec_id", "embedding",
+          qq, k = 10)
+        .localCheckpoint(true) // referenced twice: result rows + recall join
+      val bruteIds = data
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), lit(q)), 6).as("bcos"))
+        .orderBy(col("bcos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"))
+      val recall = sq.join(bruteIds, Seq("vec_id"), "left_semi")
+        .agg(round(count(lit(1)) / lit(10.0), 6).as("recall_at_10"))
+      sq.crossJoin(recall).orderBy(col("qdot").desc, col("vec_id"))
+    }),
+
     "sim_kmeans" -> ((s: SparkSession, dir: String) => {
       // two Lloyd iterations refining the IVF seed centroids — the
       // SemDeDup-style clustering step. Assignment is an inline-literal
@@ -521,6 +567,46 @@ object PipelineQueries {
         .filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), col("ts"), col("last_view_ts"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "ev_range_join" -> ((s: SparkSession, dir: String) => {
+      // interval (range) join: every view that falls inside any
+      // same-user click attribution window (click_ts, click_ts + 1 h].
+      // The scale shape is a BANDED equi-join, not an inequality join:
+      // bucket granularity == window length, so each click interval
+      // spans exactly two buckets — clicks explode to ≤ 2 (user,
+      // bucket) keys, views carry 1, the join is a plain shuffle
+      // equi-join on (user_id, bucket) and the exact interval predicate
+      // prunes inside the join — candidate space is O(co-bucketed
+      // rows), never O(clicks × views) per user. Timestamps compare as
+      // native timestamps (no epoch conversion to drift); the banding
+      // runs on unix_micros. Pairs dedup (a pair can match via both
+      // buckets? no — each (click, view) shares exactly the view's one
+      // bucket; distinct guards the semantics anyway), then a per-user
+      // ledger with an order-independent pair fingerprint.
+      val e = s.read.parquet(t(dir, "events"))
+      val winUs = 3600L * 1000000L
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("cts"),
+          expr(s"unix_micros(cast(ts as timestamp)) div $winUs").as("b0"))
+      val cb = clicks.select(col("user_id"), col("click_id"), col("cts"),
+        explode(array_distinct(array(col("b0"), col("b0") + 1))).as("bucket"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("vts"),
+          expr(s"unix_micros(cast(ts as timestamp)) div $winUs").as("bucket"))
+      val pairs = cb.join(views, Seq("user_id", "bucket"))
+        .filter(col("vts") > col("cts") &&
+          col("vts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("click_id"), col("view_id"))
+        .distinct()
+      pairs.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("view_id")).as("n_views"),
+          bit_xor(Dedup.hash60(concat(col("click_id").cast("string"),
+            lit(":"), col("view_id").cast("string")))).as("pair_fp"))
+        .orderBy(col("user_id"))
     }),
 
     "ev_json_extract" -> ((s: SparkSession, dir: String) => {
@@ -756,6 +842,22 @@ object PipelineQueries {
                      WHEN bucket < 20 THEN 'val'
                      ELSE 'train' END AS split
          FROM b ORDER BY doc_id""",
+
+    // same salted-hash rank (ties by doc_id) and kept-set bit_xor
+    // fingerprint; the aggregate ignores NULL (unkept) rows identically
+    "tx_domain_cap" ->
+      """WITH ranked AS (
+           SELECT doc_id, source,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY ('0x' || substr(md5('domcap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                             doc_id) AS rk
+           FROM documents)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN rk <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                bit_xor(CASE WHEN rk <= 100 THEN
+                  ('0x' || substr(md5('domcapfp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                END) AS kept_fp
+         FROM ranked GROUP BY source ORDER BY source""",
 
     "tx_sample_mix" ->
       """WITH x AS (
@@ -1017,6 +1119,25 @@ object PipelineQueries {
          SELECT user_id, event_id, ts, last_view_ts FROM x
          WHERE event_type = 'click' ORDER BY user_id, event_id""",
 
+    // the truth is the plain inequality join — the engine's banding is
+    // an equivalent candidate generator, never a semantics change
+    "ev_range_join" ->
+      """WITH c AS (
+           SELECT user_id, event_id AS click_id, ts AS cts
+           FROM events WHERE event_type = 'click'),
+         v AS (
+           SELECT user_id, event_id AS view_id, ts AS vts
+           FROM events WHERE event_type = 'view'),
+         p AS (
+           SELECT DISTINCT c.user_id, click_id, view_id
+           FROM c JOIN v ON v.user_id = c.user_id
+            AND v.vts > c.cts AND v.vts <= c.cts + INTERVAL 1 HOUR)
+         SELECT user_id, COUNT(*) AS n_pairs,
+                CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_views,
+                bit_xor(('0x' || substr(md5(CAST(click_id AS VARCHAR) || ':' ||
+                  CAST(view_id AS VARCHAR)), 1, 15))::BIGINT) AS pair_fp
+         FROM p GROUP BY user_id ORDER BY user_id""",
+
     "ev_json_extract" -> """
          SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
                 COUNT(*) AS n,
@@ -1254,6 +1375,58 @@ object PipelineQueries {
          SELECT sel.vec_id, sel.cos_r, rec.recall_at_10
          FROM sel, rec
          ORDER BY cos_r DESC, vec_id""",
+
+    // identical symmetric quantization: floor((x / n) * 127) over the
+    // unit vector, with the square-sum folded in ARRAY order
+    // (list_transform + list_sum — the same IEEE additions in the same
+    // order as the engine's aggregate lambda), zero-norm -> all-zero;
+    // the score is an all-integer dot product — no rounding convention
+    // at all; the brute/recall CTEs mirror sim_ivf_topk's
+    "sim_sq_topk" ->
+      """WITH nv AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         qv AS (
+           SELECT t.i,
+                  CASE WHEN nrm = 0 THEN 0
+                       ELSE CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) / nrm * 127.0)
+                            AS BIGINT)
+                  END AS qq
+           FROM nv, UNNEST(generate_series(1, 64)) t(i)
+           WHERE vec_id = 0),
+         dv AS (
+           SELECT vec_id, t.i,
+                  CASE WHEN nrm = 0 THEN 0
+                       ELSE CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) / nrm * 127.0)
+                            AS BIGINT)
+                  END AS dq
+           FROM nv, UNNEST(generate_series(1, 64)) t(i)
+           WHERE vec_id <> 0),
+         scored AS (
+           SELECT dv.vec_id, CAST(SUM(dv.dq * qv.qq) AS BIGINT) AS qdot
+           FROM dv JOIN qv ON qv.i = dv.i
+           GROUP BY dv.vec_id),
+         sel AS (
+           SELECT vec_id, qdot FROM scored
+           ORDER BY qdot DESC, vec_id LIMIT 10),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         brute AS (
+           SELECT e.vec_id,
+                  round(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+                    / (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE)^2))
+                       * sqrt(SUM(CAST(q.qe[i] AS DOUBLE)^2))), 6) AS bcos
+           FROM embeddings e, q, UNNEST(generate_series(1, 64)) t(i)
+           WHERE e.vec_id <> 0
+           GROUP BY e.vec_id
+           ORDER BY bcos DESC, e.vec_id LIMIT 10),
+         rec AS (
+           SELECT round(COUNT(*) / 10.0, 6) AS recall_at_10
+           FROM sel WHERE vec_id IN (SELECT vec_id FROM brute))
+         SELECT sel.vec_id, sel.qdot, rec.recall_at_10
+         FROM sel, rec
+         ORDER BY qdot DESC, vec_id""",
 
     "ev_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS win, event_type, COUNT(*) AS n,

@@ -251,6 +251,30 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    "w6_quantiles" -> ((s: SparkSession, dir: String) => {
+      // exact multi-percentile (p25/p50/p75/p90) per group from ONE
+      // histogram — the w5_median machinery generalized: the rank for
+      // percentile p is computed in INTEGER arithmetic ((n*p + 99) div
+      // 100, the ceiling of n*p/100) so no float rank can drift, and all
+      // four percentiles read the same cumulative pass. The N rows are
+      // aggregated once; the window sort runs over the value-cardinality-
+      // sized histogram crossed with 4 percentile rows (dimension-sized).
+      val l = s.read.parquet(t(dir, "lineitem"))
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("q"))
+      val h = l.groupBy(col("l_returnflag"), col("q"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
+      val cw = Window.partitionBy(col("l_returnflag"))
+      val cum = h.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(cw))
+      cum.select(col("l_returnflag"), col("q"), col("c"), col("cum"), col("n"),
+          explode(array(lit(25L), lit(50L), lit(75L), lit(90L))).as("pct"))
+        .withColumn("r", expr("(n * pct + 99) div 100"))
+        .filter(col("cum") >= col("r") && col("cum") - col("c") < col("r"))
+        .select(col("l_returnflag"), col("pct"), col("q").as("value"))
+        .orderBy(col("l_returnflag"), col("pct"))
+    }),
+
     "w2_sort" -> ((s: SparkSession, dir: String) => {
       s.read.parquet(t(dir, "orders"))
         .select(col("o_orderkey"), col("o_orderdate"))
@@ -510,6 +534,24 @@ object RelationalQueries {
              FROM lineitem GROUP BY 1, 2))
          WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2
          ORDER BY l_returnflag""",
+
+    // same histogram + integer-rank formulation: rank for percentile p
+    // is (n*p + 99) // 100 (the ceiling of n*p/100) — pure integer
+    // arithmetic, no float rank to drift between engines
+    "w6_quantiles" ->
+      """SELECT l_returnflag, CAST(pct AS BIGINT) AS pct, q AS value FROM (
+           SELECT l_returnflag, q, c, cum, n, pct,
+                  (n * pct + 99) // 100 AS r
+           FROM (
+             SELECT l_returnflag, q, c,
+                    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY q) AS cum,
+                    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+             FROM (
+               SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q, COUNT(*) AS c
+               FROM lineitem GROUP BY 1, 2)),
+           UNNEST([25, 50, 75, 90]) t(pct))
+         WHERE cum >= r AND cum - c < r
+         ORDER BY l_returnflag, pct""",
 
     "w2_sort" ->
       """SELECT o_orderkey, o_orderdate FROM orders

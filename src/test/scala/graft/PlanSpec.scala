@@ -146,6 +146,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("w6_quantiles: one histogram aggregate, no join, percentiles ride the histogram") {
+    val plan = planOf(SparkEntry.queries("w6_quantiles")(spark, dir))
+    assert(!plan.contains("Join"), plan)
+    // partial + final histogram agg; the 4-percentile explode and the
+    // cumulative windows run over the histogram, not the input rows
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("sim_sq_topk core scorer is zero-shuffle scan→project→TakeOrdered") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val qq = graft.ops.Similarity.quantizeLocal(q)
+    val plan = planOf(graft.ops.Similarity.scalarQuantTopK(
+      e.filter(col("vec_id") =!= 0), "vec_id", "embedding", qq, 10))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("tx_domain_cap: the window and the per-domain ledger share ONE shuffle") {
+    // row_number partitions by source; the groupBy(source) that follows
+    // must reuse that partitioning — a second hash exchange on the same
+    // key would double the operator's only data shuffle at 100 TB. (The
+    // one rangepartitioning exchange is the deterministic output ORDER
+    // BY over the 4-row ledger — same allowance as tx_pii_scrub.)
+    val plan = planOf(SparkEntry.queries("tx_domain_cap")(spark, dir))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"$hashEx hash exchanges:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("ev_range_join is a banded equi-join, never a cartesian/NL candidate space") {
+    val plan = planOf(SparkEntry.queries("ev_range_join")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("kg_sparql_wdids evaluates the 7-pattern star join ONCE") {
     // The SPARQL UNION merges source-side and target-side taxa; a naive
     // per-arm formulation references the star-join subtree twice and

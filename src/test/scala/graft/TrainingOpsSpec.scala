@@ -398,6 +398,72 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("sim_sq_topk: quantized range, driver/engine quantizer parity, recall floor") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    // engine-side quantized components stay in the int8 range and the
+    // driver-side twin reproduces them exactly (same IEEE expression)
+    val engineQ = e.filter(col("vec_id") === 7)
+      .select(col("embedding").as("_v"), Similarity.norm(col("embedding")).as("_n"))
+      .select(Similarity.quantizedVec(col("_v"), col("_n")).as("q"))
+      .head().getSeq[Long](0).toArray
+    val driverQ = Similarity.quantizeLocal(
+      e.filter(col("vec_id") === 7).select(col("embedding"))
+        .head().getSeq[Float](0).toArray)
+    assert(engineQ.sameElements(driverQ))
+    assert(engineQ.forall(v => v >= -127L && v <= 127L))
+    val got = SparkEntry.queries("sim_sq_topk")(spark, dir).collect()
+    assert(got.length <= 10 && got.nonEmpty)
+    // descending integer scores
+    val scores = got.map(_.getLong(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // 8-bit quantization barely moves a 64-dim cosine ranking: pinned floor
+    val rec = got.map(_.getDouble(2)).distinct
+    assert(rec.length == 1, s"recall rider not constant: ${rec.mkString(",")}")
+    assert(rec.head >= 0.8 && rec.head <= 1.0, s"recall@10 = ${rec.head}")
+  }
+
+  test("tx_domain_cap: ledger honest (kept = min(cap, total)), deterministic") {
+    val rows = SparkEntry.queries("tx_domain_cap")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept == math.min(100L, n), s"${r.getString(0)}: kept $kept of $n")
+    }
+    val again = SparkEntry.queries("tx_domain_cap")(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("ev_range_join: banded equi-join == brute inequality join, exactly") {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vuid"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+    // the O(n·m)-per-user reference semantics, small enough at sf0.001
+    val brute = c.join(v, col("user_id") === col("vuid") &&
+        col("vts") > col("cts") &&
+        col("vts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("view_id")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = SparkEntry.queries("ev_range_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == brute, s"banded $got vs brute $brute")
+  }
+
+  test("w6_quantiles: p50 equals w5_median; quantiles monotone per group") {
+    val qs = SparkEntry.queries("w6_quantiles")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    val med = SparkEntry.queries("w5_median")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    med.foreach { case (g, m) =>
+      assert(qs((g, 50L)) == m, s"$g: p50 ${qs((g, 50L))} vs median $m") }
+    qs.keys.map(_._1).foreach { g =>
+      val v = Seq(25L, 50L, 75L, 90L).map(p => qs((g, p)))
+      assert(v.zip(v.tail).forall { case (a, b) => a <= b }, s"$g: $v") }
+  }
+
   test("sim_kmeans: partition invariants and near-shuffle-free plan") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val out = SparkEntry.queries("sim_kmeans")(spark, dir)
