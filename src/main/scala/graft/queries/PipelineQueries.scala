@@ -262,6 +262,39 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "tx_longdup" -> ((s: SparkSession, dir: String) => {
+      // verbatim long-duplicate detection (the exact-substring dedup
+      // family of Lee et al. 2022 / RefinedWeb): any shared verbatim
+      // span of ≥ 20 tokens necessarily shares a complete 20-token
+      // window, so rolling word-20-gram window hashes find them with a
+      // groupBy instead of a suffix array. The 100 TB shape: windows
+      // hash to 60-bit longs IN THE SCAN (no shuffle ever carries the
+      // 20-gram strings), only windows with doc-frequency ≥ 2 enter the
+      // partner self-join, and a doc-frequency cap (100) bounds the
+      // per-window join fan-out — a boilerplate window shared by 10^6
+      // docs would otherwise go quadratic; such windows belong to the
+      // exact-dedup / boilerplate-strip stages upstream, mirroring the
+      // lshCandidates maxBucket policy.
+      val W = 20
+      val wins = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id").as("id"),
+          TextOps.tokens(TextOps.normalizeText(col("text"))).as("_ts"))
+        .select(col("id"), explode(Dedup.shinglesOf(col("_ts"), W)).as("w"))
+        .select(col("id"), Dedup.hash60(col("w")).as("win"))
+        .distinct()
+      val dupWins = wins.groupBy(col("win"))
+        .agg(count(lit(1)).as("_ndocs"))
+        .filter(col("_ndocs") >= 2 && col("_ndocs") <= 100)
+        .select(col("win"))
+      val d = wins.join(dupWins, Seq("win"))
+      d.as("a").join(d.as("b"),
+          col("a.win") === col("b.win") && col("a.id") =!= col("b.id"))
+        .groupBy(col("a.id").as("doc_id"))
+        .agg(countDistinct(col("a.win")).as("n_dup_windows"),
+          countDistinct(col("b.id")).as("n_partner_docs"))
+        .orderBy(col("doc_id"))
+    }),
+
     "tx_pii_scrub" -> ((s: SparkSession, dir: String) => {
       // PII audit + redaction. The corpus carries no PII, so a
       // deterministic injection (emails on doc_id%3, phones on doc_id%5)
@@ -999,6 +1032,26 @@ object PipelineQueries {
          GROUP BY tr.id
          HAVING COUNT(DISTINCT tr.token) >= 3
          ORDER BY doc_id""",
+
+    // same 20-token rolling windows (DuckDB list slice == Spark
+    // concat_ws shingle), same 60-bit window hash, same 2..100
+    // doc-frequency band
+    "tx_longdup" ->
+      """WITH tarr AS (
+           SELECT doc_id AS id, regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS ts
+           FROM documents),
+         w AS (
+           SELECT DISTINCT id,
+             ('0x' || substr(md5(array_to_string(ts[i:i+19], ' ')), 1, 15))::BIGINT AS win
+           FROM tarr, UNNEST(generate_series(1, len(ts) - 19)) t(i)),
+         dupw AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) BETWEEN 2 AND 100),
+         d AS (SELECT w.id, w.win FROM w JOIN dupw USING (win))
+         SELECT a.id AS doc_id,
+                CAST(COUNT(DISTINCT a.win) AS BIGINT) AS n_dup_windows,
+                CAST(COUNT(DISTINCT b.id) AS BIGINT) AS n_partner_docs
+         FROM d a JOIN d b ON a.win = b.win AND a.id <> b.id
+         GROUP BY a.id ORDER BY doc_id""",
 
     "tx_pii_scrub" ->
       """WITH aug AS (

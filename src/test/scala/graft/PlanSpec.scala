@@ -184,6 +184,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("tx_longdup: equi-joins only, and no shuffle carries window strings") {
+    val plan = planOf(SparkEntry.queries("tx_longdup")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // windows are hashed to longs in the scan stage: the 20-gram string
+    // column `w` must never appear in an Exchange's output schema
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("w#")),
+      exchanges.mkString("\n"))
+  }
+
   test("kg_sparql_wdids evaluates the 7-pattern star join ONCE") {
     // The SPARQL UNION merges source-side and target-side taxa; a naive
     // per-arm formulation references the star-join subtree twice and

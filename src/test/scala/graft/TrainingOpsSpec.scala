@@ -464,6 +464,38 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(v.zip(v.tail).forall { case (a, b) => a <= b }, s"$g: $v") }
   }
 
+  test("tx_longdup equals the brute-force shared-20-gram-window computation") {
+    // brute twin in plain Scala over the tiny sf: same normalization,
+    // same rolling 20-token windows, same 2..100 doc-frequency band —
+    // string windows instead of 60-bit hashes (a count mismatch would
+    // expose a hash-collision or windowing drift)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val winsOf: String => Set[String] = t => {
+      val toks = t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+        .filter(_.nonEmpty)
+      if (toks.length < 20) Set.empty
+      else toks.sliding(20).map(_.mkString(" ")).toSet
+    }
+    val byDoc = docs.map { case (id, t) => id -> winsOf(t) }.toMap
+    val df = byDoc.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val dup = df.filter { case (_, n) => n >= 2 && n <= 100 }.keySet
+    val expected = byDoc.flatMap { case (id, ws) =>
+      // every window in the band has doc-frequency >= 2, so each one
+      // has a partner: n_dup_windows is just the band intersection
+      val mine = ws.intersect(dup)
+      val partners = byDoc.keys.filter(o =>
+        o != id && byDoc(o).intersect(mine).nonEmpty).toSet
+      if (mine.nonEmpty) Some(id -> (mine.size.toLong, partners.size.toLong))
+      else None
+    }
+    val got = SparkEntry.queries("tx_longdup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"engine $got vs brute $expected")
+    assert(got.nonEmpty, "fixture has no verbatim long dups — test is vacuous")
+  }
+
   test("sim_kmeans: partition invariants and near-shuffle-free plan") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val out = SparkEntry.queries("sim_kmeans")(spark, dir)
