@@ -221,6 +221,57 @@ object CaseStudyQueries {
         .orderBy(col("pr_scaled").desc, col("organism")).limit(20)
     }),
 
+    // CS3 generalization: triangle counting over the undirected
+    // organism interaction graph (the clustering-coefficient /
+    // community-density companion to kg_cs_top_degree's raw degree and
+    // kg_cs_pagerank's influence rank). Degree-ordered orientation —
+    // every edge directed from its lower-(degree, name) endpoint — makes
+    // the oriented graph a DAG whose wedge enumeration is generated at
+    // each triangle's LOWEST-degree vertex: per-vertex join fan-out is
+    // bounded by min-degree, the classic O(m^1.5) bound, so a hub with
+    // 10^6 neighbors never explodes the candidate space the way a naive
+    // wedge join at arbitrary vertices would. The oriented edge list is
+    // localCheckpointed because the 3-way self-join references it three
+    // times (the kg_sparql_wdids single-evaluation lesson).
+    "kg_cs_triangles" -> ((s: SparkSession, dir: String) => {
+      val t = s.table(Materialized.globiTable(s, dir))
+      val so = t.filter(col("pred") === SOSA + "isSampleOf")
+        .select(col("subj").as("sample"), col("obj").as("org"))
+      val hs = t.filter(col("pred") === EMI + "hasSource")
+        .select(col("subj").as("rec"), col("obj").as("sample"))
+      val ht = t.filter(col("pred") === EMI + "hasTarget")
+        .select(col("subj").as("rec"), col("obj").as("sample"))
+      val und = hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
+        .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
+          Seq("rec"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val deg = und.select(col("u").as("n")).union(und.select(col("v")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      // u < v lexicographically by construction, so a degree tie keeps
+      // (u, v) — the deterministic total order both engines share
+      val e = und
+        .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+        .select(when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("a"),
+          when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("b"))
+        .localCheckpoint(true)
+      // wedge at a + the closing oriented edge: each triangle matches
+      // exactly once because exactly one orientation of {y, z} exists
+      val tri = e.as("e1").join(e.as("e2"),
+          col("e1.a") === col("e2.a") && col("e1.b") =!= col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        .join(e.as("e3"), col("y") === col("e3.a") && col("z") === col("e3.b"))
+        .select(col("x"), col("y"), col("z"))
+      val total = tri.agg(count(lit(1)).as("total_triangles"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("organism"))
+        .groupBy(col("organism")).agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(broadcast(total))
+        .orderBy(col("n_triangles").desc, col("organism")).limit(20)
+    }),
+
     // CS5 Leaf-Economic-Spectrum archetypes (CS5_viz.py): the trait
     // correlation matrix (plot_trait_correlations, :283-304) and the
     // StandardScaler z-score standardization (:322-324). The trydb
@@ -412,6 +463,45 @@ object CaseStudyQueries {
                  WHERE ifo.pred = '${SOSA}isFeatureOfInterestOf')
           SELECT spName, COUNT(DISTINCT dataLab) AS n_traits FROM ch
           GROUP BY 1 ORDER BY n_traits DESC, spName LIMIT 15""",
+
+    // same degree-ordered orientation; the wedge join's <> and the
+    // closing-edge equi-join mirror the engine exactly
+    "kg_cs_triangles" ->
+      s"""WITH g AS (SELECT * FROM $g),
+          so AS (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          und AS (
+            SELECT DISTINCT least(s1.org, s2.org) AS u,
+                   greatest(s1.org, s2.org) AS v
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          deg AS (SELECT n, COUNT(*) AS d FROM (
+                    SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+                  GROUP BY n),
+          e AS MATERIALIZED (
+            SELECT CASE WHEN du.d <= dv.d THEN u ELSE v END AS a,
+                   CASE WHEN du.d <= dv.d THEN v ELSE u END AS b
+            FROM und JOIN deg du ON du.n = und.u
+                     JOIN deg dv ON dv.n = und.v),
+          tri AS MATERIALIZED (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b <> e2.b
+                 JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+          tot AS (SELECT COUNT(*) AS total_triangles FROM tri),
+          pn AS (SELECT organism, COUNT(*) AS n_triangles FROM (
+                   SELECT x AS organism FROM tri
+                   UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri)
+                 GROUP BY organism)
+          SELECT organism, n_triangles, total_triangles
+          FROM pn CROSS JOIN tot
+          ORDER BY n_triangles DESC, organism LIMIT 20""",
 
     "kg_cs_pagerank" -> {
       // 10 power iterations unrolled as chained CTEs (recursive CTEs

@@ -195,6 +195,47 @@ class PlanSpec extends AnyFunSuite {
       exchanges.mkString("\n"))
   }
 
+  test("kg_cs_triangles equals brute-force triangle enumeration") {
+    // derive the same undirected organism edge set from the serving
+    // table, count triangles by brute subset-check in Scala, and
+    // compare per-node counts + the global rider
+    val t = spark.table(graft.queries.Materialized.globiTable(spark, dir))
+    val EMI = graft.queries.Materialized.EMI
+    val SOSA = graft.queries.Materialized.SOSA
+    val so = t.filter(col("pred") === SOSA + "isSampleOf")
+      .select(col("subj").as("sample"), col("obj").as("org"))
+    val hs = t.filter(col("pred") === EMI + "hasSource")
+      .select(col("subj").as("rec"), col("obj").as("sample"))
+    val ht = t.filter(col("pred") === EMI + "hasTarget")
+      .select(col("subj").as("rec"), col("obj").as("sample"))
+    val edges = hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
+      .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
+        Seq("rec"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val adj = (edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val triangles = for {
+      (u, v) <- edges.toSeq
+      w <- adj(u).intersect(adj(v)) if u < w && v < w
+    } yield (u, v, w)
+    val perNode = triangles.flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("kg_cs_triangles")(spark, dir).collect()
+    assert(got.nonEmpty, "no triangles in the sf0.001 graph — test is vacuous")
+    got.foreach { r =>
+      assert(r.getLong(2) == triangles.size.toLong,
+        s"total ${r.getLong(2)} vs brute ${triangles.size}")
+      assert(perNode(r.getString(0)) == r.getLong(1),
+        s"${r.getString(0)}: ${r.getLong(1)} vs brute ${perNode(r.getString(0))}")
+    }
+    // the engine returns the top-20 slice of the brute ranking
+    val expectedTop = perNode.toSeq.sortBy { case (n, c) => (-c, n) }.take(20)
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == expectedTop)
+  }
+
   test("kg_sparql_wdids evaluates the 7-pattern star join ONCE") {
     // The SPARQL UNION merges source-side and target-side taxa; a naive
     // per-arm formulation references the star-join subtree twice and
