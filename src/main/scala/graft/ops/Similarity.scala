@@ -395,6 +395,80 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization (PQ-ADC) top-k: the memory-bound ANN ladder's
+    * last rung after IVF (prune by cell) and SQ (int8 components) —
+    * each vector is stored as M sub-space code indices (here 8 codes
+    * over 64 dims: 8 bytes/vector, a 32× compression), and query-time
+    * scoring never touches a vector at all: it sums M entries of a
+    * precomputed query↔codeword lookup table (the ADC — asymmetric
+    * distance computation — of Jégou et al. 2011).
+    *
+    * The 100 TB shape: the codebook is dimension-sized (M×16 codewords,
+    * collected once, guarded), encoding is an inline literal argmin per
+    * sub-space — a pure map-side projection exactly like [[ivfTopK]]'s
+    * cell assignment, no shuffle, no join — and the ADC table rides
+    * into codegen as M literal long arrays indexed by the code columns.
+    * The plan is scan → project → TakeOrderedAndProject. ADC entries
+    * are fixed to a 1e-6 grain and summed as LONGS, so the score is
+    * integer-exact across engines (the sq qdot convention); only the
+    * per-sub-space distances/dots round at 6 dp, computed in array
+    * order on both sides.
+    *
+    * `codebook`: (code id 1..C, full d-dim vector) — sub-space s uses
+    * dims [s·dsub, (s+1)·dsub) of each codebook vector, so seed data
+    * vectors serve as codewords the same way they serve as IVF
+    * centroids (a trained k-means codebook slots in unchanged).
+    */
+  def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[(Long, Array[Float])], query: Array[Float],
+      subspaces: Int, k: Int): DataFrame = {
+    val d = query.length
+    require(d % subspaces == 0, s"dim $d not divisible by $subspaces")
+    val dsub = d / subspaces
+    require(codebook.nonEmpty && codebook.forall(_._2.length == d),
+      "codebook must be nonempty full-dimension vectors")
+    val cw = codebook.sortBy(_._1)
+    // code ids double as 1-based ADC positions — the lookup below is
+    // element_at(literal array, code), which only works contiguously
+    require(cw.map(_._1).toSeq == (1L to cw.length.toLong),
+      "codebook ids must be contiguous 1..C")
+    // squared L2 between a sub-vector column and a literal codeword,
+    // summed in array order (bit-compatible with the oracle's
+    // list_sum over ascending j)
+    def d2(sub: Column, c: Array[Double]): Column =
+      aggregate(
+        zip_with(sub, lit(c), (x, y) => {
+          val t = x.cast("double") - y
+          t * t
+        }),
+        lit(0.0), (acc, v) => acc + v)
+    val codeCols = (0 until subspaces).map { s =>
+      val sub = slice(col(vecCol), s * dsub + 1, dsub)
+      array_min(array(cw.map { case (cid, cv) =>
+        val cSub = cv.slice(s * dsub, (s + 1) * dsub).map(_.toDouble)
+        struct(round(d2(sub, cSub), 6).as("d"), lit(cid).as("c"))
+      }: _*)).getField("c").as(s"_c$s")
+    }
+    // ADC lookup tables: round-6 query·codeword dots at a 1e-6 integer
+    // grain — positions are code ids (1..C) because cw is id-sorted
+    val adc: Array[Array[Long]] = Array.tabulate(subspaces) { s =>
+      cw.map { case (_, cv) =>
+        var ip = 0.0
+        var j = s * dsub
+        while (j < (s + 1) * dsub) { ip += query(j).toDouble * cv(j); j += 1 }
+        math.round(round6(ip) * 1e6)
+      }
+    }
+    val score = (0 until subspaces)
+      .map(s => element_at(lit(adc(s)), col(s"_c$s").cast("int")))
+      .reduce(_ + _)
+    vecs
+      .select((col(idCol).as("vec_id") +: codeCols): _*)
+      .select(col("vec_id"), score.as("qip_e6"))
+      .orderBy(col("qip_e6").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** SemDeDup-style semantic dedup ACTION: cluster (k-means), then
     * prune near-duplicates WITHIN each semantic cluster — a document
     * is dropped when a lower-id vector in the SAME k-means cell and

@@ -272,6 +272,68 @@ object CaseStudyQueries {
         .orderBy(col("n_triangles").desc, col("organism")).limit(20)
     }),
 
+    // CS3 generalization: 3-core of the undirected organism interaction
+    // graph — the dense-backbone companion to degree / PageRank /
+    // triangles. Iterative peeling (drop nodes of degree < 3, repeat to
+    // fixpoint): each round is ONE degree aggregate + two left-semi
+    // joins over an edge set that only ever shrinks, localCheckpointed
+    // so round r+1 starts from materialized blocks instead of replaying
+    // r rounds of lineage — the same iterative-DataFrame discipline as
+    // the CC and PageRank loops. Convergence is the edge COUNT reaching
+    // a fixpoint: peeling is monotone decreasing, so equal counts ⇒
+    // equal sets, and the count rides the checkpoint action for free.
+    // The DuckDB oracle unrolls 12 peel rounds (peeling past the
+    // fixpoint is a no-op, so over-unrolling is safe; KCoreSpec's
+    // brute-force twin pins the semantics independently of the bound).
+    "kg_cs_kcore" -> ((s: SparkSession, dir: String) => {
+      val t = s.table(Materialized.globiTable(s, dir))
+      val so = t.filter(col("pred") === SOSA + "isSampleOf")
+        .select(col("subj").as("sample"), col("obj").as("org"))
+      val hs = t.filter(col("pred") === EMI + "hasSource")
+        .select(col("subj").as("rec"), col("obj").as("sample"))
+      val ht = t.filter(col("pred") === EMI + "hasTarget")
+        .select(col("subj").as("rec"), col("obj").as("sample"))
+      val und = hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
+        .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
+          Seq("rec"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      def peel(start: DataFrame, k: Int): DataFrame = {
+        var edges = start
+        var m = edges.count()
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 50) {
+          val keep = edges.select(col("u").as("n")).union(edges.select(col("v")))
+            .groupBy(col("n")).agg(count(lit(1)).as("d"))
+            .filter(col("d") >= k).select(col("n"))
+          val next = edges
+            .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+            .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+            .localCheckpoint(true)
+          val m2 = next.count()
+          converged = m2 == m
+          m = m2
+          edges = next
+          rounds += 1
+        }
+        edges
+      }
+      def degrees(edges: DataFrame, k: Int): DataFrame =
+        edges.select(col("u").as("organism")).union(edges.select(col("v")))
+          .groupBy(col("organism")).agg(count(lit(1)).as("core_degree"))
+          .select(lit(k).as("k"), col("organism"), col("core_degree"))
+      // the (k+1)-core is a subgraph of the k-core, so each peel starts
+      // from the previous core's (checkpointed, smaller) edge set
+      val core2 = peel(und, 2)
+      val core3 = peel(core2, 3)
+      degrees(core2, 2).union(degrees(core3, 3))
+        .orderBy(col("k"), col("core_degree").desc, col("organism"))
+    }),
+
     // CS5 Leaf-Economic-Spectrum archetypes (CS5_viz.py): the trait
     // correlation matrix (plot_trait_correlations, :283-304) and the
     // StandardScaler z-score standardization (:322-324). The trydb
@@ -502,6 +564,48 @@ object CaseStudyQueries {
           SELECT organism, n_triangles, total_triangles
           FROM pn CROSS JOIN tot
           ORDER BY n_triangles DESC, organism LIMIT 20""",
+
+    "kg_cs_kcore" -> {
+      // 12 unrolled peel rounds per K (degree filter + edge restriction
+      // per round); peeling is a fixpoint, so extra rounds are no-ops.
+      // Each CTE is MATERIALIZED for the same optimizer reason as
+      // pagerank's
+      def peels(kk: Int) = (1 to 12).map { r =>
+        s"""d${kk}_$r AS MATERIALIZED (
+              SELECT n FROM (SELECT u AS n FROM r${kk}_${r - 1}
+                             UNION ALL SELECT v FROM r${kk}_${r - 1})
+              GROUP BY n HAVING COUNT(*) >= $kk),
+            r${kk}_$r AS MATERIALIZED (
+              SELECT u, v FROM r${kk}_${r - 1}
+              WHERE u IN (SELECT n FROM d${kk}_$r)
+                AND v IN (SELECT n FROM d${kk}_$r))"""
+      }.mkString(",\n")
+      def coreSel(kk: Int) =
+        s"""SELECT $kk AS k, organism, CAST(COUNT(*) AS BIGINT) AS core_degree
+            FROM (SELECT u AS organism FROM r${kk}_12
+                  UNION ALL SELECT v FROM r${kk}_12)
+            GROUP BY organism"""
+      s"""WITH g AS (SELECT * FROM $g),
+          so AS (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          r2_0 AS MATERIALIZED (
+            SELECT DISTINCT least(s1.org, s2.org) AS u,
+                   greatest(s1.org, s2.org) AS v
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          r3_0 AS (SELECT u, v FROM r2_0),
+          ${peels(2)},
+          ${peels(3)}
+          SELECT k, organism, core_degree FROM (
+            ${coreSel(2)} UNION ALL ${coreSel(3)})
+          ORDER BY k, core_degree DESC, organism"""
+    },
 
     "kg_cs_pagerank" -> {
       // 10 power iterations unrolled as chained CTEs (recursive CTEs

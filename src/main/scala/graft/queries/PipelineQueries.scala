@@ -295,6 +295,50 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "tx_pack" -> ((s: SparkSession, dir: String) => {
+      // Sequence packing (concat-and-chunk): the pretraining batcher —
+      // concatenate documents in a deterministically-shuffled order and
+      // cut every C tokens, letting documents straddle chunk boundaries
+      // (the GPT/T5 packing scheme, vs padding each doc to C). Two
+      // scale decisions: (1) packing is SHARD-LOCAL — the running token
+      // sum partitions by `source`, so at 100 TB each shard packs its
+      // own stream independently, parallelism is #shards, and no global
+      // sort ever exists; (2) the within-shard order is a seeded md5 of
+      // doc_id — the deterministic epoch shuffle a training pipeline
+      // needs anyway — so adjacent-doc correlation doesn't leak into
+      // chunk composition, and reruns are bit-identical. Output is the
+      // per-(shard, chunk) manifest: docs touching the chunk, tokens it
+      // holds (= C except each shard's tail), docs straddling into the
+      // next chunk.
+      import org.apache.spark.sql.expressions.Window
+      val C = 512
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).as("n_tok"),
+          Dedup.hash60(concat(lit("packseed:"), col("doc_id").cast("string")))
+            .as("ord"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("ord"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pos = d.withColumn("end_tok", sum(col("n_tok")).over(w))
+        .withColumn("start_tok", col("end_tok") - col("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("first_bin", floor(col("start_tok") / C))
+        .withColumn("last_bin", floor((col("end_tok") - 1) / C))
+      // per-doc fan-out is ceil(n_tok/C) chunks — bounded by doc size,
+      // never by corpus size, so the explode cannot skew
+      pos.select(col("source"), col("start_tok"), col("end_tok"),
+          col("last_bin"),
+          explode(sequence(col("first_bin"), col("last_bin"))).as("bin"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("end_tok"), (col("bin") + 1) * C) -
+            greatest(col("start_tok"), col("bin") * C)).as("n_tokens"),
+          sum(when(col("last_bin") > col("bin"), 1L).otherwise(0L))
+            .as("n_straddling"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
     "tx_pii_scrub" -> ((s: SparkSession, dir: String) => {
       // PII audit + redaction. The corpus carries no PII, so a
       // deterministic injection (emails on doc_id%3, phones on doc_id%5)
@@ -528,6 +572,43 @@ object PipelineQueries {
       val recall = sq.join(bruteIds, Seq("vec_id"), "left_semi")
         .agg(round(count(lit(1)) / lit(10.0), 6).as("recall_at_10"))
       sq.crossJoin(recall).orderBy(col("qdot").desc, col("vec_id"))
+    }),
+
+    "sim_pq_topk" -> ((s: SparkSession, dir: String) => {
+      // product-quantization ANN with exact re-rank (the IVFPQ serving
+      // shape): 8 sub-spaces × 16 codewords (seed vectors 1..16 as the
+      // codebook, the IVF-centroid convention) score a 50-vector
+      // shortlist from 8-byte codes — vectors untouched, integer ADC at
+      // a 1e-6 grain — then ONLY the shortlist's 50 full vectors are
+      // fetched (broadcast join: the 100 TB analogue of the random
+      // reads a rerank pays) for the exact-cosine top-10. The recall
+      // rider accounts for the shortlist's loss against the exact
+      // cosine top-10, like sim_ivf_topk's probe accounting.
+      val e = s.read.parquet(t(dir, "embeddings"))
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val cb = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val data = e.filter(col("vec_id") =!= 0)
+      val shortlist = Similarity.pqTopK(data, "vec_id", "embedding", cb, q,
+        subspaces = 8, k = 50)
+      val rr = data
+        .join(broadcast(shortlist.select(col("vec_id"))), Seq("vec_id"))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), lit(q)), 6).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+        .limit(10)
+        .localCheckpoint(true) // referenced twice: result rows + recall join
+      val bruteIds = data
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), lit(q)), 6).as("bcos"))
+        .orderBy(col("bcos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"))
+      val recall = rr.join(bruteIds, Seq("vec_id"), "left_semi")
+        .agg(round(count(lit(1)) / lit(10.0), 6).as("recall_at_10"))
+      rr.crossJoin(recall).orderBy(col("cos_r").desc, col("vec_id"))
     }),
 
     "sim_kmeans" -> ((s: SparkSession, dir: String) => {
@@ -1053,6 +1134,36 @@ object PipelineQueries {
          FROM d a JOIN d b ON a.win = b.win AND a.id <> b.id
          GROUP BY a.id ORDER BY doc_id""",
 
+    // same seeded-md5 shuffle order, same shard-local running token sum,
+    // same straddling-doc chunk arithmetic (integer-exact on both sides)
+    "tx_pack" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  len(regexp_extract_all(text, '\S+')) AS n_tok,
+                  ('0x' || substr(md5('packseed:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord
+           FROM documents),
+         pos AS (
+           SELECT source, n_tok,
+                  SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS end_tok
+           FROM d),
+         b AS (
+           SELECT source,
+                  CAST(end_tok - n_tok AS BIGINT) AS start_tok,
+                  CAST(end_tok AS BIGINT) AS end_tok,
+                  CAST((end_tok - n_tok) // 512 AS BIGINT) AS first_bin,
+                  CAST((end_tok - 1) // 512 AS BIGINT) AS last_bin
+           FROM pos WHERE n_tok > 0),
+         x AS (
+           SELECT source, t.bin, start_tok, end_tok, last_bin
+           FROM b, UNNEST(generate_series(first_bin, last_bin)) t(bin))
+         SELECT source, bin,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(LEAST(end_tok, (bin + 1) * 512)
+                         - GREATEST(start_tok, bin * 512)) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN last_bin > bin THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+         FROM x GROUP BY source, bin ORDER BY source, bin""",
+
     "tx_pii_scrub" ->
       """WITH aug AS (
            SELECT doc_id,
@@ -1480,6 +1591,69 @@ object PipelineQueries {
          SELECT sel.vec_id, sel.qdot, rec.recall_at_10
          FROM sel, rec
          ORDER BY qdot DESC, vec_id""",
+
+    // same codebook (vec_ids 1..16 sliced into 8 sub-spaces), same
+    // round-6 argmin encoding (ties -> lowest code), same 1e-6-grain
+    // integer ADC sums; sub-space sums run in ascending-j array order
+    // on both sides (list_sum over generate_series == Spark aggregate)
+    "sim_pq_topk" ->
+      """WITH cb AS (
+           SELECT t.s AS s, vec_id AS c,
+                  embedding[t.s*8 + 1 : t.s*8 + 8] AS cvec
+           FROM embeddings, UNNEST(generate_series(0, 7)) t(s)
+           WHERE vec_id BETWEEN 1 AND 16),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         adc AS (
+           SELECT cb.s, cb.c,
+                  CAST(round(list_sum(list_transform(generate_series(1, 8),
+                    j -> CAST(q.qe[cb.s*8 + j] AS DOUBLE)
+                         * CAST(cb.cvec[j] AS DOUBLE))), 6) * 1000000
+                    AS BIGINT) AS ip_e6
+           FROM cb, q),
+         dist AS (
+           SELECT e.vec_id, cb.s, cb.c,
+                  round(list_sum(list_transform(generate_series(1, 8),
+                    j -> (CAST(e.embedding[cb.s*8 + j] AS DOUBLE)
+                          - CAST(cb.cvec[j] AS DOUBLE))^2)), 6) AS d
+           FROM embeddings e CROSS JOIN cb
+           WHERE e.vec_id <> 0),
+         enc AS (
+           SELECT vec_id, s, c FROM (
+             SELECT vec_id, s, c,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                       ORDER BY d, c) AS rn
+             FROM dist) WHERE rn = 1),
+         scored AS (
+           SELECT enc.vec_id, CAST(SUM(adc.ip_e6) AS BIGINT) AS qip_e6
+           FROM enc JOIN adc ON adc.s = enc.s AND adc.c = enc.c
+           GROUP BY enc.vec_id),
+         shortlist AS (
+           SELECT vec_id FROM scored
+           ORDER BY qip_e6 DESC, vec_id LIMIT 50),
+         sel AS (
+           SELECT e.vec_id,
+                  round(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+                    / (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE)^2))
+                       * sqrt(SUM(CAST(q.qe[i] AS DOUBLE)^2))), 6) AS cos_r
+           FROM embeddings e, q, UNNEST(generate_series(1, 64)) t(i)
+           WHERE e.vec_id IN (SELECT vec_id FROM shortlist)
+           GROUP BY e.vec_id
+           ORDER BY cos_r DESC, e.vec_id LIMIT 10),
+         brute AS (
+           SELECT e.vec_id,
+                  round(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+                    / (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE)^2))
+                       * sqrt(SUM(CAST(q.qe[i] AS DOUBLE)^2))), 6) AS bcos
+           FROM embeddings e, q, UNNEST(generate_series(1, 64)) t(i)
+           WHERE e.vec_id <> 0
+           GROUP BY e.vec_id
+           ORDER BY bcos DESC, e.vec_id LIMIT 10),
+         rec AS (
+           SELECT round(COUNT(*) / 10.0, 6) AS recall_at_10
+           FROM sel WHERE vec_id IN (SELECT vec_id FROM brute))
+         SELECT sel.vec_id, sel.cos_r, rec.recall_at_10
+         FROM sel, rec
+         ORDER BY cos_r DESC, vec_id""",
 
     "ev_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS win, event_type, COUNT(*) AS n,

@@ -236,6 +236,47 @@ class PlanSpec extends AnyFunSuite {
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == expectedTop)
   }
 
+  test("kg_cs_kcore equals brute-force peeling; in-core degrees honor k") {
+    // same undirected organism edge set as the triangles twin; peel in
+    // plain Scala to the fixpoint for k = 2 and 3 and compare
+    val t = spark.table(graft.queries.Materialized.globiTable(spark, dir))
+    val EMI = graft.queries.Materialized.EMI
+    val SOSA = graft.queries.Materialized.SOSA
+    val so = t.filter(col("pred") === SOSA + "isSampleOf")
+      .select(col("subj").as("sample"), col("obj").as("org"))
+    val hs = t.filter(col("pred") === EMI + "hasSource")
+      .select(col("subj").as("rec"), col("obj").as("sample"))
+    val ht = t.filter(col("pred") === EMI + "hasTarget")
+      .select(col("subj").as("rec"), col("obj").as("sample"))
+    val edges = hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
+      .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
+        Seq("rec"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def peel(k: Int): Map[String, Int] = {
+      var es = edges
+      var done = false
+      while (!done) {
+        val deg = es.toSeq.flatMap { case (u, v) => Seq(u, v) }
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val next = es.filter { case (u, v) => deg(u) >= k && deg(v) >= k }
+        done = next == es
+        es = next
+      }
+      es.toSeq.flatMap { case (u, v) => Seq(u, v) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val expected =
+      peel(2).map { case (n, d) => (2, n) -> d.toLong } ++
+        peel(3).map { case (n, d) => (3, n) -> d.toLong }
+    val got = SparkEntry.queries("kg_cs_kcore")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"engine $got vs brute $expected")
+    assert(got.keys.exists(_._1 == 2), "2-core empty — test is vacuous")
+    got.foreach { case ((k, n), d) => assert(d >= k, s"$n in $k-core has degree $d") }
+  }
+
   test("kg_sparql_wdids evaluates the 7-pattern star join ONCE") {
     // The SPARQL UNION merges source-side and target-side taxa; a naive
     // per-arm formulation references the star-join subtree twice and

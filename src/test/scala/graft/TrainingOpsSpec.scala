@@ -422,6 +422,112 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rec.head >= 0.8 && rec.head <= 1.0, s"recall@10 = ${rec.head}")
   }
 
+  test("tx_pack equals brute-force shard-local concat-and-chunk packing") {
+    // brute twin: same seeded-md5 shuffle order, same running token sum
+    // per source shard, same straddling-chunk arithmetic — computed in
+    // plain Scala over the collected corpus
+    val C = 512
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ord(id: Long) =
+      java.lang.Long.parseLong(md5hex(s"packseed:$id").take(15), 16)
+    val expected =
+      scala.collection.mutable.Map[(String, Long), (Long, Long, Long)]()
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(d => (ord(d._1), d._1)).foreach { case (_, _, text) =>
+        val n = "\\S+".r.findAllIn(text).length.toLong
+        if (n > 0) {
+          val start = cum; val end = cum + n
+          var bin = start / C
+          while (bin <= (end - 1) / C) {
+            val (d0, t0, s0) = expected.getOrElse((src, bin), (0L, 0L, 0L))
+            expected((src, bin)) = (d0 + 1,
+              t0 + (math.min(end, (bin + 1) * C) - math.max(start, bin * C)),
+              s0 + (if ((end - 1) / C > bin) 1L else 0L))
+            bin += 1
+          }
+          cum = end
+        }
+      }
+    }
+    val got = SparkEntry.queries("tx_pack")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected.toMap, s"engine $got vs brute $expected")
+    assert(got.nonEmpty)
+    // packing invariant: within a shard every chunk is exactly C tokens
+    // except the tail chunk
+    got.keys.groupBy(_._1).foreach { case (src, ks) =>
+      val maxBin = ks.map(_._2).max
+      ks.filter(_._2 < maxBin).foreach { k =>
+        assert(got(k)._2 == C, s"non-tail chunk $k holds ${got(k)._2}") }
+    }
+  }
+
+  test("sim_pq_topk equals the brute PQ->ADC->rerank pipeline; plan gate; recall floor") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val all = e.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = all.find(_._1 == 0L).get._2
+    val cb = all.filter(v => v._1 >= 1 && v._1 <= 16).sortBy(_._1)
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // local twin of the engine's encode + ADC (array-order sums)
+    def d2(v: Array[Float], c: Array[Float], s: Int): Double = {
+      var acc = 0.0; var j = s * 8
+      while (j < (s + 1) * 8) {
+        val t = v(j).toDouble - c(j).toDouble; acc += t * t; j += 1 }
+      acc
+    }
+    def ip(a: Array[Float], c: Array[Float], s: Int): Double = {
+      var acc = 0.0; var j = s * 8
+      while (j < (s + 1) * 8) { acc += a(j).toDouble * c(j).toDouble; j += 1 }
+      acc
+    }
+    val data = all.filter(_._1 != 0L)
+    val scored = data.map { case (id, v) =>
+      val score = (0 until 8).map { s =>
+        val code = cb.map { case (cid, cv) => (round6(d2(v, cv, s)), cid) }
+          .minBy(identity)._2
+        math.round(round6(ip(q, cb((code - 1).toInt)._2, s)) * 1e6)
+      }.sum
+      (id, score)
+    }
+    val shortlist = scored.sortBy { case (id, sc) => (-sc, id) }.take(50)
+      .map(_._1).toSet
+    def cosL(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = data.filter(d => shortlist(d._1))
+      .map { case (id, v) => (id, round6(cosL(v, q))) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    val got = SparkEntry.queries("sim_pq_topk")(spark, dir).collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == expected.toSeq,
+      s"engine ${got.mkString(",")} vs brute ${expected.mkString(",")}")
+    // recall rider: constant, pinned floor (exact rerank over a 50-deep
+    // shortlist recovers most of the true top-10)
+    val rec = got.map(_.getDouble(2)).distinct
+    assert(rec.length == 1, s"recall rider not constant: ${rec.mkString(",")}")
+    assert(rec.head >= 0.6 && rec.head <= 1.0, s"recall@10 = ${rec.head}")
+    // plan gate on the PQ CORE (shortlist scoring): codes + ADC are
+    // inline literals — scan -> project -> TakeOrdered, no Exchange, no
+    // Join, and no embedding column in any shuffle
+    val core = Similarity.pqTopK(e.filter(col("vec_id") =!= 0), "vec_id",
+      "embedding", cb, q, subspaces = 8, k = 50)
+    val plan = core.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("tx_domain_cap: ledger honest (kept = min(cap, total)), deterministic") {
     val rows = SparkEntry.queries("tx_domain_cap")(spark, dir).collect()
     assert(rows.nonEmpty)
