@@ -38,6 +38,28 @@ object CaseStudyQueries {
     */
   val FungalTaxa: Seq[String] = Seq("taxon 4", "taxon 12")
 
+  /** Distinct undirected organism-organism interaction edges (u < v
+    * lexicographically) via each record's hasSource/hasTarget samples —
+    * the shared graph-derivation of the triangle and k-core queries
+    * (kg_cs_pagerank keeps its directed variant).
+    */
+  private def organismEdges(s: SparkSession, dir: String): DataFrame = {
+    val t = s.table(Materialized.globiTable(s, dir))
+    val so = t.filter(col("pred") === SOSA + "isSampleOf")
+      .select(col("subj").as("sample"), col("obj").as("org"))
+    val hs = t.filter(col("pred") === EMI + "hasSource")
+      .select(col("subj").as("rec"), col("obj").as("sample"))
+    val ht = t.filter(col("pred") === EMI + "hasTarget")
+      .select(col("subj").as("rec"), col("obj").as("sample"))
+    hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
+      .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
+        Seq("rec"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "kg_pipeline_triples_dist" -> ((s: SparkSession, dir: String) => {
@@ -230,24 +252,14 @@ object CaseStudyQueries {
     // each triangle's LOWEST-degree vertex: per-vertex join fan-out is
     // bounded by min-degree, the classic O(m^1.5) bound, so a hub with
     // 10^6 neighbors never explodes the candidate space the way a naive
-    // wedge join at arbitrary vertices would. The oriented edge list is
-    // localCheckpointed because the 3-way self-join references it three
-    // times (the kg_sparql_wdids single-evaluation lesson).
+    // wedge join at arbitrary vertices would. Both multiply-referenced
+    // frames are localCheckpointed — `und` feeds the degree aggregate
+    // plus the orientation join, `e` the 3-way self-join (the
+    // kg_sparql_wdids single-evaluation lesson) — and the triangle set
+    // itself is aggregated ONCE (the global count derives from the
+    // per-node counts: each triangle contributes exactly 3 ends).
     "kg_cs_triangles" -> ((s: SparkSession, dir: String) => {
-      val t = s.table(Materialized.globiTable(s, dir))
-      val so = t.filter(col("pred") === SOSA + "isSampleOf")
-        .select(col("subj").as("sample"), col("obj").as("org"))
-      val hs = t.filter(col("pred") === EMI + "hasSource")
-        .select(col("subj").as("rec"), col("obj").as("sample"))
-      val ht = t.filter(col("pred") === EMI + "hasTarget")
-        .select(col("subj").as("rec"), col("obj").as("sample"))
-      val und = hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
-        .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
-          Seq("rec"))
-        .filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .distinct()
+      val und = organismEdges(s, dir).localCheckpoint(true)
       val deg = und.select(col("u").as("n")).union(und.select(col("v")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       // u < v lexicographically by construction, so a degree tie keeps
@@ -265,10 +277,13 @@ object CaseStudyQueries {
         .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
         .join(e.as("e3"), col("y") === col("e3.a") && col("z") === col("e3.b"))
         .select(col("x"), col("y"), col("z"))
-      val total = tri.agg(count(lit(1)).as("total_triangles"))
-      tri.select(explode(array(col("x"), col("y"), col("z"))).as("organism"))
+      val perNode = tri
+        .select(explode(array(col("x"), col("y"), col("z"))).as("organism"))
         .groupBy(col("organism")).agg(count(lit(1)).as("n_triangles"))
-        .crossJoin(broadcast(total))
+        .localCheckpoint(true) // node-scale; referenced by rows + total
+      val total = perNode
+        .agg((sum(col("n_triangles")) / 3).cast("long").as("total_triangles"))
+      perNode.crossJoin(broadcast(total))
         .orderBy(col("n_triangles").desc, col("organism")).limit(20)
     }),
 
@@ -282,31 +297,22 @@ object CaseStudyQueries {
     // the CC and PageRank loops. Convergence is the edge COUNT reaching
     // a fixpoint: peeling is monotone decreasing, so equal counts ⇒
     // equal sets, and the count rides the checkpoint action for free.
-    // The DuckDB oracle unrolls 12 peel rounds (peeling past the
-    // fixpoint is a no-op, so over-unrolling is safe; KCoreSpec's
-    // brute-force twin pins the semantics independently of the bound).
+    // The DuckDB oracle unrolls 12 peel rounds per arm, with the k=3
+    // arm continuing from the k=2 arm's result exactly like the engine
+    // (peeling past the fixpoint is a no-op, so over-unrolling is
+    // safe). Under-unrolling CANNOT silently diverge: each engine peel
+    // REQUIRES its fixpoint within 13 observed rounds (12 effective +
+    // the round that witnesses no change) — a deeper graph fails the
+    // query loudly instead of hash-mismatching the oracle. PlanSpec's
+    // brute-force twin pins the semantics independently of the bound.
     "kg_cs_kcore" -> ((s: SparkSession, dir: String) => {
-      val t = s.table(Materialized.globiTable(s, dir))
-      val so = t.filter(col("pred") === SOSA + "isSampleOf")
-        .select(col("subj").as("sample"), col("obj").as("org"))
-      val hs = t.filter(col("pred") === EMI + "hasSource")
-        .select(col("subj").as("rec"), col("obj").as("sample"))
-      val ht = t.filter(col("pred") === EMI + "hasTarget")
-        .select(col("subj").as("rec"), col("obj").as("sample"))
-      val und = hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
-        .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
-          Seq("rec"))
-        .filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .distinct()
-        .localCheckpoint(true)
+      val und = organismEdges(s, dir).localCheckpoint(true)
       def peel(start: DataFrame, k: Int): DataFrame = {
         var edges = start
         var m = edges.count()
         var converged = false
         var rounds = 0
-        while (!converged && rounds < 50) {
+        while (!converged && rounds < 13) {
           val keep = edges.select(col("u").as("n")).union(edges.select(col("v")))
             .groupBy(col("n")).agg(count(lit(1)).as("d"))
             .filter(col("d") >= k).select(col("n"))
@@ -320,6 +326,9 @@ object CaseStudyQueries {
           edges = next
           rounds += 1
         }
+        require(converged,
+          s"$k-core peeling did not converge within 12 effective rounds — " +
+            "raise the oracle unroll depth in lockstep")
         edges
       }
       def degrees(edges: DataFrame, k: Int): DataFrame =
@@ -599,7 +608,7 @@ object CaseStudyQueries {
                  JOIN ht ON ht.rec = hs.rec
                  JOIN so s2 ON s2.sample = ht.sample
             WHERE s1.org <> s2.org),
-          r3_0 AS (SELECT u, v FROM r2_0),
+          r3_0 AS (SELECT u, v FROM r2_12),
           ${peels(2)},
           ${peels(3)}
           SELECT k, organism, core_degree FROM (

@@ -47,6 +47,29 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"))
         .localCheckpoint(true))
 
+  /** Brute-force recall@10 honesty rider shared by the ANN queries
+    * (IVF / SQ / PQ): fraction of the TRUE cosine top-10 the
+    * approximate result recovered, attached as a constant column and
+    * verified in-row by the driver gate. The brute pass exists only to
+    * measure the approximation — production serving runs the
+    * approximate plan alone. The brute set is selected by the SAME
+    * (round-6 cosine, vec_id) order every oracle uses: an unrounded
+    * limit(10) could disagree at a 6-dp tie on the rank-10/11 boundary.
+    */
+  private def withRecallRider(result: DataFrame, data: DataFrame,
+      q: Array[Float], orderCol: String): DataFrame = {
+    val r = result.localCheckpoint(true) // referenced twice: rows + rider
+    val bruteIds = data
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), lit(q)), 6).as("bcos"))
+      .orderBy(col("bcos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"))
+    val recall = r.join(bruteIds, Seq("vec_id"), "left_semi")
+      .agg(round(count(lit(1)) / lit(10.0), 6).as("recall_at_10"))
+    r.crossJoin(recall).orderBy(col(orderCol).desc, col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis -----------------------------------------------
@@ -525,27 +548,12 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).toArray
       val data = e.filter(col("vec_id") =!= 0)
-      val ivf = Similarity.ivfTopK(data, "vec_id",
-          "embedding", cents, q, nprobe = 2, k = 10)
-        .localCheckpoint(true) // referenced twice: result rows + recall join
-      // recall@10 honesty rider (the lshDroppedBuckets analogue for the
-      // ANN path): fraction of the TRUE top-10 the probed cells
-      // recovered, verified in-row by the driver gate. The brute pass
-      // exists only to measure the approximation — production serving
-      // uses the IVF plan alone, exactly like the HLL sketch's
-      // verification-only exact-count arm.
-      // the brute set must be selected by the SAME (round-6 cos, vec_id)
-      // order the oracle uses — an unrounded limit(10) could disagree at
-      // a 6-dp tie on the rank-10/11 boundary
-      val bruteIds = data
-        .select(col("vec_id"),
-          round(Similarity.cosine(col("embedding"), lit(q)), 6).as("bcos"))
-        .orderBy(col("bcos").desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"))
-      val recall = ivf.join(bruteIds, Seq("vec_id"), "left_semi")
-        .agg(round(count(lit(1)) / lit(10.0), 6).as("recall_at_10"))
-      ivf.crossJoin(recall).orderBy(col("cos_r").desc, col("vec_id"))
+      // recall rider: the lshDroppedBuckets analogue for the ANN path,
+      // exactly like the HLL sketch's verification-only exact-count arm
+      withRecallRider(
+        Similarity.ivfTopK(data, "vec_id", "embedding", cents, q,
+          nprobe = 2, k = 10),
+        data, q, "cos_r")
     }),
 
     "sim_sq_topk" -> ((s: SparkSession, dir: String) => {
@@ -560,18 +568,9 @@ object PipelineQueries {
         .head().getSeq[Float](0).toArray
       val qq = Similarity.quantizeLocal(q)
       val data = e.filter(col("vec_id") =!= 0)
-      val sq = Similarity.scalarQuantTopK(data, "vec_id", "embedding",
-          qq, k = 10)
-        .localCheckpoint(true) // referenced twice: result rows + recall join
-      val bruteIds = data
-        .select(col("vec_id"),
-          round(Similarity.cosine(col("embedding"), lit(q)), 6).as("bcos"))
-        .orderBy(col("bcos").desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"))
-      val recall = sq.join(bruteIds, Seq("vec_id"), "left_semi")
-        .agg(round(count(lit(1)) / lit(10.0), 6).as("recall_at_10"))
-      sq.crossJoin(recall).orderBy(col("qdot").desc, col("vec_id"))
+      withRecallRider(
+        Similarity.scalarQuantTopK(data, "vec_id", "embedding", qq, k = 10),
+        data, q, "qdot")
     }),
 
     "sim_pq_topk" -> ((s: SparkSession, dir: String) => {
@@ -599,16 +598,7 @@ object PipelineQueries {
           round(Similarity.cosine(col("embedding"), lit(q)), 6).as("cos_r"))
         .orderBy(col("cos_r").desc, col("vec_id"))
         .limit(10)
-        .localCheckpoint(true) // referenced twice: result rows + recall join
-      val bruteIds = data
-        .select(col("vec_id"),
-          round(Similarity.cosine(col("embedding"), lit(q)), 6).as("bcos"))
-        .orderBy(col("bcos").desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"))
-      val recall = rr.join(bruteIds, Seq("vec_id"), "left_semi")
-        .agg(round(count(lit(1)) / lit(10.0), 6).as("recall_at_10"))
-      rr.crossJoin(recall).orderBy(col("cos_r").desc, col("vec_id"))
+      withRecallRider(rr, data, q, "cos_r")
     }),
 
     "sim_kmeans" -> ((s: SparkSession, dir: String) => {

@@ -195,10 +195,11 @@ class PlanSpec extends AnyFunSuite {
       exchanges.mkString("\n"))
   }
 
-  test("kg_cs_triangles equals brute-force triangle enumeration") {
-    // derive the same undirected organism edge set from the serving
-    // table, count triangles by brute subset-check in Scala, and
-    // compare per-node counts + the global rider
+  /** Undirected organism edge set derived independently of the engine
+    * queries (same serving table, plain collected Scala) — shared by
+    * the triangle and k-core brute twins.
+    */
+  private def bruteOrganismEdges(): Set[(String, String)] = {
     val t = spark.table(graft.queries.Materialized.globiTable(spark, dir))
     val EMI = graft.queries.Materialized.EMI
     val SOSA = graft.queries.Materialized.SOSA
@@ -208,15 +209,20 @@ class PlanSpec extends AnyFunSuite {
       .select(col("subj").as("rec"), col("obj").as("sample"))
     val ht = t.filter(col("pred") === EMI + "hasTarget")
       .select(col("subj").as("rec"), col("obj").as("sample"))
-    val edges = hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
+    hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
       .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
         Seq("rec"))
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
       .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+  }
+
+  test("kg_cs_triangles equals brute-force triangle enumeration") {
+    // count triangles by brute subset-check in Scala and compare
+    // per-node counts + the global rider
+    val edges = bruteOrganismEdges()
     val adj = (edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val nodes = adj.keys.toSeq.sorted
     val triangles = for {
       (u, v) <- edges.toSeq
       w <- adj(u).intersect(adj(v)) if u < w && v < w
@@ -239,21 +245,7 @@ class PlanSpec extends AnyFunSuite {
   test("kg_cs_kcore equals brute-force peeling; in-core degrees honor k") {
     // same undirected organism edge set as the triangles twin; peel in
     // plain Scala to the fixpoint for k = 2 and 3 and compare
-    val t = spark.table(graft.queries.Materialized.globiTable(spark, dir))
-    val EMI = graft.queries.Materialized.EMI
-    val SOSA = graft.queries.Materialized.SOSA
-    val so = t.filter(col("pred") === SOSA + "isSampleOf")
-      .select(col("subj").as("sample"), col("obj").as("org"))
-    val hs = t.filter(col("pred") === EMI + "hasSource")
-      .select(col("subj").as("rec"), col("obj").as("sample"))
-    val ht = t.filter(col("pred") === EMI + "hasTarget")
-      .select(col("subj").as("rec"), col("obj").as("sample"))
-    val edges = hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
-      .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
-        Seq("rec"))
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
-      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val edges = bruteOrganismEdges()
     def peel(k: Int): Map[String, Int] = {
       var es = edges
       var done = false
