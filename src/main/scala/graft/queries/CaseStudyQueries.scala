@@ -343,6 +343,46 @@ object CaseStudyQueries {
         .orderBy(col("k"), col("core_degree").desc, col("organism"))
     }),
 
+    // CS3 generalization: community detection by synchronous label
+    // propagation over the organism graph — the modularity-flavored
+    // companion to connected components (which merges anything
+    // reachable). EXACTLY 5 synchronous rounds on both engines (no
+    // fixpoint detection to drift): every node starts as its own label
+    // and each round adopts the most frequent label among its
+    // neighbors, ties broken by the lexicographically smallest label —
+    // fully deterministic, so the DuckDB oracle unrolls the identical
+    // 5 rounds. Each round is one join + one count aggregate + one
+    // per-node argmax window (partitioned by node — never global), and
+    // every round localCheckpoints: the iterative-DataFrame discipline
+    // of the CC/PageRank/k-core loops. Output: the top-25 communities
+    // by size plus the total-community-count rider.
+    "kg_cs_communities" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val und = organismEdges(s, dir)
+      val sym = und.select(col("u").as("a"), col("v").as("b"))
+        .union(und.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint(true)
+      var labels = sym.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint(true)
+      val w = Window.partitionBy(col("a"))
+        .orderBy(col("c").desc, col("label").asc)
+      for (_ <- 1 to 5) {
+        labels = sym.join(labels, col("b") === col("node"))
+          .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("a").as("node"), col("label"))
+          .localCheckpoint(true)
+      }
+      val comm = labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .localCheckpoint(true) // community-scale; referenced by rows + total
+      val total = comm.agg(count(lit(1)).as("n_communities"))
+      comm.crossJoin(broadcast(total))
+        .orderBy(col("n_members").desc, col("community")).limit(25)
+    }),
+
     // CS5 Leaf-Economic-Spectrum archetypes (CS5_viz.py): the trait
     // correlation matrix (plot_trait_correlations, :283-304) and the
     // StandardScaler z-score standardization (:322-324). The trydb
@@ -573,6 +613,49 @@ object CaseStudyQueries {
           SELECT organism, n_triangles, total_triangles
           FROM pn CROSS JOIN tot
           ORDER BY n_triangles DESC, organism LIMIT 20""",
+
+    "kg_cs_communities" -> {
+      // the identical 5 synchronous rounds, unrolled; each round's
+      // argmax window mirrors the engine's (count DESC, label ASC)
+      val rounds = (1 to 5).map { k =>
+        s"""l$k AS MATERIALIZED (
+              SELECT a AS node, label FROM (
+                SELECT s.a, l.label, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (PARTITION BY s.a
+                         ORDER BY COUNT(*) DESC, l.label) AS rn
+                FROM sym s JOIN l${k - 1} l ON l.node = s.b
+                GROUP BY s.a, l.label)
+              WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH g AS (SELECT * FROM $g),
+          so AS (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          und AS (
+            SELECT DISTINCT least(s1.org, s2.org) AS u,
+                   greatest(s1.org, s2.org) AS v
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          sym AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM und
+            UNION ALL SELECT v AS a, u AS b FROM und),
+          l0 AS MATERIALIZED (
+            SELECT DISTINCT a AS node, a AS label FROM sym),
+          $rounds,
+          comm AS (SELECT label AS community,
+                          CAST(COUNT(*) AS BIGINT) AS n_members
+                   FROM l5 GROUP BY label),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities
+                  FROM comm)
+          SELECT community, n_members, n_communities
+          FROM comm CROSS JOIN tot
+          ORDER BY n_members DESC, community LIMIT 25"""
+    },
 
     "kg_cs_kcore" -> {
       // 12 unrolled peel rounds per K (degree filter + edge restriction

@@ -269,6 +269,33 @@ class PlanSpec extends AnyFunSuite {
     got.foreach { case ((k, n), d) => assert(d >= k, s"$n in $k-core has degree $d") }
   }
 
+  test("kg_cs_communities equals brute-force synchronous label propagation") {
+    // 5 sync rounds in plain Scala with the same (count desc, label
+    // asc) argmax; compare community sizes and the total rider
+    val edges = bruteOrganismEdges()
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels: Map[String, String] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 5) {
+      labels = adj.map { case (n, nbrs) =>
+        val best = nbrs.map(labels).groupBy(identity).view.mapValues(_.size)
+          .toSeq.minBy { case (l, c) => (-c, l) }._1
+        n -> best
+      }
+    }
+    val sizes = labels.values.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    val expectedTop = sizes.toSeq.sortBy { case (l, c) => (-c, l) }.take(25)
+    val got = SparkEntry.queries("kg_cs_communities")(spark, dir).collect()
+    assert(got.nonEmpty, "no communities — test is vacuous")
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == expectedTop,
+      s"engine ${got.mkString(",")} vs brute $expectedTop")
+    got.foreach(r => assert(r.getLong(2) == sizes.size.toLong,
+      s"total ${r.getLong(2)} vs brute ${sizes.size}"))
+    // propagation genuinely merged labels (not vacuously one-per-node)
+    assert(sizes.size < adj.size, s"${sizes.size} communities of ${adj.size} nodes")
+  }
+
   test("kg_sparql_wdids evaluates the 7-pattern star join ONCE") {
     // The SPARQL UNION merges source-side and target-side taxa; a naive
     // per-arm formulation references the star-join subtree twice and
