@@ -215,17 +215,27 @@ object CaseStudyQueries {
         .select(col("subj").as("rec"), col("obj").as("sample"))
       val ht = t.filter(col("pred") === EMI + "hasTarget")
         .select(col("subj").as("rec"), col("obj").as("sample"))
+      // the STATIC per-iteration inputs (edge list, out-degrees, node
+      // universe) are repartitioned on their join keys and persisted —
+      // InMemoryRelation preserves the partitioning (pinned in
+      // PlanSpec; localCheckpoint would erase it), so all 10 rounds
+      // re-shuffle only the node-scale rank vector, never the edge
+      // list, which at 100 TB dominates
       val edges = hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
         .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
           Seq("rec"))
         .select(col("src"), col("dst"))
         .filter(col("src") =!= col("dst")).distinct()
-        .localCheckpoint(true)
+        .repartition(col("src"))
+        .persist()
       val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst"))).distinct().localCheckpoint(true)
+        .union(edges.select(col("dst"))).distinct()
+        .repartition(col("node"))
+        .persist()
       val n = nodes.count()
       val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
+        .repartition(col("node"))
+        .persist()
       var pr = nodes.withColumn("rank", lit(1.0 / n))
       for (_ <- 1 to 10) {
         val contrib = pr.join(deg, Seq("node"))
@@ -238,6 +248,9 @@ object CaseStudyQueries {
           .select(col("node"), col("rank"))
           .localCheckpoint(true)
       }
+      edges.unpersist(false)
+      deg.unpersist(false)
+      nodes.unpersist(false)
       pr.select(col("node").as("organism"),
           round(col("rank") * lit(n.toDouble), 6).as("pr_scaled"))
         .orderBy(col("pr_scaled").desc, col("organism")).limit(20)
@@ -359,9 +372,19 @@ object CaseStudyQueries {
     "kg_cs_communities" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.expressions.Window
       val und = organismEdges(s, dir)
+      // pre-partition the (static) edge list by the join key ONCE and
+      // persist: InMemoryRelation preserves the repartition's
+      // outputPartitioning, so each round's join re-shuffles only the
+      // node-scale label side, never the edge list — at 100 TB the
+      // edges dominate and would otherwise shuffle every round.
+      // localCheckpoint would NOT work here: it erases partitioning to
+      // UnknownPartitioning (pinned in PlanSpec), which is why the
+      // static side uses persist while the per-round labels (whose
+      // lineage must be truncated) keep using localCheckpoint
       val sym = und.select(col("u").as("a"), col("v").as("b"))
         .union(und.select(col("v").as("a"), col("u").as("b")))
-        .localCheckpoint(true)
+        .repartition(col("b"))
+        .persist()
       var labels = sym.select(col("a").as("node")).distinct()
         .withColumn("label", col("node"))
         .localCheckpoint(true)
@@ -378,6 +401,7 @@ object CaseStudyQueries {
       val comm = labels.groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_members"))
         .localCheckpoint(true) // community-scale; referenced by rows + total
+      sym.unpersist(false) // comm's checkpoint consumed the last reference
       val total = comm.agg(count(lit(1)).as("n_communities"))
       comm.crossJoin(broadcast(total))
         .orderBy(col("n_members").desc, col("community")).limit(25)

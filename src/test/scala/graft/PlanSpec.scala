@@ -294,6 +294,36 @@ class PlanSpec extends AnyFunSuite {
       s"total ${r.getLong(2)} vs brute ${sizes.size}"))
     // propagation genuinely merged labels (not vacuously one-per-node)
     assert(sizes.size < adj.size, s"${sizes.size} communities of ${adj.size} nodes")
+    // the engine's static-edge-side optimization rests on persist
+    // (InMemoryRelation) preserving a repartition's outputPartitioning
+    // across reuses — pin that a sort-merge join over the cached,
+    // pre-partitioned side plans WITHOUT an Exchange above the cache
+    // scan (localCheckpoint would erase the partitioning; the labels
+    // side still shuffles, which is the point)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = spark.range(100).selectExpr("id % 7 as b", "id as payload")
+        .repartition(col("b")).persist()
+      e.count()
+      val l = spark.range(7).selectExpr("id as node", "id as label2")
+      val j = e.join(l, col("b") === col("node"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), plan)
+      // the cached side must need NO runtime exchange (the only b-keyed
+      // exchange is the one-time REPARTITION_BY_COL inside the cache
+      // build); the probe side's ENSURE_REQUIREMENTS shuffle remains
+      assert(!plan.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning(b#") && l.contains("ENSURE_REQUIREMENTS")),
+        s"cached side re-shuffled:\n$plan")
+      assert(plan.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning(node#") && l.contains("ENSURE_REQUIREMENTS")),
+        s"probe-side shuffle missing (broadcast sneaked in?):\n$plan")
+      e.unpersist(true)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
   }
 
   test("kg_sparql_wdids evaluates the 7-pattern star join ONCE") {
