@@ -215,27 +215,24 @@ object CaseStudyQueries {
         .select(col("subj").as("rec"), col("obj").as("sample"))
       val ht = t.filter(col("pred") === EMI + "hasTarget")
         .select(col("subj").as("rec"), col("obj").as("sample"))
-      // the STATIC per-iteration inputs (edge list, out-degrees, node
-      // universe) are repartitioned on their join keys and persisted —
-      // InMemoryRelation preserves the partitioning (pinned in
-      // PlanSpec; localCheckpoint would erase it), so all 10 rounds
-      // re-shuffle only the node-scale rank vector, never the edge
-      // list, which at 100 TB dominates
+      // the static inputs stay localCheckpointed (materialized RDD
+      // blocks) rather than repartition+persist'ed like the communities
+      // loop: this graph is DIMENSION-sized (organisms, not rows), so
+      // per-round columnar-cache decode costs more than the avoided
+      // shuffle of a tiny edge list — measured 4.1 s (checkpoint) vs
+      // 5.2 s (cache) at sf0.1, and the ratio only worsens with corpus
+      // scale since the organism vocabulary grows sub-linearly
       val edges = hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
         .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
           Seq("rec"))
         .select(col("src"), col("dst"))
         .filter(col("src") =!= col("dst")).distinct()
-        .repartition(col("src"))
-        .persist()
+        .localCheckpoint(true)
       val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst"))).distinct()
-        .repartition(col("node"))
-        .persist()
+        .union(edges.select(col("dst"))).distinct().localCheckpoint(true)
       val n = nodes.count()
       val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-        .repartition(col("node"))
-        .persist()
+        .localCheckpoint(true)
       var pr = nodes.withColumn("rank", lit(1.0 / n))
       for (_ <- 1 to 10) {
         val contrib = pr.join(deg, Seq("node"))
@@ -248,9 +245,6 @@ object CaseStudyQueries {
           .select(col("node"), col("rank"))
           .localCheckpoint(true)
       }
-      edges.unpersist(false)
-      deg.unpersist(false)
-      nodes.unpersist(false)
       pr.select(col("node").as("organism"),
           round(col("rank") * lit(n.toDouble), 6).as("pr_scaled"))
         .orderBy(col("pr_scaled").desc, col("organism")).limit(20)
