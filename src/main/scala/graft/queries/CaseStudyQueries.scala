@@ -401,6 +401,37 @@ object CaseStudyQueries {
         .orderBy(col("n_members").desc, col("community")).limit(25)
     }),
 
+    // CS3 generalization: neighborhood-Jaccard link prediction — the
+    // top-20 organism pairs NOT directly connected but sharing
+    // interaction partners (common-neighbor wedge count / union of
+    // neighborhoods). One wedge self-join on the shared neighbor + one
+    // degree aggregate + an anti-join against the existing edge set.
+    // The wedge enumeration is O(Σ deg(x)²) — safe here because the
+    // organism graph is dimension-sized (it grows with the vocabulary,
+    // not the corpus); on a corpus-scale graph this is where a per-node
+    // wedge cap or neighborhood MinHash replaces exact counting, the
+    // same policy boundary lshCandidates' maxBucket draws.
+    "kg_cs_jaccard_nbrs" -> ((s: SparkSession, dir: String) => {
+      val und = organismEdges(s, dir)
+        .localCheckpoint(true) // referenced by wedges, degrees AND anti-join
+      val sym = und.select(col("u").as("a"), col("v").as("b"))
+        .union(und.select(col("v").as("a"), col("u").as("b")))
+      val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+      // (b1 < b2) orients each wedge once; edges are distinct so the
+      // pair count IS the common-neighbor count
+      val cand = sym.as("x").join(sym.as("y"),
+          col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+        .select(col("x.b").as("u"), col("y.b").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+      cand.join(und, Seq("u", "v"), "left_anti")
+        .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+        .select(col("u"), col("v"), col("common"),
+          round(col("common").cast("double")
+            / (col("du") + col("dv") - col("common")), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("u"), col("v")).limit(20)
+    }),
+
     // CS5 Leaf-Economic-Spectrum archetypes (CS5_viz.py): the trait
     // correlation matrix (plot_trait_correlations, :283-304) and the
     // StandardScaler z-score standardization (:322-324). The trydb
@@ -674,6 +705,40 @@ object CaseStudyQueries {
           FROM comm CROSS JOIN tot
           ORDER BY n_members DESC, community LIMIT 25"""
     },
+
+    // same oriented wedge count, same anti-join against existing edges,
+    // same common/(du+dv-common) Jaccard with round(6) + (u, v) tiebreak
+    "kg_cs_jaccard_nbrs" ->
+      s"""WITH g AS (SELECT * FROM $g),
+          so AS (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          und AS MATERIALIZED (
+            SELECT DISTINCT least(s1.org, s2.org) AS u,
+                   greatest(s1.org, s2.org) AS v
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          sym AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM und
+            UNION ALL SELECT v AS a, u AS b FROM und),
+          deg AS (SELECT a AS n, COUNT(*) AS d FROM sym GROUP BY a),
+          cand AS (
+            SELECT x.b AS u, y.b AS v, COUNT(*) AS common
+            FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b
+            GROUP BY 1, 2),
+          ne AS (SELECT u, v, common FROM cand
+                 WHERE NOT EXISTS (SELECT 1 FROM und
+                                   WHERE und.u = cand.u AND und.v = cand.v))
+          SELECT ne.u, ne.v, CAST(common AS BIGINT) AS common,
+                 round(CAST(common AS DOUBLE) / (du.d + dv.d - common), 6)
+                   AS jaccard
+          FROM ne JOIN deg du ON du.n = ne.u JOIN deg dv ON dv.n = ne.v
+          ORDER BY jaccard DESC, u, v LIMIT 20""",
 
     "kg_cs_kcore" -> {
       // 12 unrolled peel rounds per K (degree filter + edge restriction

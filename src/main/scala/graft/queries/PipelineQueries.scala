@@ -736,6 +736,120 @@ object PipelineQueries {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id"))
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    "ev_hopping_window" -> ((s: SparkSession, dir: String) => {
+      // hopping (sliding) window aggregation: 10-min windows sliding
+      // every 5 min — the batch twin of Structured Streaming's
+      // window(ts, "10 minutes", "5 minutes"). With size = 2×slide each
+      // event belongs to exactly two windows, so the expansion is a
+      // bounded explode (fan-out 2, never data-dependent) followed by
+      // the same partial-aggregating groupBy as the tumbling window.
+      // Window starts are emitted as BIGINT epoch seconds so neither
+      // engine's timestamp/timezone rendering enters the hash gate.
+      val e = s.read.parquet(t(dir, "events"))
+      val slide = 300L
+      val w1 = (floor(unix_timestamp(col("ts")) / slide) * slide).cast("long")
+      e.select(col("event_type"), col("value"),
+          explode(array(w1, w1 - slide)).as("win_start"))
+        .groupBy(col("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    "ev_rolling_avg" -> ((s: SparkSession, dir: String) => {
+      // per-user rolling mean over the last 3 events (ROWS frame — the
+      // moving-average shape the ev_* suite lacked: sessionize uses lag,
+      // asof uses last_value, median/quantiles use rank; this pins the
+      // bounded-preceding sliding frame). One shuffle on user_id, linear
+      // scan per user; the frame sum is exact decimal and only the final
+      // division goes through double + round(6).
+      import org.apache.spark.sql.expressions.Window
+      val e = s.read.parquet(t(dir, "events"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+      e.select(col("user_id"), col("event_id"),
+          round(sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / count(lit(1)).over(w), 6).as("roll_avg"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "ev_funnel" -> ((s: SparkSession, dir: String) => {
+      // ordered funnel analysis (view → click → purchase): per user, the
+      // first view, the first click strictly after that view, the first
+      // purchase strictly after that click — the product-analytics
+      // staple. Three conditional min-aggregates chained by equi-joins
+      // on user_id (every join and groupBy shares the ONE shuffle key,
+      // so AQE plans at most one exchange per stage and the stage
+      // outputs are user-dimension sized); no window over the full
+      // event stream and no per-user sort is ever materialized.
+      val e = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      e.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("p_ts").isNotNull, 3L)
+            .when(col("c_ts").isNotNull, 2L)
+            .when(col("v_ts").isNotNull, 1L)
+            .otherwise(0L).as("funnel_depth"))
+        .orderBy(col("user_id"))
+    }),
+
+    "tx_dsir" -> ((s: SparkSession, dir: String) => {
+      // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+      // for Language Models via Importance Resampling"): score every
+      // document by how much more likely its hashed-bigram features are
+      // under the target distribution (here: the lang='en' slice) than
+      // under the raw corpus — the standard pretraining-data reweighting
+      // step. The 100 TB shape: both feature models are FIXED-SIZE
+      // (1024 hash buckets regardless of vocabulary), so the count
+      // tables and totals BROADCAST and the corpus-side bigrams never
+      // shuffle — the only wide exchange is the final groupBy(doc_id).
+      // Laplace (+1) smoothing keeps unseen buckets finite; per-doc
+      // scores aggregate per (doc, bucket) with integer counts first so
+      // the float log-sum runs over ≤1024 terms (round-6 absorbs libm
+      // and association drift, the tx_unigram_lm convention).
+      val B = 1024
+      val bg = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokens(TextOps.normalizeText(col("text"))).as("_ts"))
+        .select(col("doc_id"), col("lang"),
+          explode(Dedup.shinglesOf(col("_ts"), 2)).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          pmod(Dedup.hash60(col("bg")), lit(B.toLong)).as("b"))
+      // lang rides the groupBy key (doc_id determines it) so target
+      // membership never re-derives the explode chain
+      val docBuckets = bg.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("n_b"))
+        .localCheckpoint(true) // feeds raw counts, target counts AND scores
+      val raw = docBuckets.groupBy(col("b")).agg(sum(col("n_b")).as("cr"))
+      val tgt = docBuckets.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(sum(col("n_b")).as("ct"))
+      val totals = raw.agg(sum(col("cr")).cast("double").as("tr"))
+        .crossJoin(tgt.agg(sum(col("ct")).cast("double").as("tt")))
+      docBuckets
+        .join(broadcast(raw), Seq("b"))
+        .join(broadcast(tgt), Seq("b"), "left")
+        .crossJoin(broadcast(totals))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_b")).as("n_bigrams"),
+          round(sum(col("n_b") *
+            (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+               (col("tt") + B)) -
+             log((col("cr") + 1).cast("double") / (col("tr") + B)))), 6)
+            .as("dsir_weight"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1675,6 +1789,80 @@ object PipelineQueries {
                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                     ORDER BY ts, event_id) AS rn
            FROM events)
-         WHERE rn = 1 ORDER BY user_id, event_type"""
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    // same two-windows-per-event expansion (size 600 s = 2 × slide
+    // 300 s); epoch floor-division matches Spark's unix_timestamp floor
+    // for positive timestamps
+    "ev_hopping_window" ->
+      """WITH e AS (
+           SELECT event_type, value,
+                  CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w1
+           FROM events),
+         x AS (
+           SELECT event_type, value, w1 AS win_start FROM e
+           UNION ALL
+           SELECT event_type, value, w1 - 300 FROM e)
+         SELECT win_start, event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""",
+
+    "ev_rolling_avg" ->
+      """SELECT user_id, event_id,
+                round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                      / COUNT(*) OVER w, 6) AS roll_avg
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+
+    // same strictly-after chaining (ts > prior stage's min) per stage
+    "ev_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+               FROM events e JOIN v USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+         p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+               FROM events e JOIN c USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT u.user_id,
+                CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
+                          WHEN c.c_ts IS NOT NULL THEN 2
+                          WHEN v.v_ts IS NOT NULL THEN 1
+                          ELSE 0 END AS BIGINT) AS funnel_depth
+         FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+                LEFT JOIN p USING (user_id)
+         ORDER BY user_id""",
+
+    // same word bigrams (tokens come from the shared normalize+split),
+    // same 60-bit md5 hash into 1024 buckets, same +1/Laplace smoothing
+    // and per-(doc, bucket) count-weighted log-ratio sum
+    "tx_dsir" ->
+      """WITH tarr AS (
+           SELECT doc_id, lang, regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS ts
+           FROM documents),
+         bg AS (
+           SELECT doc_id, lang,
+                  ('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15))::BIGINT
+                    % 1024 AS b
+           FROM tarr, UNNEST(generate_series(1, len(ts) - 1)) t(i)),
+         db AS (SELECT doc_id, lang, b, COUNT(*) AS n_b
+                FROM bg GROUP BY 1, 2, 3),
+         raw AS (SELECT b, SUM(n_b) AS cr FROM db GROUP BY b),
+         tgt AS (SELECT b, SUM(n_b) AS ct FROM db WHERE lang = 'en' GROUP BY b),
+         tot AS (SELECT (SELECT CAST(CAST(SUM(cr) AS BIGINT) AS DOUBLE) FROM raw) AS tr,
+                        (SELECT CAST(CAST(SUM(ct) AS BIGINT) AS DOUBLE) FROM tgt) AS tt)
+         SELECT db.doc_id,
+                CAST(SUM(n_b) AS BIGINT) AS n_bigrams,
+                round(SUM(n_b * (ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                                    / (tot.tt + 1024))
+                               - ln(CAST(raw.cr + 1 AS DOUBLE)
+                                    / (tot.tr + 1024)))), 6) AS dsir_weight
+         FROM db JOIN raw USING (b) LEFT JOIN tgt USING (b) CROSS JOIN tot
+         GROUP BY db.doc_id
+         ORDER BY doc_id"""
   )
 }

@@ -242,6 +242,27 @@ class PlanSpec extends AnyFunSuite {
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == expectedTop)
   }
 
+  test("kg_cs_jaccard_nbrs equals brute common-neighbor Jaccard; no existing edges") {
+    val edges = bruteOrganismEdges()
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val brute = (for {
+      u <- nodes; v <- nodes if u < v && !edges.contains((u, v))
+      common = adj(u).intersect(adj(v)).size if common > 0
+    } yield {
+      val j = common.toDouble / (adj(u).size + adj(v).size - common)
+      (u, v, common.toLong,
+        BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).sortBy { case (u, v, _, j) => (-j, u, v) }.take(20)
+    val got = SparkEntry.queries("kg_cs_jaccard_nbrs")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty, "no predicted links — test is vacuous")
+    assert(got.toSeq == brute, s"engine ${got.mkString(",")} vs brute $brute")
+    got.foreach { case (u, v, _, _) =>
+      assert(!edges.contains((u, v)), s"($u,$v) is an existing edge") }
+  }
+
   test("kg_cs_kcore equals brute-force peeling; in-core degrees honor k") {
     // same undirected organism edge set as the triangles twin; peel in
     // plain Scala to the fixpoint for k = 2 and 3 and compare

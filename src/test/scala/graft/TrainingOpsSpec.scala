@@ -729,4 +729,114 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(3 + j) - (if (i == j) 1.0 else 0.0)) < 1e-10,
         s"proj($i,$j) = ${r.getDouble(3 + j)}")
   }
+
+  /** Collected event rows ordered the way every ev_* window orders:
+    * (ts, event_id), with ts compared at microsecond precision.
+    */
+  private def bruteEvents(): Array[(Long, Long, Long, String, java.math.BigDecimal)] =
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("tsu"),
+        col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        new java.math.BigDecimal(r.getDouble(4))
+          .setScale(2, java.math.RoundingMode.HALF_UP)))
+
+  test("ev_hopping_window equals brute two-window expansion; mass conserved") {
+    val evs = bruteEvents()
+    val brute = evs.flatMap { case (_, tsu, _, typ, v) =>
+      val w1 = tsu / 1000000L / 300L * 300L
+      Seq(((w1, typ), v), ((w1 - 300L, typ), v))
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.length.toLong,
+        vs.map(_._2).reduce(_ add _).doubleValue)
+    }
+    val got = SparkEntry.queries("ev_hopping_window")(spark, dir).collect()
+    assert(got.length == brute.size)
+    // every event lands in exactly two windows: total n = 2 × events
+    assert(got.map(_.getLong(2)).sum == 2L * evs.length)
+    got.foreach { r =>
+      val (n, sv) = brute((r.getLong(0), r.getString(1)))
+      assert(r.getLong(2) == n, r.toString)
+      assert(math.abs(r.getDouble(3) - sv) < 1e-9, s"$r vs $sv")
+    }
+  }
+
+  test("ev_rolling_avg equals brute last-3 mean per user") {
+    val perUser = bruteEvents().groupBy(_._3)
+    val brute = perUser.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._1))
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 2), i + 1)
+        sorted(i)._1 ->
+          BigDecimal(frame.map(_._5).reduce(_ add _))
+            ./(BigDecimal(frame.length)).toDouble
+      }
+    }
+    val got = SparkEntry.queries("ev_rolling_avg")(spark, dir).collect()
+    assert(got.length == brute.size)
+    got.foreach { r =>
+      val exp = brute(r.getLong(1))
+      assert(math.abs(r.getDouble(2) - exp) < 1e-6, s"$r vs $exp")
+    }
+  }
+
+  test("ev_funnel equals brute strictly-ordered stage chaining") {
+    val perUser = bruteEvents().groupBy(_._3)
+    val brute = perUser.map { case (u, es) =>
+      def firstAfter(typ: String, after: Long): Option[Long] =
+        es.filter(e => e._4 == typ && e._2 > after)
+          .map(_._2).sorted.headOption
+      val v = es.filter(_._4 == "view").map(_._2).sorted.headOption
+      val c = v.flatMap(firstAfter("click", _))
+      val p = c.flatMap(firstAfter("purchase", _))
+      u -> (if (p.isDefined) 3L else if (c.isDefined) 2L
+            else if (v.isDefined) 1L else 0L)
+    }
+    val got = SparkEntry.queries("ev_funnel")(spark, dir).collect()
+    assert(got.length == brute.size)
+    got.foreach(r => assert(r.getLong(1) == brute(r.getLong(0)), r.toString))
+    // the chain is exercised to full depth somewhere (every user
+    // completing is a fixture property, not a defect — the brute
+    // equality above is the real gate)
+    assert(got.exists(_.getLong(1) == 3L), "no user ever completes the funnel")
+  }
+
+  test("tx_dsir equals brute hashed-bigram importance weights") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val docBuckets = docs.map { case (id, lang, text) =>
+      val ts = """\S+""".r
+        .findAllIn(text.trim.toLowerCase.replaceAll("\\s+", " ")).toArray
+      val buckets = ts.sliding(2).filter(_.length == 2)
+        .map(bg => hash60(bg.mkString(" ")) % 1024L).toSeq
+      (id, lang, buckets.groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }.filter(_._3.nonEmpty)
+    val raw = docBuckets.flatMap(_._3).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val tgt = docBuckets.filter(_._2 == "en").flatMap(_._3).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val (tr, tt) = (raw.values.sum.toDouble, tgt.values.sum.toDouble)
+    val got = SparkEntry.queries("tx_dsir")(spark, dir).collect()
+    assert(got.length == docBuckets.length)
+    val byId = docBuckets.map(d => d._1 -> d._3).toMap
+    got.foreach { r =>
+      val bs = byId(r.getLong(0))
+      assert(r.getLong(1) == bs.values.sum, r.toString)
+      val w = bs.map { case (b, n) =>
+        n * (math.log((tgt.getOrElse(b, 0L) + 1) / (tt + 1024)) -
+             math.log((raw(b) + 1) / (tr + 1024)))
+      }.sum
+      assert(math.abs(r.getDouble(2) - w) < 1e-6, s"$r vs $w")
+    }
+    // the weights genuinely separate something (not all ~equal), and
+    // docs below 2 tokens are absent rather than zero-padded
+    assert(got.map(_.getDouble(2)).distinct.length > 1)
+  }
 }
