@@ -54,6 +54,38 @@ object Streaming {
     events.withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Watermarked HOPPING-window aggregation: 10-minute windows sliding
+    * every 5 — the streaming twin of the batch `ev_hopping_window`
+    * query (size = 2 × slide ⇒ every event lands in exactly two
+    * windows, and the built-in window() generator does the bounded
+    * expansion the batch query spells as an explode).
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Watermarked stream-stream interval join: each click paired with
+    * the same user's views inside its (click_ts, click_ts + 1 h]
+    * attribution window — the streaming twin of the batch
+    * `ev_range_join`. The two watermarks plus the time-range join
+    * condition bound the join state Spark must retain per side (views
+    * need the larger horizon: a view can match a click up to an hour
+    * older than it).
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val v = views.select(col("user_id").as("v_user"),
+        col("event_id").as("view_id"), col("ts").as("vts"))
+      .withWatermark("vts", "2 hours")
+    c.join(v, expr(
+        "c_user = v_user AND vts > cts AND vts <= cts + interval 1 hour"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int)

@@ -47,6 +47,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == events.count())
   }
 
+  test("streaming hopping windows equal the batch ev_hopping_window counts") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val tmp = java.nio.file.Files.createTempDirectory("hop").toString
+    events.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$tmp/in")
+    val q = Streaming.hoppingCounts(stream).writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$tmp/cp")
+      .format("memory").queryName("hop_counts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // every event lands in exactly two sliding windows
+    assert(spark.sql("SELECT sum(n) FROM hop_counts").head().getLong(0)
+      == 2 * events.count())
+    // per-(window, type) counts equal the batch query's explode-based
+    // formulation (window.start as epoch seconds == batch win_start)
+    val streamed = spark.sql(
+      """SELECT unix_timestamp(window.start) AS win_start, event_type, n
+         FROM hop_counts""").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = SparkEntry.queries("ev_hopping_window")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} keys differ")
+  }
+
+  test("stream-stream interval join equals the batch inequality join") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val tmp = java.nio.file.Files.createTempDirectory("ssj").toString
+    events.filter(col("event_type") === "click")
+      .write.mode("overwrite").parquet(s"$tmp/clicks")
+    events.filter(col("event_type") === "view")
+      .write.mode("overwrite").parquet(s"$tmp/views")
+    val schema = events.schema
+    val q = Streaming.clickViewJoin(
+        spark.readStream.schema(schema).parquet(s"$tmp/clicks"),
+        spark.readStream.schema(schema).parquet(s"$tmp/views"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/cp")
+      .format("memory").queryName("ssj_pairs")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT user_id, click_id, view_id FROM ssj_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin: plain inequality join over the same two slices
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
+    val want = c.join(v, Seq("user_id"))
+      .filter(col("vts") > col("cts") &&
+        col("vts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).size} extra=${(got -- want).size}")
+    assert(got.nonEmpty, "no pairs matched — test is vacuous")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) closes gap sessions") {
     val tmp = java.nio.file.Files.createTempDirectory("sess").toString
     val rows = Seq(
