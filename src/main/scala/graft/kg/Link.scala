@@ -162,9 +162,18 @@ object Link {
       regexp_replace(col("WdID"), "http://www\\.wikidata\\.org/entity/", "Wikidata:"))
     val withCnt = l.withColumn("_cnt",
       count(lit(1)).over(Window.partitionBy(col("WdName"))))
+    // per-name index, NOT a global row_number: every downstream
+    // comparison of rowIdx/grpIdx happens within one WdName (the
+    // candidate join key is the name, so min_by/max_by tie-breaks never
+    // cross names — same invariant in LocalMatcher, whose dict insertion
+    // order is only ever consulted through a name-filtered view). A
+    // global orderBy window would funnel the whole lineage table through
+    // one partition (WindowExec warns exactly that); partitioning by
+    // WdName keeps the index distributed and semantics-identical.
     val repeats = withCnt.filter(col("_cnt") > 1).drop("_cnt")
       .withColumn("rowIdx",
-        row_number().over(Window.orderBy(col("WdName"), col("WdID"))))
+        row_number().over(
+          Window.partitionBy(col("WdName")).orderBy(col("WdID"))))
     val uniques = withCnt.filter(col("_cnt") === 1).drop("_cnt")
     LineageTables(repeats, uniques)
   }
