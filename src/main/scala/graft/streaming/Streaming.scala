@@ -70,9 +70,12 @@ object Streaming {
     * the same user's views inside its (click_ts, click_ts + 1 h]
     * attribution window — the streaming twin of the batch
     * `ev_range_join`. The two watermarks plus the time-range join
-    * condition bound the join state Spark must retain per side (views
-    * need the larger horizon: a view can match a click up to an hour
-    * older than it).
+    * condition bound the join state Spark must retain per side; note
+    * it is the CLICKS side that buffers longest (a click at cts can
+    * still match views up to an hour newer, so it lives until the view
+    * watermark passes cts + 1 h, while a view is droppable once the
+    * click watermark passes its vts). The delays themselves are only
+    * lateness tolerances for out-of-order arrival.
     */
   def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user"),

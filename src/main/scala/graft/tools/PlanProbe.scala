@@ -21,7 +21,10 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("ERROR")
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
-      df.collect() // finalize AQE so the printed plan is the real one
+      // finalize AQE so the printed plan is the real one — noop sink,
+      // not collect(): a row-per-event query at scale would otherwise
+      // materialize its whole result on the driver just to be discarded
+      df.write.format("noop").mode("overwrite").save()
       val p = df.queryExecution.executedPlan.toString
       val lines = p.linesIterator.toSeq
       println(s"==== $q ====")
