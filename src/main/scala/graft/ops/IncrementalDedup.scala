@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** Incremental MinHash-LSH near-duplicate maintenance over snapshot
+  * tables — the streaming-ingest shape of [[Dedup.minhashLsh]]: each
+  * arriving document batch updates persisted LSH state and emits ONLY
+  * the verified near-dup pairs that involve the new documents, without
+  * ever rescanning the accumulated corpus. At 10^12 docs the batch
+  * recompute is off the table; this is the form a production ingest
+  * pipeline actually runs (the same role
+  * `Pipeline.incrementalFromTable` plays for the KG layer, applied to
+  * the dedup family).
+  *
+  * State layout under `stateDir` (all append-only snapshot tables,
+  * every append idempotency-keyed by the caller's batch key):
+  *  - `postings/`  (id, band, bkey) — each doc's LSH band keys
+  *  - `arrays/`    (id, toks, n_tok) — sorted hashed-token arrays for
+  *                 exact-Jaccard verification
+  *  - `pairs/`     (id_a, id_b, n_common, jaccard) — the emission log
+  *
+  * Exactness: the union of per-increment emissions over any split of
+  * the corpus equals the batch pipeline's verified pair set (uncapped),
+  * because every pair is emitted exactly once — at the increment that
+  * ingests its LATER document (the earlier side is then in state or in
+  * the same batch; both-old pairs can never re-form since the probe
+  * side is always the new postings). Spec-pinned in
+  * IncrementalDedupSpec, including increment-order invariance.
+  *
+  * Bucket cap: `maxBucket` applies to the bucket's TOTAL size as of the
+  * emitting increment (cap-at-ingest). A bucket that later grows past
+  * the cap stops emitting new pairs but cannot retract old ones — the
+  * streaming-natural semantics; batch `lshCandidates` instead drops
+  * such buckets retroactively, so capped incremental and capped batch
+  * agree exactly iff no bucket crosses the cap mid-stream (also
+  * spec-pinned). Dropped buckets are observable via
+  * [[Dedup.lshDroppedBuckets]] over the postings state.
+  *
+  * Crash consistency: the three appends share one idempotency key and
+  * every derived frame is computed from the DISTINCT union of state and
+  * increment, so a retry after a crash between appends no-ops the
+  * completed ones, reproduces the identical pair set (state that
+  * already absorbed this increment's postings dedupes against the
+  * recomputed increment), and completes the rest — the
+  * [[Sketches]]/[[graft.kg.Pipeline]] append-only discipline.
+  */
+object IncrementalDedup {
+
+  final case class LshConfig(k: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, minTokenLen: Int = 1, maxBucket: Int = 0)
+
+  private def postingsDir(stateDir: String) = s"$stateDir/postings"
+  private def arraysDir(stateDir: String) = s"$stateDir/arrays"
+  private def pairsDir(stateDir: String) = s"$stateDir/pairs"
+
+  private def tableOrEmpty(spark: SparkSession, dir: String,
+      empty: => DataFrame): DataFrame =
+    if (SnapshotTable.currentSnapshot(dir) > 0) SnapshotTable.read(spark, dir)
+    else empty
+
+  /** Ingest one document batch: emit the verified near-dup pairs that
+    * involve it and append postings/arrays/pairs state. Returns the
+    * emitted pairs (deterministic — a replay of a fully-committed key
+    * recomputes the identical frame while every append no-ops).
+    * Precondition: doc ids are unique across increments (the snapshot
+    * pipeline convention); re-ingesting an id would re-pair it.
+    */
+  def update(spark: SparkSession, stateDir: String, docs: DataFrame,
+      idCol: String, textCol: String, idempotencyKey: String,
+      cfg: LshConfig = LshConfig()): DataFrame = {
+    val newTokens = Dedup
+      .docTokensHashed(docs, idCol, textCol, cfg.minTokenLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newArrays = Dedup.tokenArrays(newTokens)
+      .localCheckpoint(true) // referenced by verify join + append
+    val newPostings = Dedup
+      .lshBands(Dedup.minhashSignatures(newTokens, cfg.k), cfg.k,
+        cfg.rowsPerBand)
+      .localCheckpoint(true) // referenced by sizing, probe AND append
+    newTokens.unpersist(false)
+
+    import spark.implicits._
+    val oldPostings = tableOrEmpty(spark, postingsDir(stateDir),
+      Seq.empty[(Long, Int, String)].toDF("id", "band", "bkey"))
+    // DISTINCT union: makes the computation identical whether or not a
+    // crashed prior attempt already appended this increment's postings.
+    // Deliberately NOT checkpointed — the state side is corpus-scale,
+    // so its (at most two) consumers re-scan the parquet-backed table
+    // instead of pinning the whole posting set in executor memory
+    val unionPostings = oldPostings.select(col("id"), col("band"), col("bkey"))
+      .unionByName(newPostings).distinct()
+
+    val kept =
+      if (cfg.maxBucket <= 0) unionPostings
+      else {
+        val small = unionPostings.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("_bsz"))
+          .filter(col("_bsz") <= cfg.maxBucket)
+          .select(col("band"), col("bkey"))
+        unionPostings.join(small, Seq("band", "bkey"))
+      }
+    // probe = the increment's postings only: every candidate involves a
+    // new doc, so both-old pairs (already emitted) can never re-form
+    val probe = if (cfg.maxBucket <= 0) newPostings
+      else newPostings.join(
+        kept.select(col("band"), col("bkey")).distinct(), Seq("band", "bkey"))
+    val cands = kept.as("l")
+      .join(probe.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.id") =!= col("r.id"))
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"))
+      .distinct()
+
+    val oldArrays = tableOrEmpty(spark, arraysDir(stateDir),
+      newArrays.limit(0))
+    val arrays = oldArrays.unionByName(newArrays)
+      .groupBy(col("id")).agg(first(col("toks")).as("toks"),
+        first(col("n_tok")).as("n_tok"))
+    val verified = jaccardVerifyArrays(cands, arrays)
+      .filter(col("jaccard") >= cfg.threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true) // referenced by the append AND the return
+
+    SnapshotTable.write(newPostings, postingsDir(stateDir), mode = "append",
+      idempotencyKey = idempotencyKey)
+    SnapshotTable.write(newArrays, arraysDir(stateDir), mode = "append",
+      idempotencyKey = idempotencyKey)
+    SnapshotTable.write(verified, pairsDir(stateDir), mode = "append",
+      idempotencyKey = idempotencyKey)
+    verified
+  }
+
+  /** All pairs emitted so far — the accumulated emission log. */
+  def pairsFromTable(spark: SparkSession, stateDir: String): DataFrame =
+    SnapshotTable.read(spark, pairsDir(stateDir))
+
+  /** [[Dedup.jaccardVerify]] against a precomputed (id, toks, n_tok)
+    * array table instead of a token fan-out — the incremental path
+    * already persists the arrays, so re-deriving them per increment
+    * would rescan the corpus.
+    */
+  def jaccardVerifyArrays(pairs: DataFrame, arrs: DataFrame): DataFrame =
+    pairs
+      .join(arrs.select(col("id").as("id_a"), col("toks").as("_ta"),
+        col("n_tok").as("n_a")), Seq("id_a"))
+      .join(arrs.select(col("id").as("id_b"), col("toks").as("_tb"),
+        col("n_tok").as("n_b")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("_ta"), col("_tb"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .drop("_ta", "_tb", "n_a", "n_b")
+}
