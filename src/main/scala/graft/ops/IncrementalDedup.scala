@@ -138,6 +138,22 @@ object IncrementalDedup {
   def pairsFromTable(spark: SparkSession, stateDir: String): DataFrame =
     SnapshotTable.read(spark, pairsDir(stateDir))
 
+  /** Table maintenance: rewrite each state table's many per-increment
+    * files into `numFiles` (logical content unchanged — the
+    * [[SnapshotTable.compact]] "replace" snapshot, time travel intact).
+    * Streaming ingest appends a handful of files per batch; unmaintained,
+    * the per-increment state scans degrade to millions of tiny reads.
+    * Quiesced maintenance like the sketch compactions: run it between
+    * updates, not concurrently with one.
+    */
+  def compactState(spark: SparkSession, stateDir: String,
+      numFiles: Int = 4): Unit =
+    Seq(postingsDir(stateDir), arraysDir(stateDir), pairsDir(stateDir))
+      .foreach { d =>
+        if (SnapshotTable.currentSnapshot(d) > 0)
+          SnapshotTable.compact(spark, d, numFiles)
+      }
+
   /** [[Dedup.jaccardVerify]] against a precomputed (id, toks, n_tok)
     * array table instead of a token fan-out — the incremental path
     * already persists the arrays, so re-deriving them per increment

@@ -114,6 +114,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(e1.subsetOf(all))
   }
 
+  test("compaction preserves state content and later increments still agree") {
+    val tmp = java.nio.file.Files.createTempDirectory("incdedup6").toString
+    val d = docs()
+    IncrementalDedup.update(spark, tmp, d.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", "m0", cfg)
+    IncrementalDedup.update(spark, tmp, d.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", "m1", cfg)
+    val before = pairsOf(IncrementalDedup.pairsFromTable(spark, tmp))
+    IncrementalDedup.compactState(spark, tmp, numFiles = 1)
+    assert(pairsOf(IncrementalDedup.pairsFromTable(spark, tmp)) == before)
+    // ingest continues on the compacted state and still lands on batch
+    IncrementalDedup.update(spark, tmp, d.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", "m2", cfg)
+    assert(pairsOf(IncrementalDedup.pairsFromTable(spark, tmp)) == batchPairs())
+  }
+
   test("cap-at-ingest: capped run emits a subset; uncapped equals batch") {
     val tmp = java.nio.file.Files.createTempDirectory("incdedup5").toString
     val d = docs()
