@@ -154,6 +154,85 @@ object IncrementalDedup {
           SnapshotTable.compact(spark, d, numFiles)
       }
 
+  // ---- embedding (sign-LSH) twin --------------------------------------
+
+  final case class VecLshConfig(planes: Int = 4, bands: Int = 2,
+      threshold: Double = 0.5)
+
+  private def vecPostingsDir(stateDir: String) = s"$stateDir/vec_postings"
+  private def vectorsDir(stateDir: String) = s"$stateDir/vectors"
+  private def vecPairsDir(stateDir: String) = s"$stateDir/vec_pairs"
+
+  /** The embedding twin of [[update]]: incremental banded sign-LSH
+    * near-dup maintenance (the [[Similarity.signLshPairs]] semantics —
+    * same deterministic prime-plane family, exact cosine verify).
+    * State: `vec_postings/` (id, band, cell), `vectors/` (id, v, n),
+    * `vec_pairs/` emission log; same distinct-union derivation, same
+    * one-key-three-appends crash discipline, same exactly-once
+    * emission-at-the-later-vector guarantee as the MinHash path.
+    * Sign-LSH cells are data-independent (2^planes of them), so there
+    * is no bucket-cap policy to diverge on: incremental union == batch
+    * EXACTLY, spec-pinned.
+    */
+  def updateVectors(spark: SparkSession, stateDir: String, vecs: DataFrame,
+      idCol: String, vecCol: String, idempotencyKey: String,
+      cfg: VecLshConfig = VecLshConfig()): DataFrame = {
+    require(cfg.planes * cfg.bands <= Similarity.lshPrimes.size,
+      "raise the prime table")
+    val newPostings = vecs.select(
+        col(idCol).as("id"),
+        explode(array((0 until cfg.bands).map { b =>
+          struct(lit(b).as("band"),
+            Similarity.signCell(col(vecCol), Similarity.lshPrimes
+              .slice(b * cfg.planes, (b + 1) * cfg.planes)).as("cell"))
+        }: _*)).as("bc"))
+      .select(col("id"), col("bc.band").as("band"), col("bc.cell").as("cell"))
+      .localCheckpoint(true) // referenced by probe, union AND append
+    val newVectors = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.norm(col(vecCol)).as("n"))
+      .localCheckpoint(true) // referenced by verify join + append
+
+    import spark.implicits._
+    val oldPostings = tableOrEmpty(spark, vecPostingsDir(stateDir),
+      Seq.empty[(Long, Int, Long)].toDF("id", "band", "cell"))
+    val unionPostings = oldPostings.select(col("id"), col("band"), col("cell"))
+      .unionByName(newPostings).distinct()
+    val cands = unionPostings.as("l")
+      .join(newPostings.as("r"),
+        col("l.band") === col("r.band") && col("l.cell") === col("r.cell") &&
+          col("l.id") =!= col("r.id"))
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"))
+      .distinct()
+
+    val oldVectors = tableOrEmpty(spark, vectorsDir(stateDir),
+      newVectors.limit(0))
+    val arrs = oldVectors.unionByName(newVectors)
+      .groupBy(col("id")).agg(first(col("v")).as("v"), first(col("n")).as("n"))
+    val verified = cands
+      .join(arrs.select(col("id").as("id_a"), col("v").as("_va"),
+        col("n").as("_na")), Seq("id_a"))
+      .join(arrs.select(col("id").as("id_b"), col("v").as("_vb"),
+        col("n").as("_nb")), Seq("id_b"))
+      .withColumn("cos",
+        Similarity.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+      .filter(col("cos") >= cfg.threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .localCheckpoint(true) // referenced by the append AND the return
+
+    SnapshotTable.write(newPostings, vecPostingsDir(stateDir),
+      mode = "append", idempotencyKey = idempotencyKey)
+    SnapshotTable.write(newVectors, vectorsDir(stateDir),
+      mode = "append", idempotencyKey = idempotencyKey)
+    SnapshotTable.write(verified, vecPairsDir(stateDir),
+      mode = "append", idempotencyKey = idempotencyKey)
+    verified
+  }
+
+  /** All embedding pairs emitted so far. */
+  def vecPairsFromTable(spark: SparkSession, stateDir: String): DataFrame =
+    SnapshotTable.read(spark, vecPairsDir(stateDir))
+
   /** [[Dedup.jaccardVerify]] against a precomputed (id, toks, n_tok)
     * array table instead of a token fan-out — the incremental path
     * already persists the arrays, so re-deriving them per increment

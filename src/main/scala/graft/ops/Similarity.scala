@@ -210,7 +210,10 @@ object Similarity {
       .limit(k)
   }
 
-  private val lshPrimes =
+  // package-visible: IncrementalDedup builds the identical banded
+  // sign-cells for its persisted postings, so batch and incremental
+  // candidates come from one plane family by construction
+  private[ops] val lshPrimes =
     Seq(3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
 
   /** Hyperplane LSH signature: `planes` sign bits packed into a long,

@@ -114,6 +114,32 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(e1.subsetOf(all))
   }
 
+  test("embedding twin: 3-increment sign-LSH ingest equals the batch pair set") {
+    import graft.ops.{IncrementalDedup => ID, Similarity}
+    val tmp = java.nio.file.Files.createTempDirectory("incvec").toString
+    val vcfg = ID.VecLshConfig(planes = 4, bands = 2, threshold = 0.4)
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emitted = (0 until 3).map { i =>
+      pairsOf(ID.updateVectors(spark, tmp, v.filter(col("vec_id") % 3 === i),
+        "vec_id", "embedding", s"v$i", vcfg))
+    }
+    assert(emitted(0).intersect(emitted(1)).isEmpty)
+    assert(emitted(1).intersect(emitted(2)).isEmpty)
+    val union = emitted.reduce(_ ++ _)
+    val batch = pairsOf(Similarity.signLshPairs(v, "vec_id", "embedding",
+      planes = vcfg.planes, bands = vcfg.bands, threshold = vcfg.threshold))
+    assert(union == batch,
+      s"missing=${(batch -- union).size} extra=${(union -- batch).size}")
+    assert(batch.nonEmpty, "no near-dup vectors in fixture — vacuous")
+    assert(pairsOf(ID.vecPairsFromTable(spark, tmp)) == batch)
+    // keyed replay: same pairs, nothing appended
+    val hist = SnapshotTable.history(s"$tmp/vec_pairs").length
+    val again = pairsOf(ID.updateVectors(spark, tmp,
+      v.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", "v2", vcfg))
+    assert(again == emitted(2))
+    assert(SnapshotTable.history(s"$tmp/vec_pairs").length == hist)
+  }
+
   test("compaction preserves state content and later increments still agree") {
     val tmp = java.nio.file.Files.createTempDirectory("incdedup6").toString
     val d = docs()
