@@ -405,6 +405,30 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dd_incremental_lsh" -> ((s: SparkSession, dir: String) => {
+      // the INCREMENTAL-maintenance path under the driver gate: ingest
+      // the corpus in three batches through the persisted-LSH-state
+      // machinery (graft.ops.IncrementalDedup — postings / arrays /
+      // emission-log snapshot tables, one idempotency key per batch)
+      // and serve the accumulated emission log. The oracle is the plain
+      // BATCH MinHash-LSH SQL over the whole corpus (uncapped), so this
+      // row hash-proves the central incremental guarantee — emissions
+      // union to exactly the batch pair set — not just in ScalaTest.
+      // Fresh state dir per invocation: re-timing reruns rebuild state.
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("dd-inc-lsh").toString
+      val d = s.read.parquet(t(dir, "documents"))
+      val cfg = graft.ops.IncrementalDedup.LshConfig(
+        k = 4, rowsPerBand = 2, threshold = 0.8, maxBucket = 0)
+      (0 until 3).foreach { i =>
+        graft.ops.IncrementalDedup.update(s, stateDir,
+          d.filter(col("doc_id") % 3 === i), "doc_id", "text", s"inc-$i", cfg)
+        ()
+      }
+      graft.ops.IncrementalDedup.pairsFromTable(s, stateDir)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dd_shingle_lsh" -> ((s: SparkSession, dir: String) => {
       // word-trigram shingles → MinHash → banded LSH → exact Jaccard —
       // the order-sensitive near-dup variant (reordered boilerplate no
@@ -969,7 +993,8 @@ object PipelineQueries {
     * CTE (word tokens or shingles) — shared by the pair queries and
     * the cluster closure.
     */
-  private def lshPairsCtes(tokCte: String, threshold: String): String = s"""
+  private def lshPairsCtes(tokCte: String, threshold: String,
+      cap: String = "1000"): String = s"""
          $tokCte,
          sig AS (
            SELECT id,
@@ -982,7 +1007,7 @@ object PipelineQueries {
            SELECT id, 1 AS band, md5(sig_2 || sig_3) AS bkey FROM sig),
          keptb AS (
            SELECT band, bkey FROM bands GROUP BY band, bkey
-           HAVING COUNT(*) <= 1000),
+           HAVING COUNT(*) <= $cap),
          kept AS (SELECT b.* FROM bands b JOIN keptb USING (band, bkey)),
          cand AS (
            SELECT DISTINCT l.id AS id_a, r.id AS id_b
@@ -1344,6 +1369,22 @@ object PipelineQueries {
          FROM tok GROUP BY id ORDER BY id""",
 
     "dd_minhash_lsh" -> lshVerifySql(hashedTokensCte, "0.8"),
+
+    // the incremental path's truth is the BATCH pipeline over the full
+    // corpus (uncapped — an astronomically large cap disables keptb
+    // without a second SQL shape), with the emission log's n_common /
+    // round-6 jaccard columns riding along
+    "dd_incremental_lsh" ->
+      s"""WITH ${lshPairsCtes(hashedTokensCte, "0.8", cap = "1000000000")}
+          SELECT c.id_a, c.id_b, CAST(c.n_common AS BIGINT) AS n_common,
+                 round(CAST(c.n_common AS DOUBLE)
+                       / CAST(ca.n_tok + cb.n_tok - c.n_common AS DOUBLE), 6)
+                   AS jaccard
+          FROM common c JOIN cnt ca ON ca.id = c.id_a
+                        JOIN cnt cb ON cb.id = c.id_b
+          WHERE CAST(c.n_common AS DOUBLE)
+                / CAST(ca.n_tok + cb.n_tok - c.n_common AS DOUBLE) >= 0.8
+          ORDER BY id_a, id_b""",
 
     "dd_shingle_lsh" -> lshVerifySql(shinglesCte, "0.8"),
 
