@@ -84,28 +84,36 @@ object IncrementalDedup {
     import spark.implicits._
     val oldPostings = tableOrEmpty(spark, postingsDir(stateDir),
       Seq.empty[(Long, Int, String)].toDF("id", "band", "bkey"))
-    // DISTINCT union: makes the computation identical whether or not a
-    // crashed prior attempt already appended this increment's postings.
-    // Deliberately NOT checkpointed — the state side is corpus-scale,
-    // so its (at most two) consumers re-scan the parquet-backed table
-    // instead of pinning the whole posting set in executor memory
+    // union WITHOUT a global distinct: a corpus-wide dedupe shuffle per
+    // increment would dominate the whole update at scale. Duplicates
+    // can only exist after a crashed prior attempt already appended
+    // this increment's postings (identical rows); candidate pairs
+    // collapse them in their own pair-scale distinct, and bucket sizing
+    // counts DISTINCT ids so inflated counts cannot push a bucket over
+    // the cap spuriously. The state side is also deliberately not
+    // checkpointed — consumers re-scan the parquet-backed table instead
+    // of pinning corpus-scale blocks in executor memory
     val unionPostings = oldPostings.select(col("id"), col("band"), col("bkey"))
-      .unionByName(newPostings).distinct()
+      .unionByName(newPostings)
 
-    val kept =
-      if (cfg.maxBucket <= 0) unionPostings
-      else {
-        val small = unionPostings.groupBy(col("band"), col("bkey"))
-          .agg(count(lit(1)).as("_bsz"))
-          .filter(col("_bsz") <= cfg.maxBucket)
-          .select(col("band"), col("bkey"))
-        unionPostings.join(small, Seq("band", "bkey"))
-      }
+    // the kept-bucket key set is bucket-dimension sized — pin it so the
+    // sizing aggregate runs once, not once per consumer (build side AND
+    // probe filter both reference it)
+    val smallBuckets =
+      if (cfg.maxBucket <= 0) None
+      else Some(unionPostings.groupBy(col("band"), col("bkey"))
+        .agg(countDistinct(col("id")).as("_bsz"))
+        .filter(col("_bsz") <= cfg.maxBucket)
+        .select(col("band"), col("bkey"))
+        .localCheckpoint(true))
+    val kept = smallBuckets
+      .map(sm => unionPostings.join(sm, Seq("band", "bkey")))
+      .getOrElse(unionPostings)
     // probe = the increment's postings only: every candidate involves a
     // new doc, so both-old pairs (already emitted) can never re-form
-    val probe = if (cfg.maxBucket <= 0) newPostings
-      else newPostings.join(
-        kept.select(col("band"), col("bkey")).distinct(), Seq("band", "bkey"))
+    val probe = smallBuckets
+      .map(sm => newPostings.join(sm, Seq("band", "bkey")))
+      .getOrElse(newPostings)
     val cands = kept.as("l")
       .join(probe.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
@@ -114,11 +122,14 @@ object IncrementalDedup {
         greatest(col("l.id"), col("r.id")).as("id_b"))
       .distinct()
 
+    // crash-retry dedupe via an ids-only anti-join (column-pruned scan
+    // of the state table), NOT a groupBy over the corpus-scale arrays —
+    // on the happy path it removes nothing, after a partially-committed
+    // attempt it removes the whole (already-appended) increment
     val oldArrays = tableOrEmpty(spark, arraysDir(stateDir),
       newArrays.limit(0))
-    val arrays = oldArrays.unionByName(newArrays)
-      .groupBy(col("id")).agg(first(col("toks")).as("toks"),
-        first(col("n_tok")).as("n_tok"))
+    val arrays = oldArrays.unionByName(
+      newArrays.join(oldArrays.select(col("id")), Seq("id"), "left_anti"))
     val verified = jaccardVerifyArrays(cands, arrays)
       .filter(col("jaccard") >= cfg.threshold)
       .select(col("id_a"), col("id_b"), col("n_common"),
@@ -195,8 +206,11 @@ object IncrementalDedup {
     import spark.implicits._
     val oldPostings = tableOrEmpty(spark, vecPostingsDir(stateDir),
       Seq.empty[(Long, Int, Long)].toDF("id", "band", "cell"))
+    // no global distinct — crash-retry duplicates are identical rows
+    // and the pair-scale cands.distinct() collapses them (cells are
+    // data-independent, so there is no size-based cap to inflate)
     val unionPostings = oldPostings.select(col("id"), col("band"), col("cell"))
-      .unionByName(newPostings).distinct()
+      .unionByName(newPostings)
     val cands = unionPostings.as("l")
       .join(newPostings.as("r"),
         col("l.band") === col("r.band") && col("l.cell") === col("r.cell") &&
@@ -207,8 +221,9 @@ object IncrementalDedup {
 
     val oldVectors = tableOrEmpty(spark, vectorsDir(stateDir),
       newVectors.limit(0))
-    val arrs = oldVectors.unionByName(newVectors)
-      .groupBy(col("id")).agg(first(col("v")).as("v"), first(col("n")).as("n"))
+    // same ids-only anti-join dedupe as the token-array state
+    val arrs = oldVectors.unionByName(
+      newVectors.join(oldVectors.select(col("id")), Seq("id"), "left_anti"))
     val verified = cands
       .join(arrs.select(col("id").as("id_a"), col("v").as("_va"),
         col("n").as("_na")), Seq("id_a"))

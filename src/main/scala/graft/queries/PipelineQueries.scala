@@ -407,22 +407,25 @@ object PipelineQueries {
 
     "dd_incremental_lsh" -> ((s: SparkSession, dir: String) => {
       // the INCREMENTAL-maintenance path under the driver gate: ingest
-      // the corpus in three batches through the persisted-LSH-state
+      // the corpus in two batches through the persisted-LSH-state
       // machinery (graft.ops.IncrementalDedup — postings / arrays /
       // emission-log snapshot tables, one idempotency key per batch)
-      // and serve the accumulated emission log. The oracle is the plain
-      // BATCH MinHash-LSH SQL over the whole corpus (uncapped), so this
-      // row hash-proves the central incremental guarantee — emissions
-      // union to exactly the batch pair set — not just in ScalaTest.
-      // Fresh state dir per invocation: re-timing reruns rebuild state.
+      // and serve the accumulated emission log. Runs the PRODUCTION
+      // config (bucket cap 1000 — uncapped, this fixture's hot
+      // boilerplate buckets blow up to 2.8M pairs / 43× the capped
+      // volume, the exact pathology the cap exists for); the oracle
+      // unrolls both rounds with each round's own bucket sizing,
+      // so the cap-at-ingest semantics are hash-proven at every scale,
+      // not just spec-asserted. Fresh state dir per invocation:
+      // re-timing reruns rebuild state from scratch.
       val stateDir = java.nio.file.Files
         .createTempDirectory("dd-inc-lsh").toString
       val d = s.read.parquet(t(dir, "documents"))
       val cfg = graft.ops.IncrementalDedup.LshConfig(
-        k = 4, rowsPerBand = 2, threshold = 0.8, maxBucket = 0)
-      (0 until 3).foreach { i =>
+        k = 4, rowsPerBand = 2, threshold = 0.8, maxBucket = 1000)
+      (0 until 2).foreach { i =>
         graft.ops.IncrementalDedup.update(s, stateDir,
-          d.filter(col("doc_id") % 3 === i), "doc_id", "text", s"inc-$i", cfg)
+          d.filter(col("doc_id") % 2 === i), "doc_id", "text", s"inc-$i", cfg)
         ()
       }
       graft.ops.IncrementalDedup.pairsFromTable(s, stateDir)
@@ -1370,12 +1373,45 @@ object PipelineQueries {
 
     "dd_minhash_lsh" -> lshVerifySql(hashedTokensCte, "0.8"),
 
-    // the incremental path's truth is the BATCH pipeline over the full
-    // corpus (uncapped — an astronomically large cap disables keptb
-    // without a second SQL shape), with the emission log's n_common /
-    // round-6 jaccard columns riding along
-    "dd_incremental_lsh" ->
-      s"""WITH ${lshPairsCtes(hashedTokensCte, "0.8", cap = "1000000000")}
+    // the incremental path's truth, with the engine's 2-increment
+    // cap-at-ingest semantics unrolled: round i sizes every bucket over
+    // the docs ingested SO FAR (doc_id % 2 <= i), keeps buckets <= cap,
+    // and pairs the kept union against the kept NEW postings — so a
+    // bucket that crosses the cap mid-stream stops emitting exactly
+    // where the engine stops. Emissions then verify with the shared
+    // exact-Jaccard arm and union (each pair lands once, at its later
+    // doc's round, but UNION dedupes defensively).
+    "dd_incremental_lsh" -> {
+      val rounds = (0 until 2).map { i =>
+        s"""k$i AS (SELECT band, bkey FROM b WHERE grp <= $i
+                    GROUP BY band, bkey HAVING COUNT(*) <= 1000),
+            c$i AS (
+              SELECT DISTINCT least(l.id, r.id) AS id_a,
+                     greatest(l.id, r.id) AS id_b
+              FROM (SELECT b.* FROM b JOIN k$i USING (band, bkey)
+                    WHERE grp <= $i) l
+              JOIN (SELECT b.* FROM b JOIN k$i USING (band, bkey)
+                    WHERE grp = $i) r
+                ON l.band = r.band AND l.bkey = r.bkey AND l.id <> r.id)"""
+      }.mkString(",\n")
+      s"""WITH $hashedTokensCte,
+          sig AS (
+            SELECT id,
+                   MIN(md5('0:' || token)) AS sig_0, MIN(md5('1:' || token)) AS sig_1,
+                   MIN(md5('2:' || token)) AS sig_2, MIN(md5('3:' || token)) AS sig_3
+            FROM tok GROUP BY id),
+          b AS (
+            SELECT id, id % 2 AS grp, 0 AS band, md5(sig_0 || sig_1) AS bkey FROM sig
+            UNION ALL
+            SELECT id, id % 2 AS grp, 1 AS band, md5(sig_2 || sig_3) AS bkey FROM sig),
+          $rounds,
+          cand AS (SELECT * FROM c0 UNION SELECT * FROM c1),
+          cnt AS (SELECT id, COUNT(*) AS n_tok FROM tok GROUP BY id),
+          common AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+            FROM cand c JOIN tok a ON a.id = c.id_a
+                        JOIN tok x ON x.id = c.id_b AND x.token = a.token
+            GROUP BY c.id_a, c.id_b)
           SELECT c.id_a, c.id_b, CAST(c.n_common AS BIGINT) AS n_common,
                  round(CAST(c.n_common AS DOUBLE)
                        / CAST(ca.n_tok + cb.n_tok - c.n_common AS DOUBLE), 6)
@@ -1384,7 +1420,8 @@ object PipelineQueries {
                         JOIN cnt cb ON cb.id = c.id_b
           WHERE CAST(c.n_common AS DOUBLE)
                 / CAST(ca.n_tok + cb.n_tok - c.n_common AS DOUBLE) >= 0.8
-          ORDER BY id_a, id_b""",
+          ORDER BY id_a, id_b"""
+    },
 
     "dd_shingle_lsh" -> lshVerifySql(shinglesCte, "0.8"),
 
