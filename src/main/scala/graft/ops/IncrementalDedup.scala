@@ -96,23 +96,28 @@ object IncrementalDedup {
     val unionPostings = oldPostings.select(col("id"), col("band"), col("bkey"))
       .unionByName(newPostings)
 
-    // the kept-bucket key set is bucket-dimension sized — pin it so the
-    // sizing aggregate runs once, not once per consumer (build side AND
-    // probe filter both reference it)
-    val smallBuckets =
+    // cap filtering via the OVER-cap set, not the kept set: a bucket
+    // holds > cap members to be hot, so there are at most
+    // |postings|/cap hot buckets — a tiny, BROADCASTABLE frame — while
+    // the kept-key set is bucket-dimension (corpus-order) sized. The
+    // broadcast anti-joins below filter both sides map-side; pinning
+    // the hot set makes the sizing aggregate run once, not per consumer
+    val hotBuckets =
       if (cfg.maxBucket <= 0) None
       else Some(unionPostings.groupBy(col("band"), col("bkey"))
         .agg(countDistinct(col("id")).as("_bsz"))
-        .filter(col("_bsz") <= cfg.maxBucket)
+        .filter(col("_bsz") > cfg.maxBucket)
         .select(col("band"), col("bkey"))
         .localCheckpoint(true))
-    val kept = smallBuckets
-      .map(sm => unionPostings.join(sm, Seq("band", "bkey")))
+    val kept = hotBuckets
+      .map(h => unionPostings.join(broadcast(h), Seq("band", "bkey"),
+        "left_anti"))
       .getOrElse(unionPostings)
     // probe = the increment's postings only: every candidate involves a
     // new doc, so both-old pairs (already emitted) can never re-form
-    val probe = smallBuckets
-      .map(sm => newPostings.join(sm, Seq("band", "bkey")))
+    val probe = hotBuckets
+      .map(h => newPostings.join(broadcast(h), Seq("band", "bkey"),
+        "left_anti"))
       .getOrElse(newPostings)
     val cands = kept.as("l")
       .join(probe.as("r"),
