@@ -169,8 +169,15 @@ object Dedup {
     * (pair, token): at 100 TB that is the difference between shuffling
     * candidate pairs and shuffling the corpus token fan-out.
     */
-  def jaccardVerify(pairs: DataFrame, tokens: DataFrame): DataFrame = {
-    val arrs = tokenArrays(tokens)
+  def jaccardVerify(pairs: DataFrame, tokens: DataFrame): DataFrame =
+    jaccardVerifyArrays(pairs, tokenArrays(tokens))
+
+  /** The verify arm against a PRECOMPUTED (id, toks, n_tok) array table
+    * — the single implementation of the exactness-critical Jaccard
+    * formula (jaccardVerify derives its arrays; the incremental path
+    * persists them as state and must not rescan the corpus).
+    */
+  def jaccardVerifyArrays(pairs: DataFrame, arrs: DataFrame): DataFrame =
     pairs
       .join(arrs.select(col("id").as("id_a"), col("toks").as("_ta"),
         col("n_tok").as("n_a")), Seq("id_a"))
@@ -181,7 +188,6 @@ object Dedup {
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .drop("_ta", "_tb")
-  }
 
   /** Full MinHash-LSH near-dup pipeline: docs → near-dup pairs with
     * verified Jaccard ≥ threshold. maxBucket caps LSH bucket size (see

@@ -45,11 +45,17 @@ import graft.sources.SnapshotTable
   * already absorbed this increment's postings dedupes against the
   * recomputed increment), and completes the rest — the
   * [[Sketches]]/[[graft.kg.Pipeline]] append-only discipline.
+  * PRECONDITION: a crashed increment must be retried to completion
+  * BEFORE the next increment ingests (exactly the ordering Structured
+  * Streaming's foreachBatch provides). An out-of-order retry — batch
+  * i+1 ingested between batch i's crash and its retry — would re-form
+  * the i×(i+1) pairs a completed i+1 already emitted, because the
+  * retry's probe joins a state that now also holds i+1's postings.
   */
 object IncrementalDedup {
 
   final case class LshConfig(k: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.5, minTokenLen: Int = 1, maxBucket: Int = 0)
+      threshold: Double = 0.5, minTokenLen: Int = 1, maxBucket: Int = 1000)
 
   private def postingsDir(stateDir: String) = s"$stateDir/postings"
   private def arraysDir(stateDir: String) = s"$stateDir/arrays"
@@ -104,7 +110,14 @@ object IncrementalDedup {
     // the hot set makes the sizing aggregate run once, not per consumer
     val hotBuckets =
       if (cfg.maxBucket <= 0) None
-      else Some(unionPostings.groupBy(col("band"), col("bkey"))
+      else Some(unionPostings
+        // only buckets the NEW batch touches can emit pairs, so sizing
+        // restricts to them first (increment-proportional aggregate,
+        // not a corpus-wide one — "never rescan the corpus" includes
+        // the sizing pass)
+        .join(newPostings.select(col("band"), col("bkey")).distinct(),
+          Seq("band", "bkey"), "left_semi")
+        .groupBy(col("band"), col("bkey"))
         .agg(countDistinct(col("id")).as("_bsz"))
         .filter(col("_bsz") > cfg.maxBucket)
         .select(col("band"), col("bkey"))
@@ -135,7 +148,7 @@ object IncrementalDedup {
       newArrays.limit(0))
     val arrays = oldArrays.unionByName(
       newArrays.join(oldArrays.select(col("id")), Seq("id"), "left_anti"))
-    val verified = jaccardVerifyArrays(cands, arrays)
+    val verified = Dedup.jaccardVerifyArrays(cands, arrays)
       .filter(col("jaccard") >= cfg.threshold)
       .select(col("id_a"), col("id_b"), col("n_common"),
         round(col("jaccard"), 6).as("jaccard"))
@@ -193,16 +206,11 @@ object IncrementalDedup {
   def updateVectors(spark: SparkSession, stateDir: String, vecs: DataFrame,
       idCol: String, vecCol: String, idempotencyKey: String,
       cfg: VecLshConfig = VecLshConfig()): DataFrame = {
-    require(cfg.planes * cfg.bands <= Similarity.lshPrimes.size,
-      "raise the prime table")
-    val newPostings = vecs.select(
-        col(idCol).as("id"),
-        explode(array((0 until cfg.bands).map { b =>
-          struct(lit(b).as("band"),
-            Similarity.signCell(col(vecCol), Similarity.lshPrimes
-              .slice(b * cfg.planes, (b + 1) * cfg.planes)).as("cell"))
-        }: _*)).as("bc"))
-      .select(col("id"), col("bc.band").as("band"), col("bc.cell").as("cell"))
+    // postings come from the SAME construction the batch path uses
+    // (Similarity.bandedSignPostings) — the plane-family agreement is
+    // structural, not a copy kept in sync by convention
+    val newPostings = Similarity
+      .bandedSignPostings(vecs, idCol, vecCol, cfg.planes, cfg.bands)
       .localCheckpoint(true) // referenced by probe, union AND append
     val newVectors = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
         Similarity.norm(col(vecCol)).as("n"))
@@ -229,14 +237,9 @@ object IncrementalDedup {
     // same ids-only anti-join dedupe as the token-array state
     val arrs = oldVectors.unionByName(
       newVectors.join(oldVectors.select(col("id")), Seq("id"), "left_anti"))
-    val verified = cands
-      .join(arrs.select(col("id").as("id_a"), col("v").as("_va"),
-        col("n").as("_na")), Seq("id_a"))
-      .join(arrs.select(col("id").as("id_b"), col("v").as("_vb"),
-        col("n").as("_nb")), Seq("id_b"))
-      .withColumn("cos",
-        Similarity.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
-      .filter(col("cos") >= cfg.threshold)
+    // shared verify arm (drops zero-norm vectors — NaN cosine would
+    // otherwise pass any threshold under Spark's NaN ordering)
+    val verified = Similarity.cosineVerifyArrays(cands, arrs, cfg.threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .localCheckpoint(true) // referenced by the append AND the return
 
@@ -253,21 +256,4 @@ object IncrementalDedup {
   def vecPairsFromTable(spark: SparkSession, stateDir: String): DataFrame =
     SnapshotTable.read(spark, vecPairsDir(stateDir))
 
-  /** [[Dedup.jaccardVerify]] against a precomputed (id, toks, n_tok)
-    * array table instead of a token fan-out — the incremental path
-    * already persists the arrays, so re-deriving them per increment
-    * would rescan the corpus.
-    */
-  def jaccardVerifyArrays(pairs: DataFrame, arrs: DataFrame): DataFrame =
-    pairs
-      .join(arrs.select(col("id").as("id_a"), col("toks").as("_ta"),
-        col("n_tok").as("n_a")), Seq("id_a"))
-      .join(arrs.select(col("id").as("id_b"), col("toks").as("_tb"),
-        col("n_tok").as("n_b")), Seq("id_b"))
-      .withColumn("n_common",
-        size(array_intersect(col("_ta"), col("_tb"))).cast("long"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .drop("_ta", "_tb", "n_a", "n_b")
 }

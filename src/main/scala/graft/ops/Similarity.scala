@@ -80,27 +80,58 @@ object Similarity {
     * cell going cartesian). At 100 TB raise `planes` (cells = 2^planes)
     * so per-cell membership stays bounded.
     */
+  /** Banded sign-cell postings (id, [gate,] band, cell) — the ONE
+    * construction of the deterministic prime-plane band keys, shared by
+    * the batch pair join and the incremental-maintenance state so the
+    * two paths use the same plane family structurally, not by
+    * convention.
+    */
+  def bandedSignPostings(vecs: DataFrame, idCol: String, vecCol: String,
+      planes: Int, bands: Int, gate: Option[Column] = None): DataFrame = {
+    require(planes * bands <= lshPrimes.size, "raise the prime table")
+    val base = vecs.select(
+      col(idCol).as("id"),
+      gate.getOrElse(lit(0L)).as("gate"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          signCell(col(vecCol), lshPrimes.slice(b * planes, (b + 1) * planes))
+            .as("cell"))
+      }: _*)).as("bc"))
+      .select(col("id"), col("gate"), col("bc.band"), col("bc.cell"))
+    if (gate.isDefined) base else base.drop("gate")
+  }
+
+  /** Exact-cosine verify against a precomputed (id, v, n) table — the
+    * one implementation of the verify arm (batch derives the table from
+    * the input; the incremental path persists it as state). Zero-norm
+    * vectors (failed encodes, padding rows) are dropped: their cosine
+    * is 0/0 = NaN, and Spark's NaN ordering would otherwise let the
+    * garbage pair PASS any threshold.
+    */
+  def cosineVerifyArrays(pairs: DataFrame, arrs: DataFrame,
+      threshold: Double): DataFrame =
+    pairs
+      .join(arrs.select(col("id").as("id_a"), col("v").as("_va"), col("n").as("_na")),
+        Seq("id_a"))
+      .join(arrs.select(col("id").as("id_b"), col("v").as("_vb"), col("n").as("_nb")),
+        Seq("id_b"))
+      .filter(col("_na") > 0 && col("_nb") > 0)
+      .withColumn("cos", dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+
   def signLshPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    planes: Int = 4, bands: Int = 2,
                    threshold: Double = 0.5,
                    gate: Option[Column] = None): DataFrame = {
-    require(planes * bands <= lshPrimes.size, "raise the prime table")
-    val allPrimes = lshPrimes
     // candidate generation carries ONLY ids: the band self-join and the
     // pair dedup shuffle (id, band, cell) rows, never vectors; the
     // per-vector norm is computed once, so the verify stage is one dot
     // product per pair (not three). `gate` is an optional extra per-row
     // key candidates must also share (e.g. a k-means cell for the
     // SemDeDup composition) — it rides the same ids-only join.
-    val keyed = vecs.select(
-      col(idCol).as("id"),
-      gate.getOrElse(lit(0L)).as("gate"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          signCell(col(vecCol), allPrimes.slice(b * planes, (b + 1) * planes))
-            .as("cell"))
-      }: _*)).as("bc"))
-      .select(col("id"), col("gate"), col("bc.band"), col("bc.cell"))
+    val keyed = bandedSignPostings(vecs, idCol, vecCol, planes, bands,
+      Some(gate.getOrElse(lit(0L))))
     val l = keyed.as("l"); val r = keyed.as("r")
     val cands = l.join(r,
         col("l.gate") === col("r.gate") &&
@@ -110,14 +141,7 @@ object Similarity {
       .distinct()
     val arrs = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("n"))
-    cands
-      .join(arrs.select(col("id").as("id_a"), col("v").as("_va"), col("n").as("_na")),
-        Seq("id_a"))
-      .join(arrs.select(col("id").as("id_b"), col("v").as("_vb"), col("n").as("_nb")),
-        Seq("id_b"))
-      .withColumn("cos", dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+    cosineVerifyArrays(cands, arrs, threshold)
   }
 
   /** IVF-style pairwise near-neighbour pairs: only pairs sharing the

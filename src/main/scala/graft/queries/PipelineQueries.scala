@@ -428,8 +428,17 @@ object PipelineQueries {
           d.filter(col("doc_id") % 2 === i), "doc_id", "text", s"inc-$i", cfg)
         ()
       }
-      graft.ops.IncrementalDedup.pairsFromTable(s, stateDir)
+      // pin the (pair-scale) emission log, then reclaim the state dir —
+      // without this every invocation (and every bench re-timing) leaks
+      // a full LSH-state copy of the corpus under /tmp
+      val out = graft.ops.IncrementalDedup.pairsFromTable(s, stateDir)
         .orderBy(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(stateDir)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+      out
     }),
 
     "dd_shingle_lsh" -> ((s: SparkSession, dir: String) => {
@@ -996,8 +1005,7 @@ object PipelineQueries {
     * CTE (word tokens or shingles) — shared by the pair queries and
     * the cluster closure.
     */
-  private def lshPairsCtes(tokCte: String, threshold: String,
-      cap: String = "1000"): String = s"""
+  private def lshPairsCtes(tokCte: String, threshold: String): String = s"""
          $tokCte,
          sig AS (
            SELECT id,
@@ -1010,7 +1018,7 @@ object PipelineQueries {
            SELECT id, 1 AS band, md5(sig_2 || sig_3) AS bkey FROM sig),
          keptb AS (
            SELECT band, bkey FROM bands GROUP BY band, bkey
-           HAVING COUNT(*) <= $cap),
+           HAVING COUNT(*) <= 1000),
          kept AS (SELECT b.* FROM bands b JOIN keptb USING (band, bkey)),
          cand AS (
            SELECT DISTINCT l.id AS id_a, r.id AS id_b
@@ -1597,7 +1605,8 @@ object PipelineQueries {
            UNNEST(generate_series(1, 64)) t(i)),
          ver AS (
            SELECT id_a, id_b FROM expl GROUP BY id_a, id_b
-           HAVING SUM(prod) / (sqrt(SUM(sa)) * sqrt(SUM(sb))) >= 0.4)
+           HAVING SUM(sa) > 0 AND SUM(sb) > 0
+              AND SUM(prod) / (sqrt(SUM(sa)) * sqrt(SUM(sb))) >= 0.4)
          SELECT id_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups_lower
          FROM ver GROUP BY id_b ORDER BY vec_id""",
 
@@ -1647,7 +1656,8 @@ object PipelineQueries {
            JOIN embeddings b ON b.vec_id = c.id_b,
            UNNEST(generate_series(1, 64)) t(i))
          SELECT id_a, id_b FROM expl GROUP BY id_a, id_b
-         HAVING SUM(prod) / (sqrt(SUM(sa)) * sqrt(SUM(sb))) >= 0.4
+         HAVING SUM(sa) > 0 AND SUM(sb) > 0
+            AND SUM(prod) / (sqrt(SUM(sa)) * sqrt(SUM(sb))) >= 0.4
          ORDER BY id_a, id_b""",
 
     "sim_ann_topk" ->

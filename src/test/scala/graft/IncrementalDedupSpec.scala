@@ -124,6 +124,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
         "vec_id", "embedding", s"v$i", vcfg))
     }
     assert(emitted(0).intersect(emitted(1)).isEmpty)
+    assert(emitted(0).intersect(emitted(2)).isEmpty)
     assert(emitted(1).intersect(emitted(2)).isEmpty)
     val union = emitted.reduce(_ ++ _)
     val batch = pairsOf(Similarity.signLshPairs(v, "vec_id", "embedding",
