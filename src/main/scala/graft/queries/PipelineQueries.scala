@@ -441,6 +441,33 @@ object PipelineQueries {
       out
     }),
 
+    "dd_incremental_cos" -> ((s: SparkSession, dir: String) => {
+      // the EMBEDDING incremental-maintenance path under the driver
+      // gate (the dd_incremental_lsh twin): two vector batches through
+      // the persisted sign-LSH state, emission log served against the
+      // plain batch signLshPairs SQL — sign cells are data-independent,
+      // so incremental union == batch EXACTLY (no cap policy involved).
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("dd-inc-cos").toString
+      val v = s.read.parquet(t(dir, "embeddings"))
+      val cfg = graft.ops.IncrementalDedup.VecLshConfig(
+        planes = 4, bands = 2, threshold = 0.4)
+      (0 until 2).foreach { i =>
+        graft.ops.IncrementalDedup.updateVectors(s, stateDir,
+          v.filter(col("vec_id") % 2 === i), "vec_id", "embedding",
+          s"inc-$i", cfg)
+        ()
+      }
+      val out = graft.ops.IncrementalDedup.vecPairsFromTable(s, stateDir)
+        .orderBy(col("id_a"), col("id_b"))
+        .localCheckpoint(true) // pin before reclaiming the state dir
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(stateDir)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+      out
+    }),
+
     "dd_shingle_lsh" -> ((s: SparkSession, dir: String) => {
       // word-trigram shingles → MinHash → banded LSH → exact Jaccard —
       // the order-sensitive near-dup variant (reordered boilerplate no
@@ -1432,6 +1459,31 @@ object PipelineQueries {
     },
 
     "dd_shingle_lsh" -> lshVerifySql(shinglesCte, "0.8"),
+
+    // the vector incremental path's truth is the plain batch sign-LSH
+    // pair SQL (cells are data-independent — no per-round sizing to
+    // unroll), with the emission log's round-6 cosine riding along
+    "dd_incremental_cos" ->
+      s"""WITH $signBandsCtes,
+         cand AS (
+           SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+           FROM bands l JOIN bands r
+             ON l.band = r.band AND l.cell = r.cell AND l.vec_id < r.vec_id),
+         expl AS (
+           SELECT c.id_a, c.id_b,
+                  CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS prod,
+                  CAST(a.embedding[i] AS DOUBLE)^2 AS sa,
+                  CAST(b.embedding[i] AS DOUBLE)^2 AS sb
+           FROM cand c
+           JOIN embeddings a ON a.vec_id = c.id_a
+           JOIN embeddings b ON b.vec_id = c.id_b,
+           UNNEST(generate_series(1, 64)) t(i))
+         SELECT id_a, id_b,
+                round(SUM(prod) / (sqrt(SUM(sa)) * sqrt(SUM(sb))), 6) AS cos
+         FROM expl GROUP BY id_a, id_b
+         HAVING SUM(sa) > 0 AND SUM(sb) > 0
+            AND SUM(prod) / (sqrt(SUM(sa)) * sqrt(SUM(sb))) >= 0.4
+         ORDER BY id_a, id_b""",
 
     // transitive closure over the verified pair graph, as a recursive
     // CTE — component = lexicographic-min member = the keeper
