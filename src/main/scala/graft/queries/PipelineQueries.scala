@@ -801,6 +801,32 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    "ev_window_distinct" -> ((s: SparkSession, dir: String) => {
+      // windowed cardinality: distinct users per 10-minute tumbling
+      // window, exact count + the portable mergeable-HLL estimate
+      // riding along — the streaming-analytics staple where at 100 TB
+      // the exact count's per-window key universe shuffle gives way to
+      // the 64-register sketch (map-side combinable; the same sketch
+      // the snapshot-table maintenance persists incrementally). Window
+      // starts as BIGINT epoch seconds, the ev_hopping_window
+      // convention.
+      val e = s.read.parquet(t(dir, "events"))
+      val size = 600L
+      // one scan feeds both the sketch and the exact rider
+      val hashed = e.select(
+          (floor(unix_timestamp(col("ts")) / size) * size).cast("long")
+            .as("win_start"),
+          Dedup.hash60(concat(lit("evwd:"), col("user_id").cast("string")))
+            .as("h"))
+        .localCheckpoint(true)
+      val est = graft.ops.Sketches.hllDistinct(hashed, "win_start", "h")
+      val exact = hashed.distinct().groupBy(col("win_start"))
+        .agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("win_start"))
+        .select(col("win_start"), col("n_exact"), col("est_distinct"))
+        .orderBy(col("win_start"))
+    }),
+
     "ev_hopping_window" -> ((s: SparkSession, dir: String) => {
       // hopping (sliding) window aggregation: 10-min windows sliding
       // every 5 min — the batch twin of Structured Streaming's
@@ -1930,6 +1956,38 @@ object PipelineQueries {
                     ORDER BY ts, event_id) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    // same 64-register HLL as a9_sketch_distinct, keyed by the tumbling
+    // window start; same md5-prefix user hash, same linear-counting arm
+    "ev_window_distinct" ->
+      """WITH wr AS (
+           SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+                  ('0x' || substr(md5('evwd:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM events),
+         wb AS (SELECT win_start, h % 64 AS b, h >> 6 AS w FROM wr),
+         regs AS (
+           SELECT win_start, b,
+                  MAX(CASE WHEN w = 0 THEN 55
+                           ELSE 55 - length(bin(w)) END) AS m
+           FROM wb GROUP BY win_start, b),
+         agg AS (
+           SELECT win_start,
+                  SUM(2.0 ^ (-m)) + CAST(64 - COUNT(*) AS DOUBLE) AS z,
+                  64 - COUNT(*) AS v
+           FROM regs GROUP BY win_start),
+         est AS (
+           SELECT win_start,
+                  round(CASE WHEN v > 0
+                              AND (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / z <= 160.0
+                             THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE))
+                             ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / z
+                        END, 3) AS est_distinct
+           FROM agg),
+         ex AS (
+           SELECT win_start, COUNT(*) AS n_exact
+           FROM (SELECT DISTINCT win_start, h FROM wr) GROUP BY win_start)
+         SELECT win_start, n_exact, est_distinct
+         FROM est JOIN ex USING (win_start) ORDER BY win_start""",
 
     // same two-windows-per-event expansion (size 600 s = 2 × slide
     // 300 s); epoch floor-division matches Spark's unix_timestamp floor
