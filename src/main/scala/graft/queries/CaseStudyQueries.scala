@@ -432,6 +432,32 @@ object CaseStudyQueries {
         .orderBy(col("jaccard").desc, col("u"), col("v")).limit(20)
     }),
 
+    // Adamic-Adar link prediction — the degree-weighted companion to
+    // kg_cs_jaccard_nbrs: common neighbors count 1/ln(deg(w)) each, so
+    // hub co-neighbors contribute less than specialist ones. Same
+    // oriented-wedge enumeration and anti-join; a shared neighbor of a
+    // non-adjacent pair has degree ≥ 2, so ln(deg) is never 0. Scores
+    // are round-6 doubles with the (u, v) tiebreak; the float sum runs
+    // over the handful of common neighbors per pair.
+    "kg_cs_adamic_adar" -> ((s: SparkSession, dir: String) => {
+      val und = organismEdges(s, dir)
+        .localCheckpoint(true) // referenced by wedges, degrees AND anti-join
+      val sym = und.select(col("u").as("a"), col("v").as("b"))
+        .union(und.select(col("v").as("a"), col("u").as("b")))
+      val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+      val wedges = sym.as("x").join(sym.as("y"),
+          col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+        .select(col("x.a").as("w"), col("x.b").as("u"), col("y.b").as("v"))
+      val cand = wedges
+        .join(deg.select(col("n").as("w"), col("d").as("dw")), Seq("w"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("common"),
+          round(sum(lit(1.0) / log(col("dw").cast("double"))), 6).as("aa"))
+      cand.join(und, Seq("u", "v"), "left_anti")
+        .select(col("u"), col("v"), col("common"), col("aa"))
+        .orderBy(col("aa").desc, col("u"), col("v")).limit(20)
+    }),
+
     // CS5 Leaf-Economic-Spectrum archetypes (CS5_viz.py): the trait
     // correlation matrix (plot_trait_correlations, :283-304) and the
     // StandardScaler z-score standardization (:322-324). The trydb
@@ -705,6 +731,40 @@ object CaseStudyQueries {
           FROM comm CROSS JOIN tot
           ORDER BY n_members DESC, community LIMIT 25"""
     },
+
+    // same wedge enumeration with the shared neighbor kept, same
+    // 1/ln(deg) weighting, same anti-join + round(6) + (u, v) tiebreak
+    "kg_cs_adamic_adar" ->
+      s"""WITH g AS (SELECT * FROM $g),
+          so AS (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          und AS MATERIALIZED (
+            SELECT DISTINCT least(s1.org, s2.org) AS u,
+                   greatest(s1.org, s2.org) AS v
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          sym AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM und
+            UNION ALL SELECT v AS a, u AS b FROM und),
+          deg AS (SELECT a AS n, COUNT(*) AS d FROM sym GROUP BY a),
+          cand AS (
+            SELECT x.b AS u, y.b AS v,
+                   COUNT(*) AS common,
+                   round(SUM(1.0 / ln(CAST(deg.d AS DOUBLE))), 6) AS aa
+            FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b
+                 JOIN deg ON deg.n = x.a
+            GROUP BY 1, 2),
+          ne AS (SELECT u, v, common, aa FROM cand
+                 WHERE NOT EXISTS (SELECT 1 FROM und
+                                   WHERE und.u = cand.u AND und.v = cand.v))
+          SELECT u, v, CAST(common AS BIGINT) AS common, aa
+          FROM ne ORDER BY aa DESC, u, v LIMIT 20""",
 
     // same oriented wedge count, same anti-join against existing edges,
     // same common/(du+dv-common) Jaccard with round(6) + (u, v) tiebreak

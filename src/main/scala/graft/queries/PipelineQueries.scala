@@ -801,6 +801,36 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    "ev_retention" -> ((s: SparkSession, dir: String) => {
+      // daily cohort retention (the product-analytics counterpart of
+      // the funnel): users grouped by their first-activity day, with
+      // next-day and day-7 return counts. One distinct (user, day)
+      // frame feeds the cohort min-aggregate and both return probes —
+      // every join and aggregate keys on user_id or the day-dimension
+      // cohort, so the plan is two user-keyed shuffles plus
+      // dimension-sized joins; day ids are epoch-days (BIGINT), no
+      // timezone in the gate.
+      val e = s.read.parquet(t(dir, "events"))
+      val days = e.select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+        .distinct()
+        .localCheckpoint(true) // feeds cohort + both return probes
+      val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
+        .localCheckpoint(true) // referenced by base + two probes
+      val base = cohort.groupBy(col("c_day")).agg(count(lit(1)).as("n_users"))
+      def returned(k: Int) = cohort.as("c").join(days.as("d"),
+          col("d.user_id") === col("c.user_id") &&
+            col("d.day") === col("c.c_day") + k, "left_semi")
+        .groupBy(col("c_day")).agg(count(lit(1)).as(s"n_d$k"))
+      base
+        .join(returned(1), Seq("c_day"), "left")
+        .join(returned(7), Seq("c_day"), "left")
+        .select(col("c_day").as("cohort_day"), col("n_users"),
+          coalesce(col("n_d1"), lit(0L)).as("n_d1"),
+          coalesce(col("n_d7"), lit(0L)).as("n_d7"))
+        .orderBy(col("cohort_day"))
+    }),
+
     "ev_window_distinct" -> ((s: SparkSession, dir: String) => {
       // windowed cardinality: distinct users per 10-minute tumbling
       // window, exact count + the portable mergeable-HLL estimate
@@ -1956,6 +1986,28 @@ object PipelineQueries {
                     ORDER BY ts, event_id) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    // same epoch-day arithmetic, same strictly-keyed next-day/day-7
+    // return probes; counts are integer-exact
+    "ev_retention" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+           FROM events),
+         cohort AS (SELECT user_id, MIN(day) AS c_day FROM days GROUP BY 1),
+         base AS (SELECT c_day, COUNT(*) AS n_users FROM cohort GROUP BY 1),
+         d1 AS (SELECT c.c_day, COUNT(*) AS n_d1
+                FROM cohort c JOIN days d
+                  ON d.user_id = c.user_id AND d.day = c.c_day + 1
+                GROUP BY 1),
+         d7 AS (SELECT c.c_day, COUNT(*) AS n_d7
+                FROM cohort c JOIN days d
+                  ON d.user_id = c.user_id AND d.day = c.c_day + 7
+                GROUP BY 1)
+         SELECT base.c_day AS cohort_day, n_users,
+                COALESCE(n_d1, 0) AS n_d1, COALESCE(n_d7, 0) AS n_d7
+         FROM base LEFT JOIN d1 USING (c_day) LEFT JOIN d7 USING (c_day)
+         ORDER BY cohort_day""",
 
     // same 64-register HLL as a9_sketch_distinct, keyed by the tumbling
     // window start; same md5-prefix user hash, same linear-counting arm

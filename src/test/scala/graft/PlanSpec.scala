@@ -263,6 +263,25 @@ class PlanSpec extends AnyFunSuite {
       assert(!edges.contains((u, v)), s"($u,$v) is an existing edge") }
   }
 
+  test("kg_cs_adamic_adar equals brute degree-weighted common neighbors") {
+    val edges = bruteOrganismEdges()
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val brute = (for {
+      u <- nodes; v <- nodes if u < v && !edges.contains((u, v))
+      cn = adj(u).intersect(adj(v)) if cn.nonEmpty
+    } yield {
+      val aa = cn.toSeq.map(w => 1.0 / math.log(adj(w).size)).sum
+      (u, v, cn.size.toLong,
+        BigDecimal(aa).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).sortBy { case (u, v, _, aa) => (-aa, u, v) }.take(20)
+    val got = SparkEntry.queries("kg_cs_adamic_adar")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty, "no predicted links — test is vacuous")
+    assert(got.toSeq == brute, s"engine ${got.mkString(",")} vs brute $brute")
+  }
+
   test("kg_cs_kcore equals brute-force peeling; in-core degrees honor k") {
     // same undirected organism edge set as the triangles twin; peel in
     // plain Scala to the fixpoint for k = 2 and 3 and compare

@@ -803,6 +803,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.exists(_.getLong(1) == 3L), "no user ever completes the funnel")
   }
 
+  test("ev_retention equals brute daily-cohort return counts") {
+    val days = bruteEvents()
+      .map(e => (e._3, e._2 / 1000000L / 86400L)).distinct
+    val byUser = days.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cohorts = byUser.view.mapValues(_.min).toMap
+    val brute = cohorts.values.toSeq.distinct.sorted.map { c =>
+      val users = cohorts.filter(_._2 == c).keys
+      (c, users.size.toLong,
+        users.count(u => byUser(u).contains(c + 1)).toLong,
+        users.count(u => byUser(u).contains(c + 7)).toLong)
+    }
+    val got = SparkEntry.queries("ev_retention")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == brute, s"engine ${got.mkString(",")} vs brute $brute")
+    // non-degenerate: someone actually returns
+    assert(got.map(_._3).sum > 0, "no next-day returns — test is vacuous")
+  }
+
   test("tx_dsir equals brute hashed-bigram importance weights") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def hash60(s: String): Long = java.lang.Long.parseLong(
