@@ -432,6 +432,33 @@ object CaseStudyQueries {
         .orderBy(col("jaccard").desc, col("u"), col("v")).limit(20)
     }),
 
+    // Degree assortativity of the interaction graph — the one-number
+    // "do hubs link to hubs?" summary (Newman 2002): Pearson r over the
+    // (deg(u), deg(v)) pairs of every directed edge (both orientations,
+    // the undirected convention). Computed from EXACT integer sums
+    // (n, Σx, Σy, Σxy, Σx², Σy² — degrees are integers) so the only
+    // float arithmetic is the final closed-form division, round-6 on
+    // both engines; no corr() built-in whose definition could differ.
+    "kg_cs_assortativity" -> ((s: SparkSession, dir: String) => {
+      val und = organismEdges(s, dir).localCheckpoint(true)
+      val sym = und.select(col("u").as("a"), col("v").as("b"))
+        .union(und.select(col("v").as("a"), col("u").as("b")))
+      val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+      val pairs = sym
+        .join(deg.select(col("n").as("a"), col("d").as("x")), Seq("a"))
+        .join(deg.select(col("n").as("b"), col("d").as("y")), Seq("b"))
+      val sums = pairs.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      sums.select(col("n").as("n_directed_edges"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+          6).as("assortativity"))
+    }),
+
     // Adamic-Adar link prediction — the degree-weighted companion to
     // kg_cs_jaccard_nbrs: common neighbors count 1/ln(deg(w)) each, so
     // hub co-neighbors contribute less than specialist ones. Same
@@ -731,6 +758,43 @@ object CaseStudyQueries {
           FROM comm CROSS JOIN tot
           ORDER BY n_members DESC, community LIMIT 25"""
     },
+
+    // same exact integer sums, same closed-form Pearson, round(6)
+    "kg_cs_assortativity" ->
+      s"""WITH g AS (SELECT * FROM $g),
+          so AS (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          und AS MATERIALIZED (
+            SELECT DISTINCT least(s1.org, s2.org) AS u,
+                   greatest(s1.org, s2.org) AS v
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          sym AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM und
+            UNION ALL SELECT v AS a, u AS b FROM und),
+          deg AS (SELECT a AS n, COUNT(*) AS d FROM sym GROUP BY a),
+          p AS (SELECT dx.d AS x, dy.d AS y
+                FROM sym JOIN deg dx ON dx.n = sym.a
+                         JOIN deg dy ON dy.n = sym.b),
+          s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy
+                FROM p)
+          SELECT n AS n_directed_edges,
+                 round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   AS assortativity
+          FROM s""",
 
     // same wedge enumeration with the shared neighbor kept, same
     // 1/ln(deg) weighting, same anti-join + round(6) + (u, v) tiebreak

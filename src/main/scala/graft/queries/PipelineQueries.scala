@@ -831,6 +831,34 @@ object PipelineQueries {
         .orderBy(col("cohort_day"))
     }),
 
+    "ev_anomaly" -> ((s: SparkSession, dir: String) => {
+      // volume-anomaly detection: per event type, 10-minute windows
+      // whose event count deviates ≥ 2 sample standard deviations from
+      // that type's mean window count — the monitoring staple. Mean and
+      // std come from EXACT integer sums (n, Σc, Σc²) so both engines
+      // run the identical closed-form float expression once per
+      // (type, window); the per-type stats are a 5-row broadcast. Types
+      // with zero variance (or < 2 windows) emit nothing by definition.
+      val e = s.read.parquet(t(dir, "events"))
+      val win = (floor(unix_timestamp(col("ts")) / 600L) * 600L).cast("long")
+      val counts = e.groupBy(col("event_type"), win.as("win_start"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds the stats aggregate AND the probe
+      val stats = counts.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("scc"))
+      counts.join(broadcast(stats), Seq("event_type"))
+        .filter(col("n") >= 2 && col("n") * col("scc") - col("sc") * col("sc") > 0)
+        .withColumn("z", round(
+          (col("c").cast("double") - col("sc").cast("double") / col("n"))
+            / sqrt((col("n") * col("scc") - col("sc") * col("sc")).cast("double")
+              / (col("n").cast("double") * (col("n") - 1))), 6))
+        .filter(abs(col("z")) >= 2.0)
+        .select(col("event_type"), col("win_start"), col("c").as("n_events"),
+          col("z"))
+        .orderBy(col("event_type"), col("win_start"))
+    }),
+
     "ev_window_distinct" -> ((s: SparkSession, dir: String) => {
       // windowed cardinality: distinct users per 10-minute tumbling
       // window, exact count + the portable mergeable-HLL estimate
@@ -1986,6 +2014,30 @@ object PipelineQueries {
                     ORDER BY ts, event_id) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    // same integer sums, same closed-form z expression, same rounded
+    // |z| >= 2 cut
+    "ev_anomaly" ->
+      """WITH c AS (
+           SELECT event_type,
+                  CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+                  COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, COUNT(*) AS n,
+                  CAST(SUM(c) AS BIGINT) AS sc,
+                  CAST(SUM(c * c) AS BIGINT) AS scc
+           FROM c GROUP BY 1),
+         z AS (
+           SELECT c.event_type, c.win_start, c.c AS n_events,
+                  round((CAST(c.c AS DOUBLE) - CAST(sc AS DOUBLE) / n)
+                        / sqrt(CAST(n * scc - sc * sc AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * (n - 1))), 6) AS z
+           FROM c JOIN st USING (event_type)
+           WHERE n >= 2 AND n * scc - sc * sc > 0)
+         SELECT event_type, win_start, n_events, z FROM z
+         WHERE abs(z) >= 2.0
+         ORDER BY event_type, win_start""",
 
     // same epoch-day arithmetic, same strictly-keyed next-day/day-7
     // return probes; counts are integer-exact
