@@ -25,7 +25,33 @@ object Bench {
         .toLong
     } catch { case _: Throwable => -1L }
 
+  /** Quiet-box guard: two consecutive driver artifacts were recorded at
+    * 1-min loadavg > 3 — the rerun sentinel recovered them, but the
+    * FIRST-PASS numbers should be the honest ones. Sleep-loop until the
+    * box is quiet (loadavg ≤ SPARK_GRAFT_MAX_LOAD, default 1.5), bounded
+    * by SPARK_GRAFT_LOAD_WAIT_SECS (default 300) so a persistently busy
+    * box still produces an artifact — whose contention block then
+    * truthfully reports the load it could not shed. SPARK_GRAFT_MAX_LOAD=0
+    * disables the guard entirely.
+    */
+  private def awaitQuietBox(): Unit = {
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "1.5").toDouble
+    if (maxLoad <= 0) return
+    val deadline = System.nanoTime() +
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SECS", "300").toLong * 1000000000L
+    var l = loadAvg()
+    while (l > maxLoad && System.nanoTime() < deadline) {
+      System.err.println(f"[bench] box busy (loadavg $l%.2f > $maxLoad) — waiting")
+      Thread.sleep(5000)
+      l = loadAvg()
+    }
+    if (l > maxLoad)
+      System.err.println(f"[bench] proceeding on a busy box (loadavg $l%.2f) — " +
+        "wait budget exhausted; contention block will show it")
+  }
+
   def main(args: Array[String]): Unit = {
+    awaitQuietBox()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val shm = new java.io.File("/dev/shm")
@@ -57,6 +83,7 @@ object Bench {
         graft.queries.Materialized.globiTable(spark, sfDir)
         graft.queries.Materialized.trydbTable(spark, sfDir)
         graft.queries.PipelineQueries.materializeShared(spark, sfDir)
+        graft.queries.CaseStudyQueries.materializeShared(spark, sfDir)
         (System.nanoTime() - tm0) / 1e9
       } catch {
         case e: Throwable =>
@@ -64,6 +91,21 @@ object Bench {
           // build failed (a silent partial time would misattribute the
           // rebuild cost to whichever kg_* query touches the memo first)
           System.err.println(s"[bench] materialize_tables failed: ${e.getMessage}")
+          -1.0
+      }
+    // the incremental-dedup STATE BUILDS (2× IncrementalDedup.update
+    // cycles per family) get their own line: the build is by-design
+    // state reconstruction a production ingest amortizes over its
+    // stream — smearing its ~20 s into the two dd_incremental_* rows
+    // made those per-query numbers lie about the serve cost
+    val ti0 = System.nanoTime()
+    val incSecs =
+      try {
+        graft.queries.PipelineQueries.materializeIncrementalState(spark, sfDir)
+        (System.nanoTime() - ti0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] incremental_state_build failed: ${e.getMessage}")
           -1.0
       }
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -88,7 +130,8 @@ object Bench {
     }
     val results = firstPass.map { case (name, t) =>
       name -> reruns.get(name).map { case (a, b) => math.min(a, b) }.getOrElse(t)
-    } ++ Map("materialize_tables" -> matSecs)
+    } ++ Map("materialize_tables" -> matSecs,
+      "incremental_state_build" -> incSecs)
     val loadAfter = loadAvg()
     val jvmsAfter = jvmCount()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

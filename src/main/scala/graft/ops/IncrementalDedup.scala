@@ -51,6 +51,13 @@ import graft.sources.SnapshotTable
   * i+1 ingested between batch i's crash and its retry — would re-form
   * the i×(i+1) pairs a completed i+1 already emitted, because the
   * retry's probe joins a state that now also holds i+1's postings.
+  * This precondition is ENFORCED, not just documented: every update
+  * first audits the three tables' committed-key histories
+  * ([[requireInOrderKey]]) and fails loudly both at the violating
+  * ingest (a new key arriving while a prior key is only partially
+  * committed) and at the too-late retry (a key that is committed
+  * somewhere but no longer the newest) — the emission log can never
+  * silently absorb duplicates.
   */
 object IncrementalDedup {
 
@@ -66,6 +73,63 @@ object IncrementalDedup {
     if (SnapshotTable.currentSnapshot(dir) > 0) SnapshotTable.read(spark, dir)
     else empty
 
+  /** Newest nonempty idempotency key committed to a state table —
+    * compaction ("replace") snapshots carry no key and are skipped, so
+    * quiesced maintenance between increments never masks the last
+    * ingest. The walk reads O(snapshots-since-last-key) tiny metadata
+    * JSONs, which is 0–1 steps on the happy path.
+    */
+  private def latestCommittedKey(dir: String): Option[String] = {
+    var s = SnapshotTable.currentSnapshot(dir)
+    while (s > 0) {
+      val k = SnapshotTable.committedKey(dir, s)
+      if (k.isDefined) return k
+      s -= 1
+    }
+    None
+  }
+
+  /** Enforce the in-order crash-retry precondition across a family's
+    * state tables (the appends share one key, in `dirs` order):
+    *
+    *  - key already committed in some table (a RETRY): it must still be
+    *    that table's NEWEST key — a retry arriving after a later batch
+    *    ingested would re-emit the crashed batch's cross pairs into the
+    *    emission log, because its probe would join state that now also
+    *    holds the later batch's postings;
+    *  - brand-new key (a fresh INGEST): all tables must agree on their
+    *    newest key — disagreement means a prior increment crashed
+    *    between appends and must be retried to completion first.
+    *
+    * Violations throw IllegalStateException BEFORE any append, so the
+    * exactly-once emission guarantee cannot be silently corrupted.
+    */
+  private def requireInOrderKey(dirs: Seq[String], key: String): Unit = {
+    val latest = dirs.map(latestCommittedKey)
+    val committedSomewhere =
+      dirs.exists(d => SnapshotTable.snapshotWithKey(d, key).isDefined)
+    if (committedSomewhere) {
+      dirs.zip(latest).foreach { case (d, lk) =>
+        if (SnapshotTable.snapshotWithKey(d, key).isDefined && !lk.contains(key))
+          throw new IllegalStateException(
+            s"out-of-order retry of increment '$key': $d has since committed " +
+              s"'${lk.getOrElse("")}' — a late retry would re-emit pairs the " +
+              "newer increment already logged; state must be restored or the " +
+              "increment abandoned")
+      }
+    } else {
+      val distinctLatest = latest.distinct
+      if (distinctLatest.size > 1)
+        throw new IllegalStateException(
+          s"cannot ingest new increment '$key': a prior increment is only " +
+            s"partially committed (per-table newest keys: " +
+            dirs.zip(latest).map { case (d, lk) =>
+              s"${d.split('/').last}=${lk.getOrElse("<none>")}"
+            }.mkString(", ") +
+            ") — retry the crashed increment to completion first")
+    }
+  }
+
   /** Ingest one document batch: emit the verified near-dup pairs that
     * involve it and append postings/arrays/pairs state. Returns the
     * emitted pairs (deterministic — a replay of a fully-committed key
@@ -76,6 +140,9 @@ object IncrementalDedup {
   def update(spark: SparkSession, stateDir: String, docs: DataFrame,
       idCol: String, textCol: String, idempotencyKey: String,
       cfg: LshConfig = LshConfig()): DataFrame = {
+    requireInOrderKey(
+      Seq(postingsDir(stateDir), arraysDir(stateDir), pairsDir(stateDir)),
+      idempotencyKey)
     val newTokens = Dedup
       .docTokensHashed(docs, idCol, textCol, cfg.minTokenLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -206,6 +273,10 @@ object IncrementalDedup {
   def updateVectors(spark: SparkSession, stateDir: String, vecs: DataFrame,
       idCol: String, vecCol: String, idempotencyKey: String,
       cfg: VecLshConfig = VecLshConfig()): DataFrame = {
+    requireInOrderKey(
+      Seq(vecPostingsDir(stateDir), vectorsDir(stateDir),
+        vecPairsDir(stateDir)),
+      idempotencyKey)
     // postings come from the SAME construction the batch path uses
     // (Similarity.bandedSignPostings) — the plane-family agreement is
     // structural, not a copy kept in sync by convention

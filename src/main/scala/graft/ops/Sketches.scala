@@ -400,4 +400,106 @@ object Sketches {
   def cmsEstimateFromTable(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, candidates: DataFrame, keyCol: String): DataFrame =
     cmsEstimate(candidates, cmsCountersFromTable(spark, tableDir), keyCol)
+
+  // ---- quantile (log-histogram) sketch -----------------------------------
+
+  /** Mergeable approximate-quantile sketch — the fourth member of the
+    * sketch family (HLL MAX-registers, CMS SUM-counters, Bloom OR-bits):
+    * a base-2 LOG-HISTOGRAM with 16 sub-buckets per octave over
+    * NON-NEGATIVE integers, built from INTEGER arithmetic only
+    * (length(bin(v)) + shifts — the hllRho discipline: no libm log whose
+    * 1-ulp drift could flip a boundary value's bucket cross-engine).
+    *
+    * Bucket key (monotone in v, so rank order is preserved):
+    *  - v < 32            → qb = v                   (exact small arm)
+    *  - v ≥ 32            → qb = 32 + (bitlen(v)−6)·16 + (v >> (bitlen−5) − 16)
+    * Lower bound of bucket qb ≥ 32: (16 + (qb−32)%16) << ((qb−32)/16 + 1);
+    * bucket width = low/(16+sub) ≤ low/16, so serving the LOWER BOUND at
+    * the target rank (quantile_disc semantics) guarantees
+    * est ≤ exact ≤ est + est/16 — ≤ 6.25% one-sided relative error.
+    *
+    * State is (qb, cnt) SUM cells: ≤ 32 + 59·16 = 976 rows for the full
+    * 63-bit non-negative range REGARDLESS of cardinality — map-side
+    * combinable, addition-mergeable across partitions/increments, and it
+    * plugs into the same [[MergeableState]] append-only maintenance core
+    * (keyed appends, quiesced compaction, torn heal) as the other three
+    * sketches. The exact-quantile companion
+    * (RelationalQueries w5/w6) sorts the full distinct-value histogram;
+    * at 100 TB this sketch replaces that sort with a ≤976-row cumulative
+    * pass.
+    */
+  def qsketchCells(values: DataFrame, valCol: String): DataFrame =
+    values
+      .select(col(valCol).cast("long").as("v"))
+      .withColumn("bl", length(bin(col("v"))).cast("long"))
+      .withColumn("qb",
+        when(col("v") < 32, col("v"))
+          .otherwise(lit(32L) + (col("bl") - 6L) * 16L +
+            expr("shiftright(v, cast(bl - 5 as int)) - 16")))
+      .groupBy(col("qb")).agg(count(lit(1)).as("cnt"))
+
+  /** Reconstruct a bucket's lower bound from its key (inverse of the
+    * [[qsketchCells]] bucketing at the bucket's left edge).
+    */
+  def qsketchLow(qbCol: String): Column =
+    when(col(qbCol) < 32, col(qbCol))
+      .otherwise(expr(
+        s"shiftleft(16 + ($qbCol - 32) % 16, cast(($qbCol - 32) div 16 + 1 as int))"))
+
+  /** Discrete-quantile rank selection over a (keyCol, cnt) histogram:
+    * for each integer percentile pct, the smallest key whose cumulative
+    * count reaches rank = (n·pct + 99) div 100 (the ceiling of
+    * n·pct/100 — the w6_quantiles INTEGER rank arithmetic: no float
+    * rank to drift between engines). Shared by the sketch estimate
+    * (≤976 cells) and the exact rider (distinct-value histogram) so
+    * both sides select ranks identically. The cumulative window is a
+    * single partition BY CONSTRUCTION over the histogram, never the
+    * data — fine for the sketch, and the exact rider's sort cost is
+    * exactly why the sketch exists.
+    */
+  def quantileDisc(cells: DataFrame, keyCol: String,
+      pcts: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = cells.withColumn("cum", sum(col("cnt")).over(
+      Window.orderBy(col(keyCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = cells.agg(sum(col("cnt")).as("n"))
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val ranks = pcts.toDF("pct").crossJoin(broadcast(tot))
+      .withColumn("rank", expr("(n * pct + 99) div 100"))
+    ranks.join(cum, col("cum") >= col("rank"))
+      .groupBy(col("pct"))
+      .agg(min(col(keyCol)).as(keyCol))
+  }
+
+  /** Quantile estimates straight from sketch cells: (pct, est) where
+    * est is the target-rank bucket's lower bound.
+    */
+  def qsketchQuantiles(cells: DataFrame, pcts: Seq[Long]): DataFrame =
+    quantileDisc(cells, "qb", pcts)
+      .select(col("pct"), qsketchLow("qb").as("est"))
+
+  private val QskState =
+    MergeableState(Seq("qb"), "cnt", sum, "qsk-compact@")
+
+  /** Incremental quantile-sketch maintenance — append the increment's
+    * own (qb, cnt) cells; counts are addition-mergeable, so the
+    * protocol is the CMS one verbatim (never read prior state, keyed
+    * replays no-op, read-side SUM re-aggregation authoritative,
+    * quiesced compaction with torn heal).
+    */
+  def updateQuantileTable(tableDir: String, newValues: DataFrame,
+      valCol: String, idempotencyKey: String = ""): Long =
+    graft.sources.SnapshotTable.write(
+      qsketchCells(newValues, valCol).coalesce(1), tableDir,
+      mode = "append", idempotencyKey = idempotencyKey)
+
+  def quantileCellsFromTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, snapshot: Option[Long] = None): DataFrame =
+    stateFromTable(QskState, spark, tableDir, snapshot)
+
+  def compactQuantileTable(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): Long =
+    compactStateTable(QskState, spark, tableDir)
 }

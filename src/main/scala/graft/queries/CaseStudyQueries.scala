@@ -38,26 +38,58 @@ object CaseStudyQueries {
     */
   val FungalTaxa: Seq[String] = Seq("taxon 4", "taxon 12")
 
-  /** Distinct undirected organism-organism interaction edges (u < v
-    * lexicographically) via each record's hasSource/hasTarget samples —
-    * the shared graph-derivation of the triangle and k-core queries
-    * (kg_cs_pagerank keeps its directed variant).
+  /** Directed distinct organism→organism interaction edges via each
+    * record's hasSource/hasTarget samples — the shared graph-derivation
+    * of ALL seven kg_cs_* graph queries, memoized per (session, scale)
+    * and materialized by an eager localCheckpoint (the verifiedLshPairs
+    * contract): the 3-join + distinct edge build over the bucketed triple
+    * table runs ONCE per scale instead of once per graph query — at
+    * corpus scale that is one triple-table scan instead of seven.
+    * [[materializeShared]] forces it in Bench's materialize phase so the
+    * build cost lands on the explicit materialize line.
     */
-  private def organismEdges(s: SparkSession, dir: String): DataFrame = {
-    val t = s.table(Materialized.globiTable(s, dir))
-    val so = t.filter(col("pred") === SOSA + "isSampleOf")
-      .select(col("subj").as("sample"), col("obj").as("org"))
-    val hs = t.filter(col("pred") === EMI + "hasSource")
-      .select(col("subj").as("rec"), col("obj").as("sample"))
-    val ht = t.filter(col("pred") === EMI + "hasTarget")
-      .select(col("subj").as("rec"), col("obj").as("sample"))
-    hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
-      .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
-        Seq("rec"))
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+  private def organismEdgesDirected(s: SparkSession, dir: String): DataFrame =
+    Materialized.once(s, "orgEdgesDirected", dir) {
+      val t = s.table(Materialized.globiTable(s, dir))
+      val so = t.filter(col("pred") === SOSA + "isSampleOf")
+        .select(col("subj").as("sample"), col("obj").as("org"))
+      val hs = t.filter(col("pred") === EMI + "hasSource")
+        .select(col("subj").as("rec"), col("obj").as("sample"))
+      val ht = t.filter(col("pred") === EMI + "hasTarget")
+        .select(col("subj").as("rec"), col("obj").as("sample"))
+      hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
+        .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
+          Seq("rec"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+
+  /** Undirected view (u < v lexicographically) of the memoized directed
+    * edge set — itself memoized + checkpointed: the derivation is only a
+    * projection + distinct over the (dimension-sized) directed edges,
+    * but six queries consume it and each would otherwise re-shuffle the
+    * distinct. Nested `once` calls take different locks (acyclic:
+    * undirected → directed → Materialized.globiTable), so no deadlock.
+    */
+  private def organismEdges(s: SparkSession, dir: String): DataFrame =
+    Materialized.once(s, "orgEdgesUndirected", dir) {
+      organismEdgesDirected(s, dir)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+
+  /** Force the once-per-scale shared graph intermediates — called by
+    * Bench's up-front materialization phase so the edge-build cost lands
+    * on the materialize_tables line, not on whichever graph query
+    * touches the memo first.
+    */
+  def materializeShared(s: SparkSession, dir: String): Unit = {
+    organismEdges(s, dir)
+    ()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -208,26 +240,15 @@ object CaseStudyQueries {
     // order) never compounds into the compare. The iterative loop
     // localCheckpoints per round — same lineage guard as the CC loop.
     "kg_cs_pagerank" -> ((s: SparkSession, dir: String) => {
-      val t = s.table(Materialized.globiTable(s, dir))
-      val so = t.filter(col("pred") === SOSA + "isSampleOf")
-        .select(col("subj").as("sample"), col("obj").as("org"))
-      val hs = t.filter(col("pred") === EMI + "hasSource")
-        .select(col("subj").as("rec"), col("obj").as("sample"))
-      val ht = t.filter(col("pred") === EMI + "hasTarget")
-        .select(col("subj").as("rec"), col("obj").as("sample"))
       // the static inputs stay localCheckpointed (materialized RDD
       // blocks) rather than repartition+persist'ed like the communities
       // loop: this graph is DIMENSION-sized (organisms, not rows), so
       // per-round columnar-cache decode costs more than the avoided
       // shuffle of a tiny edge list — measured 4.1 s (checkpoint) vs
       // 5.2 s (cache) at sf0.1, and the ratio only worsens with corpus
-      // scale since the organism vocabulary grows sub-linearly
-      val edges = hs.join(so, Seq("sample")).select(col("rec"), col("org").as("src"))
-        .join(ht.join(so, Seq("sample")).select(col("rec"), col("org").as("dst")),
-          Seq("rec"))
-        .select(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
-        .localCheckpoint(true)
+      // scale since the organism vocabulary grows sub-linearly. The
+      // directed edge set itself comes from the shared per-scale memo.
+      val edges = organismEdgesDirected(s, dir)
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst"))).distinct().localCheckpoint(true)
       val n = nodes.count()
@@ -266,7 +287,8 @@ object CaseStudyQueries {
     // itself is aggregated ONCE (the global count derives from the
     // per-node counts: each triangle contributes exactly 3 ends).
     "kg_cs_triangles" -> ((s: SparkSession, dir: String) => {
-      val und = organismEdges(s, dir).localCheckpoint(true)
+      val und = organismEdges(s, dir) // memo-checkpointed
+
       val deg = und.select(col("u").as("n")).union(und.select(col("v")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       // u < v lexicographically by construction, so a degree tie keeps
@@ -313,7 +335,8 @@ object CaseStudyQueries {
     // query loudly instead of hash-mismatching the oracle. PlanSpec's
     // brute-force twin pins the semantics independently of the bound.
     "kg_cs_kcore" -> ((s: SparkSession, dir: String) => {
-      val und = organismEdges(s, dir).localCheckpoint(true)
+      val und = organismEdges(s, dir) // memo-checkpointed
+
       def peel(start: DataFrame, k: Int): DataFrame = {
         var edges = start
         var m = edges.count()
@@ -412,8 +435,8 @@ object CaseStudyQueries {
     // wedge cap or neighborhood MinHash replaces exact counting, the
     // same policy boundary lshCandidates' maxBucket draws.
     "kg_cs_jaccard_nbrs" -> ((s: SparkSession, dir: String) => {
+      // memo-checkpointed; referenced by wedges, degrees AND anti-join
       val und = organismEdges(s, dir)
-        .localCheckpoint(true) // referenced by wedges, degrees AND anti-join
       val sym = und.select(col("u").as("a"), col("v").as("b"))
         .union(und.select(col("v").as("a"), col("u").as("b")))
       val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
@@ -440,7 +463,8 @@ object CaseStudyQueries {
     // float arithmetic is the final closed-form division, round-6 on
     // both engines; no corr() built-in whose definition could differ.
     "kg_cs_assortativity" -> ((s: SparkSession, dir: String) => {
-      val und = organismEdges(s, dir).localCheckpoint(true)
+      val und = organismEdges(s, dir) // memo-checkpointed
+
       val sym = und.select(col("u").as("a"), col("v").as("b"))
         .union(und.select(col("v").as("a"), col("u").as("b")))
       val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
@@ -452,11 +476,17 @@ object CaseStudyQueries {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
+      // zero-variance guard (degree-regular graph ⇒ both variances 0):
+      // emit NULL instead of a NaN whose engine-specific formatting
+      // could diverge the gate on degenerate inputs — the ev_anomaly
+      // variance-guard convention, mirrored in the oracle SQL
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
       sums.select(col("n").as("n_directed_edges"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
-          6).as("assortativity"))
+        when(vx > 0 && vy > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt(vx.cast("double") * vy.cast("double")), 6))
+          .as("assortativity"))
     }),
 
     // Adamic-Adar link prediction — the degree-weighted companion to
@@ -467,8 +497,8 @@ object CaseStudyQueries {
     // are round-6 doubles with the (u, v) tiebreak; the float sum runs
     // over the handful of common neighbors per pair.
     "kg_cs_adamic_adar" -> ((s: SparkSession, dir: String) => {
+      // memo-checkpointed; referenced by wedges, degrees AND anti-join
       val und = organismEdges(s, dir)
-        .localCheckpoint(true) // referenced by wedges, degrees AND anti-join
       val sym = und.select(col("u").as("a"), col("v").as("b"))
         .union(und.select(col("v").as("a"), col("u").as("b")))
       val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
@@ -556,6 +586,40 @@ object CaseStudyQueries {
         round(evr2, 6).as("evr2"),
         round(evr3, 6).as("evr3"),
         round(evr1 + evr2, 6).as("cum2"))
+    }),
+
+    // cs5_pca_loadings: the PCA epilogue under the driver gate —
+    // eigenVECTORS scaled to loadings (CS5_viz.py:361 components.T ·
+    // sqrt(explained_variance)), where cs5_pca gates only the
+    // eigenVALUE ratios. ONE map-side moment aggregate produces the
+    // 1-row correlation triple (the documented dimension-pull
+    // convention: a 1-row head(), like the centroid/codebook pulls);
+    // the 3×3 cross-product eigensolve (ops.Pca.eig3Corr — first-max
+    // candidate pick, sklearn svd_flip sign rule) runs driver-side on
+    // that row, and the oracle reproduces the IDENTICAL candidate/
+    // sign arithmetic in SQL from its own corr() moments, so the
+    // round-6 gate covers eigenvectors + loadings end-to-end at all
+    // three scales.
+    "cs5_pca_loadings" -> ((s: SparkSession, dir: String) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet").select(
+        col("l_quantity").cast("double").as("qty"),
+        col("l_extendedprice").cast("double").as("price"),
+        col("l_discount").cast("double").as("disc"))
+      val m = l.agg(
+        corr(col("qty"), col("price")).as("c12"),
+        corr(col("qty"), col("disc")).as("c13"),
+        corr(col("price"), col("disc")).as("c23")).head()
+      val (eigs, vecs) = Pca.eig3Corr(m.getDouble(0), m.getDouble(1),
+        m.getDouble(2))
+      val ld = Pca.loadings(eigs, vecs)
+      import s.implicits._
+      (0 until 3).map(k => (k + 1L, ld(k)(0), ld(k)(1), ld(k)(2)))
+        .toDF("component", "lq", "lp", "ldc")
+        .select(col("component"),
+          round(col("lq"), 6).as("loading_qty"),
+          round(col("lp"), 6).as("loading_price"),
+          round(col("ldc"), 6).as("loading_disc"))
+        .orderBy(col("component"))
     }),
 
     // CS2: interaction-type crosstab — per type label, how many
@@ -790,10 +854,11 @@ object CaseStudyQueries {
                        CAST(SUM(y * y) AS BIGINT) AS syy
                 FROM p)
           SELECT n AS n_directed_edges,
-                 round(CAST(n * sxy - sx * sy AS DOUBLE)
-                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
-                   AS assortativity
+                 CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                      THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                      ELSE NULL END AS assortativity
           FROM s""",
 
     // same wedge enumeration with the shared neighbor kept, same

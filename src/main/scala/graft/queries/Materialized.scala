@@ -49,7 +49,7 @@ object Materialized {
     * there is no recursion into a locked map and no deadlock (the
     * nesting is acyclic: globiTable → recordsAndMatched only).
     */
-  private def once[T <: AnyRef](spark: SparkSession, what: String, dir: String)(
+  private[queries] def once[T <: AnyRef](spark: SparkSession, what: String, dir: String)(
       f: => T): T = {
     // applicationId, not identityHashCode: hash reuse after GC could
     // resurface a dead context's cached tables/DataFrames

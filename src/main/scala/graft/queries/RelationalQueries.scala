@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.normalize.Norm
+import graft.ops.Salting
 
 /** Relational operator surface (SURVEY.md §2.2-§2.7): every entry is a
   * (Spark plan, equivalent DuckDB SQL) pair. Query names carry the
@@ -136,6 +137,29 @@ object RelationalQueries {
         .filter(col("resolved").isNotNull)
         .select(col("l_orderkey"), col("l_linenumber"), col("resolved"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "j10_salted_skew" -> ((s: SparkSession, dir: String) => {
+      // the north-rule-mandated salted skew join under the driver gate
+      // (ops.Salting — "broadcast-then-salted-shuffle entity-linking"):
+      // big side = the document corpus on its skewed lang key ('en'
+      // carries ~43% of every scale), dim side = the per-lang profile.
+      // Hot threshold = 25% of the corpus, so the fixture GENUINELY
+      // takes the salted arm at every scale ('en' explodes into 8
+      // salts, the cold langs keep salt 0) — detection uses the exact
+      // detector (sampleFraction = 1.0) because a 0.1% sample of a
+      // 500-row fixture is noise; production keeps the sampled default
+      // (SaltingSpec pins the sampled detector on a 200k-row hub).
+      // Oracle = the PLAIN SQL join: a green hash row proves the
+      // salt-explode/replicate machinery loses and duplicates nothing.
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("lang"))
+      val dim = d.groupBy(col("lang")).agg(count(lit(1)).as("lang_total"))
+      val thr = math.max(1L, d.count() / 4) // parquet metadata count
+      Salting.autoSaltedJoin(d, dim, "lang", threshold = thr, salts = 8,
+          sampleFraction = 1.0)
+        .select(col("doc_id"), col("lang"), col("lang_total"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- aggregations -------------------------------------------------
@@ -273,6 +297,32 @@ object RelationalQueries {
         .filter(col("cum") >= col("r") && col("cum") - col("c") < col("r"))
         .select(col("l_returnflag"), col("pct"), col("q").as("value"))
         .orderBy(col("l_returnflag"), col("pct"))
+    }),
+
+    "w7_quantile_sketch" -> ((s: SparkSession, dir: String) => {
+      // mergeable approximate-quantile sketch (ops.Sketches log-
+      // histogram — the 4th sketch family member next to HLL/CMS/Bloom)
+      // over the price distribution in EXACT CENTS, with the exact
+      // discrete quantile riding along for error visibility (the
+      // a9_sketch_distinct convention). The sketch is a ≤976-cell SUM
+      // state: at 100 TB the exact rider's distinct-value sort is the
+      // thing this replaces — production serves the sketch alone. Both
+      // the bucketing (bitlength + shifts, no libm log) and the rank
+      // arithmetic ((n·pct+99) div 100, the w6 rule) are integer-exact
+      // on both engines; est ≤ exact ≤ est + est/16 is the spec-pinned
+      // bound.
+      val pcts = Seq(25L, 50L, 75L, 90L, 99L)
+      val cents = s.read.parquet(t(dir, "lineitem"))
+        .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("v"))
+      val est = graft.ops.Sketches
+        .qsketchQuantiles(graft.ops.Sketches.qsketchCells(cents, "v"), pcts)
+      val hist = cents.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val exact = graft.ops.Sketches.quantileDisc(hist, "v", pcts)
+        .select(col("pct"), col("v").as("exact_cents"))
+      est.select(col("pct"), col("est").as("est_cents"))
+        .join(exact, Seq("pct"))
+        .orderBy(col("pct"))
     }),
 
     "w2_sort" -> ((s: SparkSession, dir: String) => {
@@ -463,6 +513,15 @@ object RelationalQueries {
          WHERE COALESCE(p_name, s_name) IS NOT NULL
          ORDER BY l_orderkey, l_linenumber""",
 
+    // the PLAIN join — the engine side must reproduce it exactly through
+    // the salt-explode/replicate machinery
+    "j10_salted_skew" ->
+      """WITH dim AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_total
+                      FROM documents GROUP BY lang)
+         SELECT doc_id, lang, lang_total
+         FROM documents JOIN dim USING (lang)
+         ORDER BY doc_id""",
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 SUM(l_quantity) AS sum_qty,
@@ -552,6 +611,34 @@ object RelationalQueries {
            UNNEST([25, 50, 75, 90]) t(pct))
          WHERE cum >= r AND cum - c < r
          ORDER BY l_returnflag, pct""",
+
+    // identical integer bucketing (length(bin(v)) + shifts) and integer
+    // rank rule; CAST(decimal*100 AS BIGINT) is exact — the product is
+    // integral, so DuckDB's rounding cast == Spark's truncating cast
+    "w7_quantile_sketch" ->
+      """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS v FROM lineitem),
+         cells AS (SELECT CASE WHEN v < 32 THEN v
+                               ELSE 32 + (length(bin(v)) - 6) * 16
+                                    + ((v >> (length(bin(v)) - 5)) - 16)
+                          END AS qb, COUNT(*) AS cnt
+                   FROM v GROUP BY 1),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+         cum AS (SELECT qb, SUM(cnt) OVER (ORDER BY qb) AS cum FROM cells),
+         ranks AS (SELECT CAST(pct AS BIGINT) AS pct, (n * pct + 99) // 100 AS r
+                   FROM tot, UNNEST([25, 50, 75, 90, 99]) t(pct)),
+         est AS (SELECT pct, MIN(qb) AS qb
+                 FROM ranks JOIN cum ON cum >= r GROUP BY pct),
+         hist AS (SELECT v, COUNT(*) AS cnt FROM v GROUP BY v),
+         hcum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM hist),
+         ex AS (SELECT pct, MIN(v) AS exact_cents
+                FROM ranks JOIN hcum ON cum >= r GROUP BY pct)
+         SELECT est.pct,
+                CAST(CASE WHEN qb < 32 THEN qb
+                          ELSE (16 + (qb - 32) % 16) << ((qb - 32) // 16 + 1)
+                     END AS BIGINT) AS est_cents,
+                CAST(exact_cents AS BIGINT) AS exact_cents
+         FROM est JOIN ex USING (pct) ORDER BY pct""",
 
     "w2_sort" ->
       """SELECT o_orderkey, o_orderdate FROM orders

@@ -21,10 +21,13 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("ERROR")
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
-      // finalize AQE so the printed plan is the real one — noop sink,
-      // not collect(): a row-per-event query at scale would otherwise
-      // materialize its whole result on the driver just to be discarded
-      df.write.format("noop").mode("overwrite").save()
+      // finalize AQE so the printed plan is the real one: execute THIS
+      // DataFrame's own QueryExecution (a noop write would run a
+      // separate QueryExecution, leaving df's executedPlan pre-AQE —
+      // AdaptiveSparkPlan isFinalPlan=false — and the exchange/join
+      // counts would lie). toRdd.foreach discards rows executor-side,
+      // so a row-per-event query never materializes on the driver.
+      df.queryExecution.toRdd.foreach(_ => ())
       val p = df.queryExecution.executedPlan.toString
       val lines = p.linesIterator.toSeq
       println(s"==== $q ====")

@@ -114,6 +114,44 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(e1.subsetOf(all))
   }
 
+  test("out-of-order retry precondition is enforced, not just documented") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("incdedup5").toString
+    val d = docs()
+    val b0 = d.filter(col("doc_id") % 3 === 0)
+    val b1 = d.filter(col("doc_id") % 3 === 1)
+    IncrementalDedup.update(spark, tmp, b0, "doc_id", "text", "o0", cfg)
+    // simulate batch o1 crashing after ONLY its postings append
+    val toks = Dedup.docTokensHashed(b1, "doc_id", "text", cfg.minTokenLen)
+    val postings = Dedup.lshBands(
+      Dedup.minhashSignatures(toks, cfg.k), cfg.k, cfg.rowsPerBand)
+    SnapshotTable.write(postings, s"$tmp/postings", mode = "append",
+      idempotencyKey = "o1")
+    // 1) ingesting the NEXT batch while o1 is partially committed must
+    //    fail loudly at the violating ingest, before any append
+    val pairsSnaps = SnapshotTable.history(s"$tmp/pairs").length
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.update(spark, tmp,
+        d.filter(col("doc_id") % 3 === 2), "doc_id", "text", "o2", cfg)
+    }
+    assert(e.getMessage.contains("partially committed"), e.getMessage)
+    assert(SnapshotTable.history(s"$tmp/pairs").length == pairsSnaps,
+      "rejected ingest still appended to the emission log")
+    // 2) the in-order retry of the crashed o1 completes normally...
+    IncrementalDedup.update(spark, tmp, b1, "doc_id", "text", "o1", cfg)
+    // ...and the previously-rejected o2 now ingests cleanly
+    IncrementalDedup.update(spark, tmp,
+      d.filter(col("doc_id") % 3 === 2), "doc_id", "text", "o2", cfg)
+    assert(pairsOf(IncrementalDedup.pairsFromTable(spark, tmp)) == batchPairs())
+    // 3) a TOO-LATE retry of o1 (after o2 committed) must also fail —
+    //    its probe would re-form o1×o2 pairs the completed o2 already
+    //    emitted
+    val e2 = intercept[IllegalStateException] {
+      IncrementalDedup.update(spark, tmp, b1, "doc_id", "text", "o1", cfg)
+    }
+    assert(e2.getMessage.contains("out-of-order retry"), e2.getMessage)
+  }
+
   test("embedding twin: 3-increment sign-LSH ingest equals the batch pair set") {
     import graft.ops.{IncrementalDedup => ID, Similarity}
     val tmp = java.nio.file.Files.createTempDirectory("incvec").toString

@@ -39,6 +39,25 @@ class SaltingSpec extends AnyFunSuite {
     assert(Salting.autoSaltedJoin(big, small, "k", threshold = 10).count() == 100)
   }
 
+  test("j10_salted_skew genuinely takes the salted arm on the fixture") {
+    // guards the driver gate's meaning: if the hot-key list were empty,
+    // autoSaltedJoin would silently fall back to a plain join and the
+    // oracle row would prove nothing about the salting machinery
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val hot = Salting.heavyKeys(d, "lang", math.max(1L, d.count() / 4))
+    assert(hot.nonEmpty, "hot-key list empty — gate would test a plain join")
+    val q = graft.SparkEntry.queries("j10_salted_skew")(spark, dir)
+    // structurally salted: the join key set includes the salt column
+    assert(q.queryExecution.executedPlan.toString.contains("_salt"))
+    // and the salted result IS the plain join's
+    val dim = d.groupBy(col("lang")).agg(count(lit(1)).as("lang_total"))
+    val plain = d.join(dim, Seq("lang"))
+      .select("doc_id", "lang", "lang_total").collect().map(_.toSeq).toSet
+    assert(q.collect().map(_.toSeq).toSet == plain)
+  }
+
   test("sampled hot-key detection finds the hub without a full scan") {
     // hub key 0 carries 50% of 200k rows; a 1% sample must find it and
     // only it, and the salted join over the sampled hot list must equal

@@ -208,6 +208,62 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(SnapshotTable.currentSnapshot(dir) == 4L)
   }
 
+  test("quantile sketch: one-sided ≤1/16 bound; incremental == batch; compaction") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val pcts = Seq(25L, 50L, 75L, 90L, 99L)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+    val cents = li.select(col("v"))
+    // 1) est ≤ exact ≤ est + est/16 at every percentile on real data
+    val est = Sketches.qsketchQuantiles(Sketches.qsketchCells(cents, "v"), pcts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hist = cents.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val exact = Sketches.quantileDisc(hist, "v", pcts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pcts.foreach { p =>
+      assert(est(p) <= exact(p) && (exact(p) - est(p)) * 16 <= est(p),
+        s"pct $p: est=${est(p)} exact=${exact(p)}")
+    }
+    // 2) exhaustive sweep over [0, 2^20): for range data the exact
+    //    pct-quantile is rank−1 in closed form, so the bound is checked
+    //    against ground truth across every bucket shape incl. the
+    //    small-arm/log-arm boundary
+    val n = 1L << 20
+    val sweepEst = Sketches.qsketchQuantiles(
+      Sketches.qsketchCells(spark.range(n).select(col("id").as("v")), "v"),
+      pcts).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pcts.foreach { p =>
+      val ex = (n * p + 99) / 100 - 1
+      assert(sweepEst(p) <= ex && (ex - sweepEst(p)) * 16 <= math.max(sweepEst(p), 1L),
+        s"sweep pct $p: est=${sweepEst(p)} exact=$ex")
+    }
+    // 3) incremental snapshot maintenance == batch cells; replay no-ops;
+    //    compaction preserves
+    val tdir = java.nio.file.Files.createTempDirectory("qsk-inc-").toString
+    val snaps = (0 until 3).map { i =>
+      Sketches.updateQuantileTable(tdir,
+        li.filter(col("l_orderkey") % 3 === i).select(col("v")), "v", s"q-$i")
+    }
+    assert(snaps == Seq(1L, 2L, 3L), snaps.toString)
+    assert(Sketches.updateQuantileTable(tdir,
+      li.filter(col("l_orderkey") % 3 === 1).select(col("v")), "v", "q-1") == 2L)
+    assert(SnapshotTable.currentSnapshot(tdir) == 3L)
+    def cellSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchCells = cellSet(Sketches.qsketchCells(cents, "v"))
+    assert(cellSet(Sketches.quantileCellsFromTable(spark, tdir)) == batchCells)
+    val incEst = Sketches.qsketchQuantiles(
+      Sketches.quantileCellsFromTable(spark, tdir), pcts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incEst == est)
+    val before = SnapshotTable.read(spark, tdir).count()
+    assert(Sketches.compactQuantileTable(spark, tdir) == 4L)
+    assert(SnapshotTable.read(spark, tdir).count() <= before)
+    assert(cellSet(Sketches.quantileCellsFromTable(spark, tdir)) == batchCells)
+  }
+
   test("cms counter table: incremental snapshots == batch; torn compaction heals") {
     import spark.implicits._
     import graft.sources.SnapshotTable
