@@ -122,6 +122,122 @@ object Multimodal {
     } catch { case _: Exception => new Array[Float](16) }
   }
 
+  /** Third codec, a REAL compressed-image decoder with zero external
+    * dependencies: PNG (ISO/IEC 15948) via the JDK's zlib binding
+    * (`java.util.zip.Inflater`). Supports the dominant web shapes —
+    * 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA), non-
+    * interlaced — with full filter reconstruction (None/Sub/Up/Average/
+    * Paeth). Emits the same 16-float shape as [[decodePpm]]:
+    * [meanR, meanG, meanB, 13-bin luminance histogram] (gray replicates
+    * the channel; alpha is ignored), so PNG and PPM payloads of the
+    * same raster produce bit-identical features (pinned in
+    * MultimodalSpec). Malformed/unsupported payloads (bad magic, bad
+    * CRC is NOT checked — tolerant like libpng's default — but
+    * truncated or non-zlib IDAT, interlace, 16-bit, palette) yield the
+    * zero vector: a decode failure is a data row, not a job abort.
+    */
+  val decodePng: Codec = payload => {
+    val out = new Array[Float](16)
+    try {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      require(payload.length > 8 && payload.take(8).sameElements(sig), "bad magic")
+      def be32(p: Int): Int =
+        ((payload(p) & 0xff) << 24) | ((payload(p + 1) & 0xff) << 16) |
+          ((payload(p + 2) & 0xff) << 8) | (payload(p + 3) & 0xff)
+      // walk chunks: IHDR first, concatenate IDAT data, stop at IEND
+      var pos = 8
+      var w = 0; var h = 0; var colorType = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done && pos + 8 <= payload.length) {
+        val len = be32(pos)
+        val ctype = new String(payload, pos + 4, 4, "US-ASCII")
+        require(len >= 0 && pos + 12 + len <= payload.length, "truncated chunk")
+        ctype match {
+          case "IHDR" =>
+            require(len == 13, "bad IHDR")
+            w = be32(pos + 8); h = be32(pos + 12)
+            val bitDepth = payload(pos + 16) & 0xff
+            colorType = payload(pos + 17) & 0xff
+            val interlace = payload(pos + 20) & 0xff
+            require(w > 0 && h > 0 && bitDepth == 8 && interlace == 0 &&
+              (colorType == 0 || colorType == 2 || colorType == 6),
+              "unsupported png shape")
+            require(w.toLong * h.toLong <= (1L << 26), "raster too large")
+          case "IDAT" => idat.write(payload, pos + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks skipped
+        }
+        pos += 12 + len
+      }
+      require(colorType >= 0 && idat.size > 0, "missing IHDR/IDAT")
+      val channels = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+      val stride = w * channels
+      val raw = new Array[Byte](h * (1 + stride))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val k = inf.inflate(raw, off, raw.length - off)
+        // k == 0 with the stream not finished means a truncated or
+        // preset-dictionary stream — bail instead of spinning
+        if (k == 0) require(inf.finished(), "bad zlib stream")
+        off += k
+      }
+      inf.end()
+      require(off == raw.length, "short raster")
+      // filter reconstruction in place: prev = reconstructed row above
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      val img = new Array[Int](h * stride)
+      var y = 0
+      while (y < h) {
+        val ft = raw(y * (1 + stride)) & 0xff
+        require(ft <= 4, "bad filter type")
+        var x = 0
+        while (x < stride) {
+          val v = raw(y * (1 + stride) + 1 + x) & 0xff
+          val a = if (x >= channels) img(y * stride + x - channels) else 0
+          val b = if (y > 0) img((y - 1) * stride + x) else 0
+          val c = if (y > 0 && x >= channels) img((y - 1) * stride + x - channels) else 0
+          img(y * stride + x) = (ft match {
+            case 0 => v
+            case 1 => v + a
+            case 2 => v + b
+            case 3 => v + (a + b) / 2
+            case 4 => v + paeth(a, b, c)
+          }) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      // identical feature arithmetic to decodePpm at maxval = 255
+      val n = w * h
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val hist = new Array[Float](13)
+      var i = 0
+      while (i < n) {
+        val base = i * channels
+        val r = img(base)
+        val g = if (channels >= 3) img(base + 1) else r
+        val b = if (channels >= 3) img(base + 2) else r
+        sr += r; sg += g; sb += b
+        val luma = (299 * r + 587 * g + 114 * b) / 1000
+        hist(math.min(luma * 13 / 256, 12)) += 1f
+        i += 1
+      }
+      out(0) = sr.toFloat / n / 255
+      out(1) = sg.toFloat / n / 255
+      out(2) = sb.toFloat / n / 255
+      var k = 0
+      while (k < 13) { out(3 + k) = hist(k) / n; k += 1 }
+      out
+    } catch { case _: Exception => new Array[Float](16) }
+  }
+
   /** Partition-batched feature extraction: one pass per partition, no
     * shuffle of payloads, small feature rows out.
     */
@@ -185,5 +301,96 @@ object Multimodal {
       i += 1
     }
     header ++ raster
+  }
+
+  /** Media rows whose payloads are REAL PNG bytes (24×16 RGB, seed = row
+    * id) — the fixture behind the mm_png_features driver gate: the
+    * oracle recomputes expected features from [[pngRaster]]'s formula,
+    * so a wrong inflate/unfilter/decode anywhere turns the gate red.
+    */
+  def pngMedia(spark: SparkSession, n: Int, partitions: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map(i =>
+      MediaRow(s"PNG-$i", "image", pngPayload(24, 16, i), 24, 16))
+  }
+
+  /** The deterministic raster behind [[pngPayload]] — the SAME LCG family
+    * as [[ppmPayload]], exposed so oracles/tests can recompute expected
+    * features from the formula without touching compressed bytes.
+    */
+  def pngRaster(w: Int, h: Int, seed: Long, channels: Int): Array[Int] =
+    Array.tabulate(w * h * channels)(i =>
+      (((seed * 2654435761L + i * 40503L) >>> 9) & 0xff).toInt)
+
+  /** Deterministic in-repo PNG encoder (valid ISO 15948 bytes): 8-bit
+    * gray / RGB / RGBA, zlib IDAT via `java.util.zip.Deflater`, CRC32'd
+    * chunks, and — deliberately — a DIFFERENT filter type per scanline
+    * (row % 5: None, Sub, Up, Average, Paeth) so a decoder round-trip
+    * exercises every reconstruction path, not just filter 0.
+    */
+  def pngPayload(w: Int, h: Int, seed: Long, colorType: Int = 2): Array[Byte] = {
+    require(colorType == 0 || colorType == 2 || colorType == 6)
+    val channels = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    val stride = w * channels
+    val img = pngRaster(w, h, seed, channels)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val v = img(y * stride + x)
+        val a = if (x >= channels) img(y * stride + x - channels) else 0
+        val b = if (y > 0) img((y - 1) * stride + x) else 0
+        val c = if (y > 0 && x >= channels) img((y - 1) * stride + x - channels) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        raw(y * (1 + stride) + 1 + x) = ((v - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Int): Unit = {
+        out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+        out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+      }
+      be32(data.length)
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      be32(crc.getValue.toInt)
+      out.toByteArray
+    }
+    val ihdr = new Array[Byte](13)
+    def put32(p: Int, v: Int): Unit = {
+      ihdr(p) = ((v >>> 24) & 0xff).toByte; ihdr(p + 1) = ((v >>> 16) & 0xff).toByte
+      ihdr(p + 2) = ((v >>> 8) & 0xff).toByte; ihdr(p + 3) = (v & 0xff).toByte
+    }
+    put32(0, w); put32(4, h)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
   }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.kg._
+import graft.ops.Pca
 
 /** Case-study analytic workload over the REAL materialized triple
   * table, plus the forced-distributed flagship pipeline.
@@ -37,6 +38,14 @@ object CaseStudyQueries {
     * scale.
     */
   val FungalTaxa: Seq[String] = Seq("taxon 4", "taxon 12")
+
+  /** Per-center neighbor admission cap for kg_cs_wedge_capped — sized so
+    * the deterministic fixture drops wedges at every test scale (the
+    * organism graph's hubs exceed it) while the capped enumeration still
+    * surfaces the same leading pairs class. At corpus scale this bound is
+    * what keeps the wedge join off the O(Σ deg²) cliff on hub keys.
+    */
+  val WedgeCap: Int = 6
 
   /** Directed distinct organism→organism interaction edges via each
     * record's hasSource/hasTarget samples — the shared graph-derivation
@@ -515,6 +524,42 @@ object CaseStudyQueries {
         .orderBy(col("aa").desc, col("u"), col("v")).limit(20)
     }),
 
+    // Capped wedge enumeration with a drop ledger — the CORPUS-SCALE
+    // policy the exact link-prediction queries above document in prose,
+    // now in code: each wedge center admits only its first WedgeCap
+    // neighbors (deterministic: ranked by neighbor id), bounding the
+    // per-node wedge fan-out at WedgeCap·(WedgeCap−1)/2 regardless of
+    // hub degree — the same cap-with-accounting convention as
+    // Dedup.lshCandidates' maxBucket/lshDroppedBuckets. The ledger
+    // (wedges_kept / wedges_total, exact integer arithmetic via `div`,
+    // no double division) rides every row so a consumer can see the
+    // approximation rate; the cap is sized so the deterministic fixture
+    // genuinely drops wedges at every test scale (pinned in
+    // CaseStudySpec). Top pairs are ranked by the CAPPED common count —
+    // on a hub-skewed corpus graph this is the plan that survives,
+    // because the exact wedge join is O(Σ deg²) on the hottest key.
+    "kg_cs_wedge_capped" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val und = organismEdges(s, dir) // memo-checkpointed
+      val sym = und.select(col("u").as("a"), col("v").as("b"))
+        .union(und.select(col("v").as("a"), col("u").as("b")))
+      val ranked = sym.withColumn("r",
+        row_number().over(Window.partitionBy(col("a")).orderBy(col("b"))))
+      val kept = ranked.filter(col("r") <= WedgeCap).drop("r")
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      val ledger = deg.agg(
+        expr(s"sum(least(d, $WedgeCap) * (least(d, $WedgeCap) - 1)) div 2")
+          .as("wedges_kept"),
+        expr("sum(d * (d - 1)) div 2").as("wedges_total"))
+      val cand = kept.as("x").join(kept.as("y"),
+          col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+        .select(col("x.b").as("u"), col("y.b").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common_capped"))
+      cand.join(und, Seq("u", "v"), "left_anti")
+        .orderBy(col("common_capped").desc, col("u"), col("v")).limit(20)
+        .crossJoin(broadcast(ledger))
+    }),
+
     // CS5 Leaf-Economic-Spectrum archetypes (CS5_viz.py): the trait
     // correlation matrix (plot_trait_correlations, :283-304) and the
     // StandardScaler z-score standardization (:322-324). The trydb
@@ -929,6 +974,53 @@ object CaseStudyQueries {
           FROM ne JOIN deg du ON du.n = ne.u JOIN deg dv ON dv.n = ne.v
           ORDER BY jaccard DESC, u, v LIMIT 20""",
 
+    // same deterministic per-center admission (row_number by neighbor
+    // id, first WedgeCap kept), same capped wedge count + anti-join,
+    // same exact-integer d(d-1)/2 ledger via // — no double division
+    "kg_cs_wedge_capped" ->
+      s"""WITH g AS (SELECT * FROM $g),
+          so AS (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          und AS MATERIALIZED (
+            SELECT DISTINCT least(s1.org, s2.org) AS u,
+                   greatest(s1.org, s2.org) AS v
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          sym AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM und
+            UNION ALL SELECT v AS a, u AS b FROM und),
+          kept AS MATERIALIZED (
+            SELECT a, b FROM (
+              SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS r
+              FROM sym)
+            WHERE r <= $WedgeCap),
+          deg AS (SELECT a, COUNT(*) AS d FROM sym GROUP BY a),
+          ledger AS (
+            SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS wedges_total,
+                   CAST(SUM(least(d, $WedgeCap)
+                            * (least(d, $WedgeCap) - 1)) // 2 AS BIGINT)
+                     AS wedges_kept
+            FROM deg),
+          cand AS (
+            SELECT x.b AS u, y.b AS v, COUNT(*) AS common_capped
+            FROM kept x JOIN kept y ON x.a = y.a AND x.b < y.b
+            GROUP BY 1, 2),
+          top AS (
+            SELECT u, v, CAST(common_capped AS BIGINT) AS common_capped
+            FROM cand
+            WHERE NOT EXISTS (SELECT 1 FROM und
+                              WHERE und.u = cand.u AND und.v = cand.v)
+            ORDER BY common_capped DESC, u, v LIMIT 20)
+          SELECT top.u, top.v, top.common_capped,
+                 ledger.wedges_kept, ledger.wedges_total
+          FROM top CROSS JOIN ledger""",
+
     "kg_cs_kcore" -> {
       // 12 unrolled peel rounds per K (degree filter + edge restriction
       // per round); peeling is a fixpoint, so extra rounds are no-ops.
@@ -1052,6 +1144,64 @@ object CaseStudyQueries {
                 round(l3/3.0, 6) AS evr3,
                 round(l1/3.0 + (3.0 - l1 - l3)/3.0, 6) AS cum2
          FROM l""",
+
+    // the PCA epilogue: same Cardano eigenvalues, then eigenVECTORS by
+    // the cross-product method exactly as ops.Pca.eig3Corr — all three
+    // row-pair cross products of (A − λI), FIRST-max-norm candidate
+    // pick (Scala maxBy ties go to the earlier candidate), unit
+    // normalization, sklearn-svd_flip sign rule (largest-|component|
+    // entry positive, first-wins on ties), loadings = v·sqrt(max(λ,0))
+    "cs5_pca_loadings" ->
+      """WITH m AS (
+           SELECT corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)) AS c12,
+                  corr(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)) AS c13,
+                  corr(CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE)) AS c23
+           FROM lineitem),
+         e AS (SELECT *, sqrt((c12*c12 + c13*c13 + c23*c23) / 3.0) AS p FROM m),
+         f AS (SELECT *,
+                 acos(greatest(-1.0, least(1.0, c12*c13*c23 / (p*p*p)))) / 3.0 AS phi
+               FROM e),
+         l AS (SELECT *,
+                 CASE WHEN p = 0 THEN 1.0 ELSE 1.0 + 2.0*p*cos(phi) END AS l1,
+                 CASE WHEN p = 0 THEN 1.0
+                      ELSE 1.0 + 2.0*p*cos(phi + 2.0*pi()/3.0) END AS l3
+               FROM f),
+         lam AS (
+           SELECT k, c12, c13, c23,
+                  CASE k WHEN 1 THEN l1 WHEN 2 THEN 3.0 - l1 - l3 ELSE l3 END AS lv
+           FROM l, (SELECT UNNEST([1, 2, 3]) AS k)),
+         sh AS (SELECT *, 1.0 - lv AS d FROM lam),
+         cp AS (
+           SELECT k, lv,
+                  c12*c23 - c13*d AS x1, c13*c12 - d*c23   AS y1, d*d - c12*c12   AS z1,
+                  c12*d - c13*c23 AS x2, c13*c13 - d*d     AS y2, d*c23 - c12*c13 AS z2,
+                  d*d - c23*c23   AS x3, c23*c13 - c12*d   AS y3, c12*c23 - d*c13 AS z3
+           FROM sh),
+         nn AS (
+           SELECT *, sqrt(x1*x1 + y1*y1 + z1*z1) AS n1,
+                     sqrt(x2*x2 + y2*y2 + z2*z2) AS n2,
+                     sqrt(x3*x3 + y3*y3 + z3*z3) AS n3
+           FROM cp),
+         pick AS (
+           SELECT k, lv,
+                  CASE WHEN n1 >= n2 AND n1 >= n3 THEN x1/n1
+                       WHEN n2 >= n3 THEN x2/n2 ELSE x3/n3 END AS vx,
+                  CASE WHEN n1 >= n2 AND n1 >= n3 THEN y1/n1
+                       WHEN n2 >= n3 THEN y2/n2 ELSE y3/n3 END AS vy,
+                  CASE WHEN n1 >= n2 AND n1 >= n3 THEN z1/n1
+                       WHEN n2 >= n3 THEN z2/n2 ELSE z3/n3 END AS vz
+           FROM nn),
+         sgn AS (
+           SELECT *, CASE WHEN (CASE WHEN abs(vx) >= abs(vy) AND abs(vx) >= abs(vz) THEN vx
+                                     WHEN abs(vy) >= abs(vz) THEN vy ELSE vz END) < 0
+                          THEN -1.0 ELSE 1.0 END AS s,
+                  sqrt(greatest(lv, 0.0)) AS sl
+           FROM pick)
+         SELECT CAST(k AS BIGINT) AS component,
+                round(s * vx * sl, 6) AS loading_qty,
+                round(s * vy * sl, 6) AS loading_price,
+                round(s * vz * sl, 6) AS loading_disc
+         FROM sgn ORDER BY component""",
 
     "kg_cs_crosstab" ->
       s"""WITH g AS (SELECT * FROM $g),

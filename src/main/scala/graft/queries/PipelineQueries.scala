@@ -621,6 +621,33 @@ object PipelineQueries {
         .orderBy(col("media_ref"), col("bucket"))
     }),
 
+    // REAL compressed-image decode under the driver gate: payloads are
+    // genuine PNG bytes (zlib IDAT, per-row filter cycling through all
+    // five types), decoded by Multimodal.decodePng (JDK Inflater +
+    // filter reconstruction). The oracle recomputes expected channel
+    // sums + luma-histogram counts from the RASTER FORMULA (pngRaster's
+    // LCG) — it never sees the compressed bytes — so the whole
+    // encode → deflate → inflate → unfilter → feature path must be
+    // byte-correct for the hash to match. Features come back as exact
+    // integers (sums/counts recovered from the float32 shares: n ≤ 384
+    // pixels keeps the round() recovery exact). Payloads never shuffle;
+    // decode runs in the scan stage, only (ref, bucket, cnt) rows move.
+    "mm_png_features" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.Multimodal
+      val n = (graft.queries.KgQueries.nDocsFor(dir) / 10).toInt
+      val npx = 24 * 16
+      val feats = Multimodal.extractFeatures(
+        Multimodal.pngMedia(s, n, 8), Multimodal.decodePng).toDF()
+      feats.select(col("media_ref"),
+          posexplode(col("features")).as(Seq("bucket", "share")))
+        .withColumn("cnt",
+          when(col("bucket") < 3,
+            round(col("share").cast("double") * npx * 255))
+          .otherwise(round(col("share").cast("double") * npx)).cast("long"))
+        .drop("share")
+        .orderBy(col("media_ref"), col("bucket"))
+    }),
+
     // ---- similarity search ---------------------------------------------
     "sim_ann_topk" -> ((s: SparkSession, dir: String) => {
       // brute-force cosine top-k against the vec_id=0 query vector
@@ -1718,6 +1745,40 @@ object PipelineQueries {
                 bk AS bucket, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt
          FROM allb LEFT JOIN h ON h.i = allb.i AND h.bucket = allb.bk
          ORDER BY media_ref, bucket""",
+
+    // expected PNG features from the raster FORMULA (never the
+    // compressed bytes): 24×16 RGB pixels, channel value at flat index
+    // j of image i is ((i*2654435761 + j*40503) >> 9) & 255 — buckets
+    // 0-2 are exact channel sums, 3-15 the integer Rec.601 luma
+    // histogram, identical arithmetic to Multimodal.decodePng
+    "mm_png_features" ->
+      """WITH m AS (
+           SELECT UNNEST(generate_series(0,
+             (SELECT COUNT(*) // 3 FROM orders) // 10 - 1)) AS i),
+         rgb AS (
+           SELECT i, p,
+                  ((i*2654435761 + (3*p)*40503) >> 9) & 255 AS r,
+                  ((i*2654435761 + (3*p + 1)*40503) >> 9) & 255 AS g,
+                  ((i*2654435761 + (3*p + 2)*40503) >> 9) & 255 AS b
+           FROM m, UNNEST(generate_series(0, 383)) t(p)),
+         sums AS (
+           SELECT i, SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb
+           FROM rgb GROUP BY i),
+         hist AS (
+           SELECT i, least(((299*r + 587*g + 114*b) // 1000) * 13 // 256, 12) AS bin,
+                  COUNT(*) AS c
+           FROM rgb GROUP BY 1, 2),
+         allb AS (
+           SELECT i, bk FROM m, UNNEST(generate_series(0, 12)) u(bk)),
+         rows_out AS (
+           SELECT i, 0 AS bucket, sr AS cnt FROM sums
+           UNION ALL SELECT i, 1, sg FROM sums
+           UNION ALL SELECT i, 2, sb FROM sums
+           UNION ALL
+           SELECT allb.i, 3 + allb.bk, COALESCE(hist.c, 0)
+           FROM allb LEFT JOIN hist ON hist.i = allb.i AND hist.bin = allb.bk)
+         SELECT 'PNG-' || i AS media_ref, bucket, CAST(cnt AS BIGINT) AS cnt
+         FROM rows_out ORDER BY media_ref, bucket""",
 
     "dd_simhash" ->
       """WITH tk AS (

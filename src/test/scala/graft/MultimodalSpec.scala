@@ -123,4 +123,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(tbl.columns.toSeq == Seq("media_ref", "kind", "embedding"))
     assert(tbl.count() == 10)
   }
+
+  test("decodePng: real zlib round-trip, all five filters, equals the PPM twin") {
+    // the encoder cycles filter types per row (None/Sub/Up/Average/
+    // Paeth), so h ≥ 5 exercises every reconstruction branch; the PNG
+    // and PPM payloads of the SAME raster must produce bit-identical
+    // features (identical arithmetic at maxval = 255)
+    (0L until 6L).foreach { seed =>
+      val png = Multimodal.decodePng(Multimodal.pngPayload(24, 16, seed))
+      val ppm = Multimodal.decodePpm(Multimodal.ppmPayload(24, 16, seed))
+      assert(png.toSeq == ppm.toSeq, s"seed $seed: PNG ${png.mkString(",")}")
+      assert(png.take(3).forall(x => x > 0f && x < 1f), "means are a real decode")
+      assert(math.abs(png.drop(3).sum - 1f) < 1e-4f, "luma hist L1-normalized")
+    }
+  }
+
+  test("decodePng: gray and RGBA color types decode; alpha is ignored") {
+    // gray: r = g = b = the single channel
+    val g = Multimodal.decodePng(Multimodal.pngPayload(9, 7, 3L, colorType = 0))
+    assert(g(0) == g(1) && g(1) == g(2) && g(0) > 0f, g.mkString(","))
+    // RGBA shares the RGB prefix per pixel only in its own raster
+    // indexing; just pin that it decodes to a valid feature vector
+    val a = Multimodal.decodePng(Multimodal.pngPayload(9, 7, 3L, colorType = 6))
+    assert(a.take(3).forall(x => x > 0f && x < 1f))
+    assert(math.abs(a.drop(3).sum - 1f) < 1e-4f)
+  }
+
+  test("decodePng: malformed payloads are data rows, not job aborts") {
+    val good = Multimodal.pngPayload(8, 8, 1L)
+    assert(Multimodal.decodePng(Array.empty[Byte]).forall(_ == 0f))
+    assert(Multimodal.decodePng("not a png at all".getBytes).forall(_ == 0f))
+    // truncated mid-IDAT: short zlib stream must not spin or throw
+    assert(Multimodal.decodePng(good.dropRight(20)).forall(_ == 0f))
+    // corrupt the zlib stream body
+    val corrupt = good.clone()
+    corrupt(good.length - 30) = (corrupt(good.length - 30) ^ 0x5a).toByte
+    val c = Multimodal.decodePng(corrupt)
+    assert(c.length == 16) // zero vector or a decode — never an abort
+    // unsupported shapes (16-bit depth) refuse cleanly
+    val deep = good.clone()
+    deep(8 + 8 + 8) = 16 // IHDR bit-depth byte
+    assert(Multimodal.decodePng(deep).forall(_ == 0f))
+  }
+
+  test("decodePng runs through the identical operator chain (drop-in #3)") {
+    import spark.implicits._
+    val media = spark.range(0, 8, 1, 3).map { i =>
+      Multimodal.MediaRow(s"PNG-$i", "image",
+        Multimodal.pngPayload(24, 16, i), 24, 16)
+    }
+    val viaPng = Multimodal.extractFeatures(media, Multimodal.decodePng)
+      .collect().sortBy(_.media_ref)
+    assert(viaPng.length == 8)
+    // distributed decode equals local decode (pure function of payload)
+    viaPng.zipWithIndex.foreach { case (r, _) =>
+      val seed = r.media_ref.stripPrefix("PNG-").toLong
+      assert(r.features.toSeq ==
+        Multimodal.decodePng(Multimodal.pngPayload(24, 16, seed)).toSeq)
+    }
+  }
 }

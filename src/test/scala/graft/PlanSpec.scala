@@ -282,6 +282,34 @@ class PlanSpec extends AnyFunSuite {
     assert(got.toSeq == brute, s"engine ${got.mkString(",")} vs brute $brute")
   }
 
+  test("kg_cs_wedge_capped equals brute capped enumeration; ledger drops wedges") {
+    val cap = graft.queries.CaseStudyQueries.WedgeCap
+    val edges = bruteOrganismEdges()
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // deterministic admission: first `cap` neighbors by id per center
+    val kept = adj.view.mapValues(_.toSeq.sorted.take(cap)).toMap
+    val common = kept.toSeq.flatMap { case (_, ns) =>
+      for (u <- ns; v <- ns if u < v) yield (u, v)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val brute = common.toSeq
+      .collect { case ((u, v), c) if !edges.contains((u, v)) => (u, v, c) }
+      .sortBy { case (u, v, c) => (-c, u, v) }.take(20)
+    def ch2(d: Long) = d * (d - 1) / 2
+    val total = adj.values.map(ns => ch2(ns.size.toLong)).sum
+    val keptW = adj.values.map(ns => ch2(math.min(ns.size, cap).toLong)).sum
+    assert(keptW < total,
+      s"cap $cap drops nothing at sf0.001 ($keptW == $total) — ledger vacuous")
+    val got = SparkEntry.queries("kg_cs_wedge_capped")(spark, dir).collect()
+    assert(got.nonEmpty, "no capped predictions — test is vacuous")
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      == brute, "capped engine ranking != brute capped ranking")
+    got.foreach { r =>
+      assert(r.getLong(4) == total && r.getLong(3) == keptW,
+        s"ledger (${r.getLong(3)}/${r.getLong(4)}) vs brute ($keptW/$total)")
+    }
+  }
+
   test("kg_cs_kcore equals brute-force peeling; in-core degrees honor k") {
     // same undirected organism edge set as the triangles twin; peel in
     // plain Scala to the fixpoint for k = 2 and 3 and compare
