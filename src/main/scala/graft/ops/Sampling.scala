@@ -68,4 +68,27 @@ object Sampling {
         .orderBy(
           Dedup.hash60(concat(lit("domcap:"), key.cast("string"))).asc,
           key.asc))
+
+  /** Weighted-sampling priority with ZERO float arithmetic — the
+    * Efraimidis–Spirakis reservoir realized as a minimum of hash
+    * replicas: a row with integer weight w ∈ [1, maxW] gets the MIN of
+    * w independent salted 60-bit hashes. For any two rows,
+    * P(prio_i < prio_j) = w_i / (w_i + w_j) — exactly A-ES's pairwise
+    * selection property (min of w iid uniforms ~ Beta(1, w)) — so
+    * taking the k SMALLEST priorities is a weighted sample without
+    * replacement. All-integer means the DuckDB oracle reproduces the
+    * survivor set bit-for-bit (no pow/ln whose last-ulp could differ
+    * across libm implementations), and the decision stays a pure
+    * function of (key, weight): re-run-stable, partition-independent.
+    *
+    * Shape at 100 TB: a bounded per-row explode (≤ maxW hashes folded
+    * by array_min INSIDE the projection — no rows are emitted), fused
+    * into the scan; the only wide operation a consumer adds is the
+    * top-k, which compiles to TakeOrderedAndProject.
+    */
+  def weightedPriority(key: Column, weight: Column): Column =
+    array_min(transform(
+      sequence(lit(0L), weight.cast("long") - 1),
+      r => Dedup.hash60(concat(lit("wsamp:"), key.cast("string"),
+        lit(":"), r.cast("string")))))
 }

@@ -560,6 +560,43 @@ object CaseStudyQueries {
         .crossJoin(broadcast(ledger))
     }),
 
+    // Multi-source BFS reach (closeness-lite): for the top-3 hub
+    // organisms (undirected degree, name tiebreak), how many organisms
+    // sit at distance exactly 1, 2, 3 — the "how far does a hub's
+    // influence extend" centrality slice (CS3's ego-network archetype
+    // generalized one ring further). Exactly 3 unrolled expansion
+    // rounds on BOTH engines (no fixpoint detection to drift): each
+    // round is frontier ⋈ edges → distinct → anti-join visited, every
+    // frame dimension-sized and localCheckpointed so round k+1 never
+    // recomputes round k's lineage. At corpus scale this is the
+    // standard frontier-expansion BFS — one shuffle per round, frontier
+    // rows only (never the full graph), k bounded.
+    "kg_cs_bfs_reach" -> ((s: SparkSession, dir: String) => {
+      val und = organismEdges(s, dir) // memo-checkpointed
+      val sym = und.select(col("u").as("a"), col("v").as("b"))
+        .union(und.select(col("v").as("a"), col("u").as("b")))
+      val hubs = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("a")).limit(3)
+        .select(col("a").as("hub"))
+      var visited = hubs.select(col("hub"), col("hub").as("node"))
+        .localCheckpoint(true)
+      var frontier = visited
+      val perDist = (1 to 3).map { dist =>
+        val next = frontier.join(sym, frontier("node") === sym("a"))
+          .select(col("hub"), col("b").as("node")).distinct()
+          .join(visited, Seq("hub", "node"), "left_anti")
+          .localCheckpoint(true)
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+        next.groupBy(col("hub"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .withColumn("dist", lit(dist.toLong))
+      }
+      perDist.reduce(_ unionByName _)
+        .select(col("hub"), col("dist"), col("n_nodes"))
+        .orderBy(col("hub"), col("dist"))
+    }),
+
     // CS5 Leaf-Economic-Spectrum archetypes (CS5_viz.py): the trait
     // correlation matrix (plot_trait_correlations, :283-304) and the
     // StandardScaler z-score standardization (:322-324). The trydb
@@ -1020,6 +1057,59 @@ object CaseStudyQueries {
           SELECT top.u, top.v, top.common_capped,
                  ledger.wedges_kept, ledger.wedges_total
           FROM top CROSS JOIN ledger""",
+
+    // same top-3 hub pick (degree desc, name), same 3 unrolled
+    // frontier-expansion rounds with the anti-join against the visited
+    // set — counts per exact distance
+    "kg_cs_bfs_reach" ->
+      s"""WITH g AS (SELECT * FROM $g),
+          so AS (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          und AS MATERIALIZED (
+            SELECT DISTINCT least(s1.org, s2.org) AS u,
+                   greatest(s1.org, s2.org) AS v
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          sym AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM und
+            UNION ALL SELECT v AS a, u AS b FROM und),
+          f0 AS MATERIALIZED (
+            SELECT a AS hub, a AS node FROM (
+              SELECT a, COUNT(*) AS d FROM sym GROUP BY a
+              ORDER BY d DESC, a LIMIT 3)),
+          f1 AS MATERIALIZED (
+            SELECT DISTINCT f0.hub, s.b AS node
+            FROM f0 JOIN sym s ON s.a = f0.node
+            WHERE NOT EXISTS (SELECT 1 FROM f0 v
+                              WHERE v.hub = f0.hub AND v.node = s.b)),
+          v1 AS MATERIALIZED (
+            SELECT hub, node FROM f0 UNION ALL SELECT hub, node FROM f1),
+          f2 AS MATERIALIZED (
+            SELECT DISTINCT f1.hub, s.b AS node
+            FROM f1 JOIN sym s ON s.a = f1.node
+            WHERE NOT EXISTS (SELECT 1 FROM v1
+                              WHERE v1.hub = f1.hub AND v1.node = s.b)),
+          v2 AS MATERIALIZED (
+            SELECT hub, node FROM v1 UNION ALL SELECT hub, node FROM f2),
+          f3 AS MATERIALIZED (
+            SELECT DISTINCT f2.hub, s.b AS node
+            FROM f2 JOIN sym s ON s.a = f2.node
+            WHERE NOT EXISTS (SELECT 1 FROM v2
+                              WHERE v2.hub = f2.hub AND v2.node = s.b))
+          SELECT hub, dist, n_nodes FROM (
+            SELECT hub, CAST(1 AS BIGINT) AS dist, COUNT(*) AS n_nodes
+            FROM f1 GROUP BY hub
+            UNION ALL
+            SELECT hub, CAST(2 AS BIGINT), COUNT(*) FROM f2 GROUP BY hub
+            UNION ALL
+            SELECT hub, CAST(3 AS BIGINT), COUNT(*) FROM f3 GROUP BY hub)
+          ORDER BY hub, dist""",
 
     "kg_cs_kcore" -> {
       // 12 unrolled peel rounds per K (degree filter + edge restriction

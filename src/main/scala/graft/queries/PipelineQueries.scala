@@ -219,6 +219,23 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis): the
+    // 20 docs with the smallest min-of-w-replica-hash priorities, where
+    // w ∈ [1, 6] grows with document length — longer docs are
+    // proportionally likelier to be drawn (the quality/length-weighted
+    // subsampling step of a data-mixing pipeline). Integer-exact on
+    // both engines (Sampling.weightedPriority — no pow/ln); the plan is
+    // a map-side projection (bounded ≤6-hash fold fused into the scan)
+    // + TakeOrderedAndProject, zero exchanges before the top-k.
+    "tx_weighted_sample" -> ((s: SparkSession, dir: String) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      d.select(col("doc_id"),
+          expr("1 + least(5, n_chars div 256)").as("w"))
+        .withColumn("priority",
+          Sampling.weightedPriority(col("doc_id"), col("w")))
+        .orderBy(col("priority"), col("doc_id")).limit(20)
+    }),
+
     "a9_sketch_distinct" -> ((s: SparkSession, dir: String) => {
       // approximate distinct-shingle count per source via a portable
       // 64-register HyperLogLog: bucket = h%64, register = MAX over
@@ -1300,6 +1317,23 @@ object PipelineQueries {
          SELECT source, pct, COUNT(*) AS n_docs,
                 CAST(SUM(CASE WHEN b < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM x GROUP BY source, pct ORDER BY source""",
+
+    // same min-of-w-replica-hash A-ES priority, integer-exact: replica
+    // r of doc d hashes 'wsamp:<doc_id>:<r>' through the shared 60-bit
+    // md5-prefix construction, priority = MIN over the w replicas
+    "tx_weighted_sample" ->
+      """WITH d AS (
+           SELECT doc_id, 1 + least(5, n_chars // 256) AS w FROM documents),
+         r AS (
+           SELECT doc_id, w, UNNEST(generate_series(0, w - 1)) AS rep FROM d),
+         p AS (
+           SELECT doc_id, w,
+                  MIN(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)
+                       || ':' || CAST(rep AS VARCHAR)), 1, 15))::BIGINT)
+                    AS priority
+           FROM r GROUP BY doc_id, w)
+         SELECT doc_id, CAST(w AS BIGINT) AS w, priority
+         FROM p ORDER BY priority, doc_id LIMIT 20""",
 
     // bloom bit positions mirror Sketches.bloomBit: 60-bit md5-prefix
     // hash of 'bloom<j>:' || key, mod 16384; might_contain = MIN over

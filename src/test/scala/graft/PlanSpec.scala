@@ -310,6 +310,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("kg_cs_bfs_reach equals brute multi-source BFS ring counts") {
+    val edges = bruteOrganismEdges()
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hubs = adj.toSeq.map { case (n, ns) => (n, ns.size) }
+      .sortBy { case (n, d) => (-d, n) }.take(3).map(_._1)
+    val brute = hubs.flatMap { h =>
+      var visited = Set(h); var frontier = Set(h)
+      (1 to 3).flatMap { dist =>
+        val next = frontier.flatMap(adj(_)) -- visited
+        visited ++= next; frontier = next
+        if (next.nonEmpty) Some((h, dist.toLong, next.size.toLong)) else None
+      }
+    }.sortBy { case (h, d, _) => (h, d) }
+    val got = SparkEntry.queries("kg_cs_bfs_reach")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty, "empty reach — test is vacuous")
+    assert(got == brute, s"engine $got vs brute $brute")
+    // the rings must be genuinely multi-hop at sf0.001, not all dist-1
+    assert(brute.exists(_._2 >= 2), "graph too shallow — BFS test is vacuous")
+  }
+
   test("kg_cs_kcore equals brute-force peeling; in-core degrees honor k") {
     // same undirected organism edge set as the triangles twin; peel in
     // plain Scala to the fixpoint for k = 2 and 3 and compare

@@ -913,4 +913,34 @@ class TrainingOpsSpec extends AnyFunSuite {
     // docs below 2 tokens are absent rather than zero-padded
     assert(got.map(_.getDouble(2)).distinct.length > 1)
   }
+
+  test("weightedPriority: min of replica hashes, monotone in weight, A-ES ratio") {
+    import graft.ops.{Sampling, Dedup}
+    val d = spark.range(0, 400, 1, 4).toDF("id")
+    // cross-check the array-fold path against an independent explode +
+    // groupBy-min evaluation of the SAME hash60 construction
+    val viaArray = d.select(col("id"),
+        Sampling.weightedPriority(col("id"), lit(4L)).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExplode = d.select(col("id"), explode(sequence(lit(0L), lit(3L))).as("r"))
+      .select(col("id"), Dedup.hash60(concat(lit("wsamp:"),
+        col("id").cast("string"), lit(":"), col("r").cast("string"))).as("h"))
+      .groupBy("id").agg(min("h").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaArray == viaExplode)
+    // monotone: a higher weight can only lower the priority (more
+    // replicas in the min), so weighted draws dominate unweighted ones
+    val w1 = d.select(col("id"), Sampling.weightedPriority(col("id"), lit(1L)).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaArray.forall { case (id, p) => p <= w1(id) })
+    // the A-ES pairwise property P(prio_w4 < prio_w1) = 4/5, checked
+    // empirically across 400 independent (w=4, w=1) pairs: ids 0..199
+    // carry weight 4 via their own hashes, 200..399 weight 1 — wins
+    // for the weighted side should land near 4/5 (binomial σ≈0.028)
+    val heavy = (0 until 200).map(i => viaArray(i.toLong))
+    val light = (200 until 400).map(i => w1(i.toLong))
+    val wins = heavy.zip(light).count { case (a, b) => a < b }
+    assert(wins > 200 * 0.70 && wins < 200 * 0.90,
+      s"weighted-win ratio ${wins / 200.0} not near 4/5")
+  }
 }
