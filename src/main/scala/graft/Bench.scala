@@ -93,6 +93,11 @@ object Bench {
           System.err.println(s"[bench] materialize_tables failed: ${e.getMessage}")
           -1.0
       }
+    // per-phase load: this box's 1-min loadavg drifts run-to-run even
+    // with zero other JVMs — the load right after each heavyweight
+    // build phase makes a slow materialize line adjudicable from the
+    // artifact alone
+    val matLoad = loadAvg()
     // the incremental-dedup STATE BUILDS (2× IncrementalDedup.update
     // cycles per family) get their own line: the build is by-design
     // state reconstruction a production ingest amortizes over its
@@ -108,6 +113,7 @@ object Bench {
           System.err.println(s"[bench] incremental_state_build failed: ${e.getMessage}")
           -1.0
       }
+    val incLoad = loadAvg()
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -141,7 +147,7 @@ object Bench {
     // -1 sentinels (failed materialization) are excluded from the total
     // rather than subtracted from it
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","contention":{"load_before":$loadBefore,"load_after":$loadAfter,"jvms_before":$jvmsBefore,"jvms_after":$jvmsAfter,"reruns":$rr}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","contention":{"load_before":$loadBefore,"load_after":$loadAfter,"jvms_before":$jvmsBefore,"jvms_after":$jvmsAfter,"load_after_materialize":$matLoad,"load_after_inc_state":$incLoad,"reruns":$rr}}""")
     spark.stop()
   }
 }

@@ -176,6 +176,57 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Multi-level aggregation: ROLLUP over (returnflag, linestatus) —
+    // subtotals per flag and the grand total in ONE pass (Spark expands
+    // the grouping sets before the exchange; still a single shuffle
+    // with map-side partials). Rolled-up levels are COALESCEd to 'ALL'
+    // on both engines, sidestepping NULL-ordering divergence (Spark
+    // sorts NULLS FIRST, DuckDB NULLS LAST) without a nondeterministic
+    // null key.
+    "a11_rollup" -> ((s: SparkSession, dir: String) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+          count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("sum_base"), col("cnt"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // CUBE over the same keys: every grouping-set combination including
+    // per-linestatus marginals — the full multidimensional aggregate.
+    "a12_cube" -> ((s: SparkSession, dir: String) => {
+      val li = s.read.parquet(t(dir, "lineitem"))
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // Full outer join — the one join shape the matrix lacked: customers
+    // (filtered to high balances) against per-customer F-order counts,
+    // so BOTH dangling sides genuinely occur (rich customers without
+    // F-orders, F-orders from low-balance customers). Keys COALESCEd,
+    // null indicators as integers.
+    "j11_full_outer" -> ((s: SparkSession, dir: String) => {
+      val c = s.read.parquet(t(dir, "customer"))
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"))
+      val o = s.read.parquet(t(dir, "orders"))
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+          when(c("c_custkey").isNull, 0L).otherwise(1L).as("has_cust"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("custkey"))
+    }),
+
     "a1_distinct" -> ((s: SparkSession, dir: String) => {
       s.read.parquet(t(dir, "lineitem"))
         .select(col("l_returnflag"), col("l_linestatus"))
@@ -531,6 +582,34 @@ object RelationalQueries {
                 COUNT(*) AS cnt
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "a11_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                COALESCE(l_linestatus, 'ALL') AS ls,
+                SUM(l_quantity) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+                COUNT(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+
+    "a12_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                COALESCE(l_linestatus, 'ALL') AS ls,
+                COUNT(*) AS cnt,
+                SUM(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+
+    "j11_full_outer" ->
+      """WITH c AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+         o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+               WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+         SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+                CAST(CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                  AS has_cust,
+                CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+         FROM c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey
+         ORDER BY custkey""",
 
     "a1_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem

@@ -195,6 +195,27 @@ class PlanSpec extends AnyFunSuite {
       exchanges.mkString("\n"))
   }
 
+  test("tx_weighted_sample: TakeOrdered top-k, zero exchanges before it") {
+    val plan = planOf(SparkEntry.queries("tx_weighted_sample")(spark, dir))
+    assert(plan.contains("TakeOrdered"), plan.take(500))
+    // the ≤6-hash fold is a scan-stage projection; nothing shuffles
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("mm_png_features: no Exchange carries the PNG payload bytes") {
+    val plan = planOf(SparkEntry.queries("mm_png_features")(spark, dir))
+    // decode happens in the typed scan stage; only (ref, bucket, cnt)
+    // rows ever move
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(!_.contains("payload")), exchanges.mkString("\n"))
+  }
+
+  test("j11_full_outer genuinely exercises both dangling sides") {
+    val rows = SparkEntry.queries("j11_full_outer")(spark, dir).collect()
+    assert(rows.exists(_.getLong(1) == 0L), "no order-only rows — vacuous")
+    assert(rows.exists(_.getLong(2) == 0L), "no customer-only rows — vacuous")
+  }
+
   /** Undirected organism edge set derived independently of the engine
     * queries (same serving table, plain collected Scala) — shared by
     * the triangle and k-core brute twins.
