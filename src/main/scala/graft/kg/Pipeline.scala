@@ -267,18 +267,19 @@ object Pipeline {
     }
     // a raw REBUILD that committed but whose canonical update crashed
     // before publishing: raw.mode reads "noop" on the retry, yet the
-    // raw table was OVERWRITTEN after the snapshot this canonical table
+    // raw table was REWRITTEN after the snapshot this canonical table
     // last processed — append-only repair could never remove canonical
-    // rows derived from raw rows the rebuild deleted. Any overwrite in
-    // the raw history past lastRawProcessed forces re-canonicalization;
-    // a snapshot in that range whose metadata has been EXPIRED is
-    // treated as an overwrite (its operation is unknowable, and
-    // correctness beats a spurious rebuild). compact() records
-    // "replace" (content-identical), which does not trigger this.
+    // rows derived from raw rows the rewrite deleted or replaced. The
+    // check is DEFAULT-DENY over operation names: only "append" (pure
+    // addition) and "replace" (compact — content-identical by
+    // construction) are delta-safe; "overwrite", "merge" (copy-on-write
+    // upsert can REPLACE rows), any future op, and any snapshot whose
+    // metadata has been EXPIRED (operation unknowable) all force
+    // re-canonicalization — correctness beats a spurious rebuild.
     val rawOps = SnapshotTable.history(rawGraphTableDir)
       .map(s => s.id -> s.operation).toMap
     val rawRebuiltSince = (lastRawProcessed + 1 to rawSnapNow)
-      .exists(id => rawOps.get(id).forall(_ == "overwrite"))
+      .exists(id => rawOps.get(id).forall(op => op != "append" && op != "replace"))
 
     val tripleCols = Seq("subj", "pred", "obj", "objIsLiteral", "objDatatype")
     val (outDf, mode) =

@@ -338,6 +338,108 @@ object SnapshotTable {
     } finally newEntries.unpersist()
   }
 
+  /** Copy-on-write MERGE (the Iceberg MERGE INTO analogue): upsert
+    * `updates` into the table by `keyCols`, newest-wins — existing rows
+    * whose key appears in `updates` are replaced, new keys are
+    * inserted. Only data files CONTAINING an updated key are rewritten;
+    * every unaffected file is carried into the new manifest untouched
+    * (verbatim path + original snapshot_id). That file-level
+    * copy-on-write is the property that matters at 10^12 rows: a
+    * 1000-row upsert rewrites a handful of files, not the table — and
+    * `readDelta(sinceSnapshot = parent)` returns exactly the rewritten
+    * rows, so incremental consumers see the merge as a delta.
+    *
+    * Affected-file detection reads ONLY the key columns plus
+    * `input_file_name()` (a key-column scan, not a full-width one) and
+    * joins against the distinct update keys — AQE broadcasts the
+    * typical small update set. The per-file min/max key stats that
+    * would prune this scan entirely are the documented continuation
+    * (they slot into the manifest rows the same way `rows` does).
+    *
+    * Concurrency: same CAS discipline as [[write]], but a lost race
+    * RECOMPUTES from detection (the rewrite was derived from the old
+    * parent's data — retrying just the commit could drop a racer's
+    * rows). `updates` must be key-distinct (enforced); schema must
+    * cover the table's columns. Exactly-once under replays via
+    * `idempotencyKey`, like every other commit here.
+    */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCols: Seq[String], idempotencyKey: String = ""): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val already = snapshotWithKey(dir, idempotencyKey)
+    if (already.isDefined) return already.get
+    var attempt = 0
+    while (true) {
+      val parent = currentSnapshot(dir)
+      require(parent > 0, s"no snapshot in $dir to merge into")
+      val cols = StructType.fromDDL(schemaDdl(dir, parent).get).fieldNames.toSeq
+      require(keyCols.forall(cols.contains), s"key not in table: $keyCols")
+      require(cols.forall(updates.columns.contains),
+        s"updates missing columns: ${cols.filterNot(updates.columns.contains)}")
+      val upd = updates.select(cols.map(col): _*).persist()
+      require(upd.groupBy(keyCols.map(col): _*).count().filter(col("count") > 1)
+        .isEmpty, "updates must be key-distinct (newest-wins is ambiguous)")
+      val updKeys = upd.select(keyCols.map(col): _*).distinct()
+      val cur = read(spark, dir, Some(parent)).withColumn("_file", input_file_name())
+      val affected = cur
+        .select((keyCols.map(col) :+ col("_file")): _*)
+        .join(updKeys, keyCols)
+        .select(col("_file")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      import spark.implicits._
+      val affectedDf = affected.toDF("path")
+      val manifestDf = spark.read.parquet(manifestDir(dir, parent))
+      val keptDf = manifestDf.join(affectedDf, Seq("path"), "left_anti")
+      val survivors = cur
+        .join(affectedDf.withColumnRenamed("path", "_file"), Seq("_file"))
+        .drop("_file")
+        .join(updKeys, keyCols, "left_anti")
+      val rewritten = survivors.unionByName(upd)
+      val partitionBy = partitionSpec(dir, parent)
+      val token = java.util.UUID.randomUUID.toString.take(12)
+      val dataDir = s"$dir/data/w-$token"
+      val writer = rewritten.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(dataDir)
+      val snap = parent + 1
+      val newEntries = spark.read.parquet(dataDir)
+        .groupBy(input_file_name().as("path"))
+        .agg(count(lit(1)).as("rows"))
+        .withColumn("base", lit(dataDir))
+        .withColumn("snapshot_id", lit(snap))
+      val manifestRel = s"manifests/snap-$snap-$token"
+      keptDf.unionByName(newEntries).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$manifestRel")
+      upd.unpersist()
+      val stats = spark.read.parquet(s"$dir/$manifestRel")
+        .agg(count(lit(1)), coalesce(sum(col("rows")), lit(0L))).head()
+      // a racer may have committed our key while we computed: our files
+      // are unreferenced — reclaim them and return the racer's snapshot
+      val racedKey = snapshotWithKey(dir, idempotencyKey)
+      if (racedKey.isDefined) {
+        deleteRecursively(Paths.get(dataDir))
+        cleanWriterAttempts(dir, token, keepRel = None)
+        return racedKey.get
+      }
+      try {
+        commitCas(dir, snap, "merge", parent,
+          StructType.fromDDL(schemaDdl(dir, parent).get).toDDL, partitionBy,
+          manifestRel, stats.getLong(0), stats.getLong(1), idempotencyKey)
+        cleanWriterAttempts(dir, token, keepRel = Some(manifestRel))
+        return snap
+      } catch {
+        case _: FileAlreadyExistsException =>
+          // lost the CAS: the rewrite is stale against the new parent —
+          // reclaim this attempt's files and RECOMPUTE from detection
+          deleteRecursively(Paths.get(dataDir))
+          cleanWriterAttempts(dir, token, keepRel = None)
+          attempt += 1
+          require(attempt < 20, s"merge contention on $dir")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._

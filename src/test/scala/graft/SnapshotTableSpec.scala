@@ -698,4 +698,91 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(subdirs(Paths.get(dir, "data")).size == 1)
     assert(subdirs(Paths.get(dir, "manifests")).size == 1)
   }
+
+  test("merge: copy-on-write upsert rewrites ONLY affected files, newest wins") {
+    val dir = java.nio.file.Files.createTempDirectory("snapmerge").toString + "/t"
+    // 200 rows across 8 files — keys 0..199, value = old
+    val base = spark.range(0, 200, 1, 8)
+      .select(col("id"), concat(lit("old-"), col("id")).as("v"))
+    SnapshotTable.write(base, dir)
+    // append 100 more in 4 files so the manifest spans two snapshots
+    SnapshotTable.write(
+      spark.range(200, 300, 1, 4)
+        .select(col("id"), concat(lit("old-"), col("id")).as("v")),
+      dir, mode = "append")
+    val parentManifest = SnapshotTable.read(spark, dir)
+      .withColumn("f", input_file_name())
+      .select("f").distinct().collect().map(_.getString(0)).toSet
+    // upsert: replace 5 existing keys (landing in few files) + 3 new keys
+    val updates = (Seq(7L, 8L, 9L, 205L, 206L).map(k => (k, s"new-$k")) ++
+      Seq(1000L, 1001L, 1002L).map(k => (k, s"ins-$k"))).toDF("id", "v")
+    val parent = SnapshotTable.currentSnapshot(dir)
+    val snap = SnapshotTable.merge(spark, dir, updates, Seq("id"), "m-1")
+    assert(snap == parent + 1)
+    // content equals the brute newest-wins rewrite
+    val got = SnapshotTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (0L until 300L).map(k => k -> s"old-$k").toMap ++
+      Seq(7L, 8L, 9L, 205L, 206L).map(k => k -> s"new-$k").toMap ++
+      Seq(1000L, 1001L, 1002L).map(k => k -> s"ins-$k").toMap
+    assert(got == want)
+    // copy-on-write: unaffected files carried VERBATIM (same paths),
+    // affected ones gone from the live file set
+    val mergedFiles = SnapshotTable.read(spark, dir)
+      .withColumn("f", input_file_name())
+      .select("f").distinct().collect().map(_.getString(0)).toSet
+    val carried = mergedFiles.intersect(parentManifest)
+    assert(carried.nonEmpty, "no files carried — merge rewrote the table")
+    assert(mergedFiles != parentManifest, "no files rewritten — vacuous")
+    // the 5 updated keys span ≤ 5 files; at least 12 - 5 - ... most of
+    // the 12 base files must survive untouched
+    assert(carried.size >= 7, s"only ${carried.size} of 12 files carried")
+    // readDelta since the parent returns exactly the rewritten rows
+    val delta = SnapshotTable.readDelta(spark, dir, sinceSnapshot = parent)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Seq(7L, 205L, 1000L).forall(delta.contains))
+    assert(delta.forall { case (k, v) => want(k) == v })
+    // an unaffected key in an untouched file is NOT part of the delta
+    assert(!delta.contains(50L))
+    // time travel: the parent snapshot still reads the pre-merge rows
+    val old = SnapshotTable.read(spark, dir, Some(parent)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old(7L) == "old-7" && !old.contains(1000L))
+    // idempotency: replaying the same merge key is a no-op
+    val again = SnapshotTable.merge(spark, dir, updates, Seq("id"), "m-1")
+    assert(again == snap)
+    assert(SnapshotTable.read(spark, dir).count() == 303)
+    // key-ambiguous updates refuse loudly
+    val dup = Seq((7L, "a"), (7L, "b")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, dir, dup, Seq("id"))
+    }
+    // compaction after a merge preserves the merged content
+    SnapshotTable.compact(spark, dir, numFiles = 2)
+    val compacted = SnapshotTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(compacted == want)
+  }
+
+  test("merge on a partitioned table keeps partition reconstitution") {
+    val dir = java.nio.file.Files.createTempDirectory("snapmergep").toString + "/t"
+    // alpha partition values: hive partition-dir inference keeps them
+    // strings (numeric dir names would re-infer as int — a pre-existing
+    // trait of partition reconstitution, not of merge)
+    val base = spark.range(0, 100, 1, 4)
+      .select(col("id"), concat(lit("p"), col("id") % 3).as("p"),
+        lit("old").as("v"))
+    SnapshotTable.write(base, dir, partitionBy = Seq("p"))
+    val updates = Seq((5L, "p2", "new"), (500L, "p1", "ins"))
+      .toDF("id", "p", "v")
+    SnapshotTable.merge(spark, dir, updates, Seq("id"), "pm-1")
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.count() == 101)
+    assert(got.filter(col("id") === 5L).select("v").head().getString(0) == "new")
+    assert(got.filter(col("id") === 5L).select("p").head().getString(0) == "p2")
+    assert(got.filter(col("id") === 500L).select("p").head().getString(0) == "p1")
+    // partition column still prunes (hive reconstitution intact)
+    assert(got.filter(col("p") === "p1").count() ===
+      base.filter(col("p") === "p1").count() + 1)
+  }
 }
