@@ -90,6 +90,36 @@ object PipelineQueries {
       stateDir
     }
 
+  /** Once-per-(session, scale) merged snapshot table — the driver gate
+    * for the copy-on-write MERGE (`sources/SnapshotTable.merge`): base
+    * snapshot = the documents dimension (doc_id, source, version v1),
+    * then ONE upsert that flips every doc_id % 97 == 0 row to v2 and
+    * inserts 10 synthetic negative-id rows. The gate query reads the
+    * merged table back; the oracle recomputes the expected post-merge
+    * content in SQL — so newest-wins semantics, the file-level COW
+    * rewrite, manifest carry, and the read path are all inside the
+    * hash. The idempotency key makes rebuild-after-crash replays safe.
+    */
+  private def mergedDocsTable(s: SparkSession, dir: String): String =
+    Materialized.once(s, "mergedDocsTable", dir) {
+      import graft.sources.SnapshotTable
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("snap-merge-gate").toString + "/t"
+      deleteOnExit(tableDir)
+      val base = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("source"), lit("v1").as("version"))
+      SnapshotTable.write(base.repartition(8), tableDir,
+        idempotencyKey = "merge-gate-base")
+      import s.implicits._
+      val updates = base.filter(col("doc_id") % 97 === 0)
+        .withColumn("version", lit("v2"))
+        .unionByName((1 to 10).map(i => (-i.toLong, "synthetic", "ins"))
+          .toDF("doc_id", "source", "version"))
+      SnapshotTable.merge(s, tableDir, updates, Seq("doc_id"),
+        idempotencyKey = "merge-gate-upsert")
+      tableDir
+    }
+
   /** Once-per-(session, scale) embedding sign-LSH incremental state —
     * the incLshState twin for the vector family.
     */
@@ -513,6 +543,17 @@ object PipelineQueries {
       // spec-asserted.
       graft.ops.IncrementalDedup.pairsFromTable(s, incLshState(s, dir))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Copy-on-write MERGE under the driver gate: read back the snapshot
+    // table that [[mergedDocsTable]] built (base write + one upsert),
+    // oracle = the expected post-merge content recomputed in SQL.
+    // Newest-wins, inserts, the file-level COW manifest carry, and the
+    // snapshot read path all sit inside this hash; the verbatim-carry /
+    // delta / time-travel invariants are pinned in SnapshotTableSpec.
+    "s8_merge_upsert" -> ((s: SparkSession, dir: String) => {
+      graft.sources.SnapshotTable.read(s, mergedDocsTable(s, dir))
+        .orderBy(col("doc_id"))
     }),
 
     "dd_incremental_cos" -> ((s: SparkSession, dir: String) => {
@@ -1334,6 +1375,17 @@ object PipelineQueries {
            FROM r GROUP BY doc_id, w)
          SELECT doc_id, CAST(w AS BIGINT) AS w, priority
          FROM p ORDER BY priority, doc_id LIMIT 20""",
+
+    // expected post-merge table content: v2 where the upsert hit,
+    // v1 elsewhere, plus the 10 inserted synthetic rows
+    "s8_merge_upsert" ->
+      """SELECT doc_id, source,
+                CASE WHEN doc_id % 97 = 0 THEN 'v2' ELSE 'v1' END AS version
+         FROM documents
+         UNION ALL
+         SELECT -i, 'synthetic', 'ins'
+         FROM UNNEST(generate_series(1, 10)) t(i)
+         ORDER BY doc_id""",
 
     // bloom bit positions mirror Sketches.bloomBit: 60-bit md5-prefix
     // hash of 'bloom<j>:' || key, mod 16384; might_contain = MIN over
