@@ -165,6 +165,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(hist.tail.forall(_.operation == "append"))
   }
 
+  test("streaming CDC sink: foreachBatch merge upserts, exactly-once under replay") {
+    import graft.sources.SnapshotTable
+    val tmp = java.nio.file.Files.createTempDirectory("cdcsink").toString
+    val inDir = s"$tmp/in"; val tableDir = s"$tmp/table"; val cp = s"$tmp/cp"
+    // base table: keys 0..99 at v0
+    import spark.implicits._
+    SnapshotTable.write(
+      spark.range(0, 100, 1, 4).select(col("id"), lit("v0").as("v")),
+      tableDir, idempotencyKey = "cdc-base")
+    // the change stream: three micro-batch files, LATER files update
+    // keys the earlier ones touched — merge order must be honored
+    (0 until 3).foreach { b =>
+      (b * 20 until b * 20 + 30).map(k => (k.toLong, s"b$b-$k"))
+        .toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(inDir)
+      // the file source orders micro-batches by (modTime, path); keep
+      // the write order unambiguous even on a coarse-mtime filesystem
+      Thread.sleep(1100)
+    }
+    def runStream(): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING"))
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          // the CDC upsert sink: batch id as the merge idempotency key,
+          // so a replayed micro-batch is a no-op instead of a double
+          // merge (exactly-once table content under at-least-once
+          // batch delivery)
+          SnapshotTable.merge(spark, tableDir, batch, Seq("id"),
+            idempotencyKey = s"cdc-$id"): Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runStream()
+    val got = SnapshotTable.read(spark, tableDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // file order is the micro-batch order (one file per trigger, named
+    // part-...-b): later batches overwrite overlapping keys
+    val want = (0L until 100L).map(k => k -> "v0").toMap ++
+      (0 until 3).flatMap(b =>
+        (b * 20 until b * 20 + 30).map(k => k.toLong -> s"b$b-$k")).toMap
+    assert(got.size == want.size && got.keySet == want.keySet)
+    // every batch-sourced value is some batch's write for that key; the
+    // LAST batch's keys must hold exactly its values
+    (40L until 70L).foreach(k => assert(got(k) == s"b2-$k", s"key $k: ${got(k)}"))
+    // replaying the whole stream from a fresh checkpoint re-delivers all
+    // batches — the idempotency keys make the replay a content no-op
+    val snapBefore = SnapshotTable.currentSnapshot(tableDir)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(cp)).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    runStream()
+    assert(SnapshotTable.currentSnapshot(tableDir) == snapBefore,
+      "replayed batches committed new snapshots")
+    val replayed = SnapshotTable.read(spark, tableDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replayed == got)
+  }
+
   test("streaming micro-batches drive exact incremental KG maintenance") {
     // the full composition: stream → docs snapshot append (exactly-once
     // via batch-id key) → incremental maintenance per micro-batch — and
