@@ -120,6 +120,30 @@ object PipelineQueries {
       tableDir
     }
 
+  /** Once-per-(session, scale) range-clustered snapshot table with
+    * manifest min/max stats on `doc_id` — the driver gate for
+    * file-skipping reads (`sources/SnapshotTable.readRange`). The
+    * table is written in 8 range partitions (contiguous doc_id blocks,
+    * the clustered layout a sorted 100 TB table has), so a narrow key
+    * range provably skips most files; the skip-count itself is pinned
+    * in SnapshotTableSpec, while the gate hashes the RESULT against
+    * the plain SQL filter — pruning must never change what a read
+    * returns.
+    */
+  private def statsDocsTable(s: SparkSession, dir: String): String =
+    Materialized.once(s, "statsDocsTable", dir) {
+      import graft.sources.SnapshotTable
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("snap-stats-gate").toString + "/t"
+      deleteOnExit(tableDir)
+      val docs = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id"))
+      SnapshotTable.write(docs, tableDir,
+        idempotencyKey = "stats-gate-base", statsCols = Seq("doc_id"))
+      tableDir
+    }
+
   /** Once-per-(session, scale) embedding sign-LSH incremental state —
     * the incLshState twin for the vector family.
     */
@@ -553,6 +577,17 @@ object PipelineQueries {
     // delta / time-travel invariants are pinned in SnapshotTableSpec.
     "s8_merge_upsert" -> ((s: SparkSession, dir: String) => {
       graft.sources.SnapshotTable.read(s, mergedDocsTable(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    // File-skipping read under the driver gate: a narrow key range over
+    // the range-clustered stats table ([[statsDocsTable]]) through
+    // readRange — manifest min/max bounds skip the non-intersecting
+    // files, the oracle is the plain BETWEEN filter. If pruning ever
+    // skipped a file it shouldn't, the hash goes red.
+    "s8b_stats_prune" -> ((s: SparkSession, dir: String) => {
+      graft.sources.SnapshotTable
+        .readRange(s, statsDocsTable(s, dir), "doc_id", "10", "45")
         .orderBy(col("doc_id"))
     }),
 
@@ -1385,6 +1420,13 @@ object PipelineQueries {
          UNION ALL
          SELECT -i, 'synthetic', 'ins'
          FROM UNNEST(generate_series(1, 10)) t(i)
+         ORDER BY doc_id""",
+
+    // file-skipping readRange ≡ the plain BETWEEN filter
+    "s8b_stats_prune" ->
+      """SELECT doc_id, source, lang, n_chars
+         FROM documents
+         WHERE doc_id BETWEEN 10 AND 45
          ORDER BY doc_id""",
 
     // bloom bit positions mirror Sketches.bloomBit: 60-bit md5-prefix

@@ -106,14 +106,23 @@ object SnapshotTable {
   def schemaDdl(dir: String, snap: Long): Option[String] =
     metaJson(dir, snap).flatMap(metaStr(_, "schema"))
 
+  private def metaStrList(j: String, k: String): Seq[String] =
+    (s""""$k":\\[([^\\]]*)\\]""").r.findFirstMatchIn(j)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+
   /** Partition columns recorded by snapshot `snap`. */
   def partitionSpec(dir: String, snap: Long): Seq[String] =
-    metaJson(dir, snap).map { j =>
-      """"partition_spec":\[([^\]]*)\]""".r.findFirstMatchIn(j)
-        .map(_.group(1)).getOrElse("")
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq
-    }.getOrElse(Nil)
+    metaJson(dir, snap).map(metaStrList(_, "partition_spec")).getOrElse(Nil)
+
+  /** Columns whose per-file min/max stats the manifest of `snap`
+    * carries (`min_<c>` / `max_<c>` entry columns — the Iceberg
+    * lower_bounds/upper_bounds analogue). Empty for tables written
+    * before stats, or without `statsCols`.
+    */
+  def statsColumns(dir: String, snap: Long): Seq[String] =
+    metaJson(dir, snap).map(metaStrList(_, "stats_cols")).getOrElse(Nil)
 
   /** Manifest location recorded by snapshot `snap` (manifest names are
     * writer-unique; the committed metadata is the source of truth).
@@ -130,13 +139,14 @@ object SnapshotTable {
   private def commitCas(dir: String, snap: Long, operation: String,
       parent: Long, schemaDdl: String, partitionBy: Seq[String],
       manifestRel: String, files: Long, rows: Long,
-      idempotencyKey: String): Unit = {
+      idempotencyKey: String, statsCols: Seq[String] = Nil): Unit = {
     val meta = Paths.get(dir, "metadata")
     Files.createDirectories(meta)
     val json =
       s"""{"format_version":2,"snapshot_id":$snap,"parent_snapshot_id":$parent,
          |"operation":"$operation","schema":"${jsonEscape(schemaDdl)}",
          |"partition_spec":[${partitionBy.map(c => s""""$c"""").mkString(",")}],
+         |"stats_cols":[${statsCols.map(c => s""""$c"""").mkString(",")}],
          |"idempotency_key":"${jsonEscape(idempotencyKey)}",
          |"manifest":"${jsonEscape(manifestRel)}","data_files":$files,"rows":$rows}"""
         .stripMargin.replace("\n", "")
@@ -273,25 +283,47 @@ object SnapshotTable {
     * passes the batch id here, and a key already recorded by ANY
     * retained snapshot short-circuits to that snapshot instead of
     * appending a duplicate.
+    *
+    * `statsCols`: record per-file min/max for these columns in the
+    * manifest (`min_<c>`/`max_<c>`, stored as strings and compared
+    * after casting back to the column's type) — the Iceberg
+    * lower/upper-bounds analogue that lets [[readRange]] and
+    * [[merge]]'s affected-file detection SKIP files whose range
+    * provably excludes the predicate, without opening them. When
+    * empty, the table's existing stats columns (if any) are inherited,
+    * so appends and compaction keep the coverage the table declared.
     */
   def write(df: DataFrame, dir: String, mode: String = "overwrite",
-      partitionBy: Seq[String] = Nil, idempotencyKey: String = ""): Long = {
+      partitionBy: Seq[String] = Nil, idempotencyKey: String = "",
+      statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val already = snapshotWithKey(dir, idempotencyKey)
     if (already.isDefined) return already.get
+    // inherit the table's declared stats columns (schema evolution may
+    // drop one — stats only ever cover columns this write actually has)
+    val effStats = {
+      val base = if (statsCols.nonEmpty) statsCols
+        else { val p = currentSnapshot(dir); if (p > 0) statsColumns(dir, p) else Nil }
+      base.filter(df.columns.contains)
+    }
+    require(effStats.intersect(partitionBy).isEmpty,
+      s"statsCols must not be partition columns: ${effStats.intersect(partitionBy)}")
     val token = java.util.UUID.randomUUID.toString.take(12)
     val dataDir = s"$dir/data/w-$token"
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir)
-    // manifest entries: every data file + its row count (per-file
-    // stats) + the dir to resolve partition values against. An empty
-    // DataFrame lists zero entries (its schema-only part file has no
-    // rows) — a legal snapshot; readers reconstitute the schema from
-    // the metadata DDL.
+    // manifest entries: every data file + its row count + per-file
+    // min/max of the stats columns + the dir to resolve partition
+    // values against. An empty DataFrame lists zero entries (its
+    // schema-only part file has no rows) — a legal snapshot; readers
+    // reconstitute the schema from the metadata DDL.
+    val statAggs = effStats.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
     val newEntries = spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("path"))
-      .agg(count(lit(1)).as("rows"))
+      .agg(count(lit(1)).as("rows"), statAggs: _*)
       .withColumn("base", lit(dataDir))
       .persist()
     newEntries.count()
@@ -314,14 +346,20 @@ object SnapshotTable {
         val stamped = newEntries.withColumn("snapshot_id", lit(snap))
         val manifest =
           if (mode == "append" && parent > 0)
-            spark.read.parquet(manifestDir(dir, parent)).unionByName(stamped)
+            // allowMissingColumns: entries written before (or after) a
+            // stats-column change carry null bounds — readers treat
+            // null as "unknown, cannot skip", so mixed manifests stay
+            // correct
+            spark.read.parquet(manifestDir(dir, parent))
+              .unionByName(stamped, allowMissingColumns = true)
           else stamped
         manifest.coalesce(1).write.mode("overwrite").parquet(s"$dir/$manifestRel")
         val stats = spark.read.parquet(s"$dir/$manifestRel")
           .agg(count(lit(1)), coalesce(sum(col("rows")), lit(0L))).head()
         try {
           commitCas(dir, snap, mode, parent, df.schema.toDDL, partitionBy,
-            manifestRel, stats.getLong(0), stats.getLong(1), idempotencyKey)
+            manifestRel, stats.getLong(0), stats.getLong(1), idempotencyKey,
+            effStats)
           // reclaim this writer's own lost-CAS manifest attempts
           cleanWriterAttempts(dir, token, keepRel = Some(manifestRel))
           return snap
@@ -352,9 +390,12 @@ object SnapshotTable {
     * Affected-file detection reads ONLY the key columns plus
     * `input_file_name()` (a key-column scan, not a full-width one) and
     * joins against the distinct update keys — AQE broadcasts the
-    * typical small update set. The per-file min/max key stats that
-    * would prune this scan entirely are the documented continuation
-    * (they slot into the manifest rows the same way `rows` does).
+    * typical small update set. When the table carries manifest min/max
+    * stats on a key column ([[write]]'s `statsCols`), the detection
+    * scan is first PRUNED to the files whose key range intersects some
+    * update key (a semi-join of per-file bounds against the update
+    * keys): a clustered table upserting a narrow key range opens a
+    * handful of files, not the table.
     *
     * Concurrency: same CAS discipline as [[write]], but a lost race
     * RECOMPUTES from detection (the rewrite was derived from the old
@@ -380,7 +421,34 @@ object SnapshotTable {
       require(upd.groupBy(keyCols.map(col): _*).count().filter(col("count") > 1)
         .isEmpty, "updates must be key-distinct (newest-wins is ambiguous)")
       val updKeys = upd.select(keyCols.map(col): _*).distinct()
-      val cur = read(spark, dir, Some(parent)).withColumn("_file", input_file_name())
+      val manifestDf = spark.read.parquet(manifestDir(dir, parent))
+      val allEntries = manifestDf.select(col("path"), col("base")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      // stats-pruned detection: files whose [min,max] bounds on a
+      // stats-covered key column intersect NO update key cannot be
+      // affected — skip scanning them entirely. Null/absent bounds are
+      // always candidates (unknown, not empty). O(#files × #updKeys)
+      // worst-case on the bounds semi-join — #files rows vs a typically
+      // small upsert batch.
+      val statKey = statsColumns(dir, parent).find(c =>
+        keyCols.contains(c) && manifestDf.columns.contains(s"min_$c"))
+      val candEntries = statKey match {
+        case Some(c) =>
+          val dt = StructType.fromDDL(schemaDdl(dir, parent).get)(c).dataType
+          val ranged = manifestDf.select(col("path"),
+            col(s"min_$c").cast(dt).as("_lo"), col(s"max_$c").cast(dt).as("_hi"))
+          val hit = ranged.filter(col("_lo").isNotNull && col("_hi").isNotNull)
+            .join(updKeys.select(col(c).cast(dt).as("_k")),
+              col("_k") >= col("_lo") && col("_k") <= col("_hi"), "left_semi")
+          val cand = hit.select(col("path"))
+            .union(ranged.filter(col("_lo").isNull || col("_hi").isNull)
+              .select(col("path")))
+            .collect().map(_.getString(0)).toSet
+          allEntries.filter(e => cand.contains(e._1))
+        case None => allEntries
+      }
+      val cur = assemble(spark, dir, parent, candEntries)
+        .withColumn("_file", input_file_name())
       val affected = cur
         .select((keyCols.map(col) :+ col("_file")): _*)
         .join(updKeys, keyCols)
@@ -388,7 +456,6 @@ object SnapshotTable {
         .collect().map(_.getString(0)).toSeq
       import spark.implicits._
       val affectedDf = affected.toDF("path")
-      val manifestDf = spark.read.parquet(manifestDir(dir, parent))
       val keptDf = manifestDf.join(affectedDf, Seq("path"), "left_anti")
       val survivors = cur
         .join(affectedDf.withColumnRenamed("path", "_file"), Seq("_file"))
@@ -402,13 +469,20 @@ object SnapshotTable {
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(dataDir)
       val snap = parent + 1
+      // rewritten files carry the same stats coverage the table
+      // declared, so a merged table keeps pruning
+      val mergeStats = statsColumns(dir, parent).filter(cols.contains)
+        .filterNot(partitionBy.contains)
+      val mergeStatAggs = mergeStats.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c")))
       val newEntries = spark.read.parquet(dataDir)
         .groupBy(input_file_name().as("path"))
-        .agg(count(lit(1)).as("rows"))
+        .agg(count(lit(1)).as("rows"), mergeStatAggs: _*)
         .withColumn("base", lit(dataDir))
         .withColumn("snapshot_id", lit(snap))
       val manifestRel = s"manifests/snap-$snap-$token"
-      keptDf.unionByName(newEntries).coalesce(1)
+      keptDf.unionByName(newEntries, allowMissingColumns = true).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/$manifestRel")
       upd.unpersist()
       val stats = spark.read.parquet(s"$dir/$manifestRel")
@@ -424,7 +498,8 @@ object SnapshotTable {
       try {
         commitCas(dir, snap, "merge", parent,
           StructType.fromDDL(schemaDdl(dir, parent).get).toDDL, partitionBy,
-          manifestRel, stats.getLong(0), stats.getLong(1), idempotencyKey)
+          manifestRel, stats.getLong(0), stats.getLong(1), idempotencyKey,
+          mergeStats)
         cleanWriterAttempts(dir, token, keepRel = Some(manifestRel))
         return snap
       } catch {
@@ -502,6 +577,49 @@ object SnapshotTable {
       .select(col("path"), col("base")).collect()
       .map(r => (r.getString(0), r.getString(1)))
     assemble(spark, dir, snap, entries)
+  }
+
+  /** Manifest entries of `snap` that could hold a row with
+    * `lo <= keyCol <= hi`, judged by the per-file min/max bounds —
+    * plus the total entry count, so callers can report the skip ratio.
+    * Entries without bounds (written before stats, or a file whose
+    * key column is all-null) are never skipped: null bounds mean
+    * "unknown", not "empty".
+    */
+  private[graft] def pruneEntries(spark: SparkSession, dir: String,
+      snap: Long, keyCol: String, lo: String, hi: String): (Array[(String, String)], Long) = {
+    val m = spark.read.parquet(manifestDir(dir, snap))
+    val keep =
+      if (!statsColumns(dir, snap).contains(keyCol) ||
+          !m.columns.contains(s"min_$keyCol")) lit(true)
+      else {
+        val dt = StructType.fromDDL(schemaDdl(dir, snap).get)(keyCol).dataType
+        val mn = col(s"min_$keyCol").cast(dt)
+        val mx = col(s"max_$keyCol").cast(dt)
+        mn.isNull || mx.isNull || !(mx < lit(lo).cast(dt) || mn > lit(hi).cast(dt))
+      }
+    val rows = m.select(col("path"), col("base"), keep.as("_keep")).collect()
+    (rows.filter(_.getBoolean(2)).map(r => (r.getString(0), r.getString(1))),
+      rows.length.toLong)
+  }
+
+  /** Read the rows with `lo <= keyCol <= hi` (bounds as strings, cast
+    * to the column's type on both the skip test and the row filter),
+    * SKIPPING every data file whose manifest bounds prove it cannot
+    * match — file-level skipping on top of parquet's own row-group
+    * pruning: at 10^12 rows a selective key range opens a handful of
+    * files instead of listing-and-footer-reading the whole table.
+    * Result ≡ `read(...).filter(keyCol between lo and hi)` by
+    * construction (bounds are conservative; null bounds never skip).
+    */
+  def readRange(spark: SparkSession, dir: String, keyCol: String,
+      lo: String, hi: String, snapshot: Option[Long] = None): DataFrame = {
+    val snap = snapshot.getOrElse(currentSnapshot(dir))
+    require(snap > 0, s"no snapshot in $dir")
+    val (kept, _) = pruneEntries(spark, dir, snap, keyCol, lo, hi)
+    val dt = StructType.fromDDL(schemaDdl(dir, snap).get)(keyCol).dataType
+    assemble(spark, dir, snap, kept)
+      .filter(col(keyCol) >= lit(lo).cast(dt) && col(keyCol) <= lit(hi).cast(dt))
   }
 
   /** Incremental read: only the data files ADDED after `sinceSnapshot`

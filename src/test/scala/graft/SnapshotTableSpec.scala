@@ -764,6 +764,74 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(compacted == want)
   }
 
+  test("manifest min/max stats: readRange skips files, equals the plain filter") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstats").toString + "/t"
+    // 1000 rows in 10 range-clustered files (range partitions are
+    // contiguous id blocks — the layout a clustered 100 TB table has)
+    val base = spark.range(0, 1000, 1, 10)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+    SnapshotTable.write(base, dir, statsCols = Seq("id"))
+    assert(SnapshotTable.statsColumns(dir, 1L) == Seq("id"))
+    // skip proof: a one-block range keeps ~1 of 10 files
+    val (kept, total) = SnapshotTable.pruneEntries(spark, dir, 1L, "id", "150", "160")
+    assert(total == 10L && kept.length < 4, s"kept ${kept.length}/$total")
+    // result identity vs the unpruned filter
+    val got = SnapshotTable.readRange(spark, dir, "id", "150", "160")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (150L to 160L))
+
+    // append WITHOUT naming statsCols inherits the table's coverage
+    SnapshotTable.write(
+      spark.range(1000, 1200, 1, 2)
+        .select(col("id"), concat(lit("v"), col("id")).as("v")),
+      dir, mode = "append")
+    assert(SnapshotTable.statsColumns(dir, 2L) == Seq("id"))
+    val (kept2, total2) = SnapshotTable.pruneEntries(spark, dir, 2L, "id", "1050", "1060")
+    assert(total2 == 12L && kept2.length < 4, s"kept ${kept2.length}/$total2")
+    assert(SnapshotTable.readRange(spark, dir, "id", "1050", "1060").count() == 11)
+
+    // compaction keeps the declared stats coverage
+    SnapshotTable.compact(spark, dir, numFiles = 3)
+    val head = SnapshotTable.currentSnapshot(dir)
+    assert(SnapshotTable.statsColumns(dir, head) == Seq("id"))
+    assert(SnapshotTable.readRange(spark, dir, "id", "0", "5").count() == 6)
+  }
+
+  test("mixed manifests: null bounds never skip; merge keeps stats pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("snapstatsmix").toString + "/t"
+    // snapshot 1 predates stats — its entries carry NO bounds
+    SnapshotTable.write(
+      spark.range(0, 100, 1, 4).select(col("id"), lit("old").as("v")), dir)
+    // stats arrive with a later append: old entries get null bounds
+    SnapshotTable.write(
+      spark.range(100, 500, 1, 4).select(col("id"), lit("old").as("v")),
+      dir, mode = "append", statsCols = Seq("id"))
+    // a range inside the UNSTATTED files must still return its rows
+    // (null bounds = unknown, not skippable)
+    assert(SnapshotTable.readRange(spark, dir, "id", "10", "20").count() == 11)
+    val (kept, total) = SnapshotTable.pruneEntries(spark, dir, 2L, "id", "10", "20")
+    // the 4 unstatted files all survive pruning; the 4 statted ones drop
+    assert(total == 8L && kept.length == 4, s"kept ${kept.length}/$total")
+
+    // merge: stats prune the affected-file detection AND the rewritten
+    // files keep coverage — content must equal brute newest-wins
+    import spark.implicits._
+    val updates = (Seq(150L, 151L).map(k => (k, s"new-$k")) ++
+      Seq(9000L).map(k => (k, s"ins-$k"))).toDF("id", "v")
+    SnapshotTable.merge(spark, dir, updates, Seq("id"), "sm-1")
+    val head = SnapshotTable.currentSnapshot(dir)
+    assert(SnapshotTable.statsColumns(dir, head) == Seq("id"))
+    val got = SnapshotTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (0L until 500L).map(k => k -> "old").toMap ++
+      Map(150L -> "new-150", 151L -> "new-151", 9000L -> "ins-9000")
+    assert(got == want)
+    // post-merge range read over the rewritten region stays pruned+exact
+    assert(SnapshotTable.readRange(spark, dir, "id", "149", "152")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(149L -> "old", 150L -> "new-150", 151L -> "new-151", 152L -> "old"))
+  }
+
   test("merge on a partitioned table keeps partition reconstitution") {
     val dir = java.nio.file.Files.createTempDirectory("snapmergep").toString + "/t"
     // alpha partition values: hive partition-dir inference keeps them
