@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video as opaque `binary` payloads
   * with typed metadata, processed in partition-batched typed operators.
   *
-  * The decode step is STUBBED (this container has no image/audio
-  * codecs): `decodeStub` produces a deterministic fake "decode" — a
-  * 16-bin byte histogram — so the Spark-side plumbing (schema,
-  * partitioning, batch shape, feature vectors joining into the
-  * embedding ops) is real and tested while the codec call is a single
-  * clearly-marked seam to swap for libjpeg/ffmpeg on a real cluster.
+  * The codec seam carries FOUR decoders: `decodeStub` (deterministic
+  * fake — 16-bin byte histogram — for payload kinds with no in-repo
+  * codec, e.g. audio/video), and three REAL image decoders built on
+  * nothing but the JDK: `decodePpm` (NetPBM P6), `decodePng` (zlib
+  * IDAT + full filter reconstruction via `java.util.zip.Inflater`),
+  * and `decodeJpeg` (baseline JPEG via the JDK's bundled ImageIO
+  * reader). All share one feature shape, so swapping codecs is a
+  * one-argument change — and ffmpeg/soundfile would slot into the same
+  * seam on a cluster with native libs.
   *
   * At 100 TB the payloads dominate: the operators never shuffle binary
   * columns — features are extracted in the scan stage (mapPartitions on
@@ -236,6 +239,129 @@ object Multimodal {
       while (k < 13) { out(3 + k) = hist(k) / n; k += 1 }
       out
     } catch { case _: Exception => new Array[Float](16) }
+  }
+
+  /** The shared feature arithmetic over a decoded ARGB raster —
+    * identical to decodePpm/decodePng at maxval 255: [meanR, meanG,
+    * meanB, 13-bin integer Rec.601 luma histogram].
+    */
+  private def featuresOf(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight; val n = w * h
+    val out = new Array[Float](16)
+    if (n == 0) return out
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Float](13)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        val luma = (299 * r + 587 * g + 114 * b) / 1000
+        hist(math.min(luma * 13 / 256, 12)) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    out(0) = sr.toFloat / n / 255
+    out(1) = sg.toFloat / n / 255
+    out(2) = sb.toFloat / n / 255
+    var k = 0
+    while (k < 13) { out(3 + k) = hist(k) / n; k += 1 }
+    out
+  }
+
+  /** Fourth codec — REAL baseline JPEG decode via the JDK's bundled
+    * ImageIO reader (`java.desktop` ships a libjpeg-equivalent decoder;
+    * still zero external dependencies). Same 16-float feature shape as
+    * the PPM/PNG codecs. JPEG is LOSSY, so unlike the PNG gate the
+    * features are not formula-exact — the mm_jpeg_features driver gate
+    * hashes the DECODED dimensions (exact: they come from the parsed
+    * SOF header) plus a bounded-reconstruction-error flag, and
+    * MultimodalSpec pins the error bound. Malformed payloads yield the
+    * zero vector: a decode failure is a data row, not a job abort.
+    */
+  val decodeJpeg: Codec = payload => {
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "not a decodable image")
+      featuresOf(img)
+    } catch { case _: Exception => new Array[Float](16) }
+  }
+
+  /** Deterministic in-repo JPEG encoder (JDK ImageIO writer, explicit
+    * quality): the SAME raster formula as [[pngPayload]] (RGB,
+    * [[pngRaster]]), so a decode can be compared against the formula's
+    * channel means within a lossy tolerance.
+    */
+  def jpegPayload(w: Int, h: Int, seed: Long, quality: Float = 0.95f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val src = pngRaster(w, h, seed, 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (y * w + x) * 3
+        img.setRGB(x, y, (src(base) << 16) | (src(base + 1) << 8) | src(base + 2))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Media rows whose payloads are REAL JPEG bytes (24×16 RGB, seed =
+    * row id, same raster formula as [[pngMedia]]) — the fixture behind
+    * the mm_jpeg_features driver gate.
+    */
+  def jpegMedia(spark: SparkSession, n: Int, partitions: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map(i =>
+      MediaRow(s"JPEG-$i", "image", jpegPayload(24, 16, i), 24, 16))
+  }
+
+  /** JPEG gate rows, one decode per payload in the scan stage:
+    * (media_ref, decoded width, decoded height, within_tol). The
+    * dimensions come from the DECODED image (parsed SOF header, exact);
+    * within_tol compares the decoded channel means against the source
+    * raster formula's means — |err| ≤ tol per channel, the bounded
+    * reconstruction error a lossy codec guarantees. A failed decode
+    * emits (-1, -1, false), turning the gate hash red.
+    */
+  def jpegFeatures(media: Dataset[MediaRow], tol: Float = 0.03f): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        catch { case _: Exception => null }
+      if (img == null) (m.media_ref, -1, -1, false)
+      else {
+        val feats = featuresOf(img)
+        // the fixture's seed is the ref suffix (JPEG-<i>)
+        val seed = m.media_ref.substring(m.media_ref.lastIndexOf('-') + 1).toLong
+        val src = pngRaster(m.width, m.height, seed, 3)
+        val sums = new Array[Long](3)
+        var k = 0
+        while (k < src.length) { sums(k % 3) += src(k); k += 1 }
+        val npx = m.width * m.height
+        val ok = (0 until 3).forall(c =>
+          math.abs(feats(c) - sums(c).toFloat / npx / 255f) <= tol)
+        (m.media_ref, img.getWidth, img.getHeight, ok)
+      }
+    }).toDF("media_ref", "width", "height", "within_tol")
   }
 
   /** Partition-batched feature extraction: one pass per partition, no

@@ -741,6 +741,21 @@ object PipelineQueries {
         .orderBy(col("media_ref"), col("bucket"))
     }),
 
+    // REAL lossy-image decode under the driver gate: payloads are
+    // genuine baseline JPEG bytes (JDK ImageIO writer at quality 0.95),
+    // decoded by the JDK's bundled ImageIO reader — no external libs.
+    // JPEG reconstruction is lossy, so unlike mm_png_features the gate
+    // hashes (a) the DECODED dimensions, which are exact (parsed SOF
+    // header), and (b) a bounded-error flag: decoded channel means
+    // within 0.03 of the source raster formula's. A broken decode
+    // (wrong dims, garbage raster, zero vector) turns the hash red.
+    "mm_jpeg_features" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.Multimodal
+      val n = (graft.queries.KgQueries.nDocsFor(dir) / 10).toInt
+      Multimodal.jpegFeatures(Multimodal.jpegMedia(s, n, 8))
+        .orderBy(col("media_ref"))
+    }),
+
     // ---- similarity search ---------------------------------------------
     "sim_ann_topk" -> ((s: SparkSession, dir: String) => {
       // brute-force cosine top-k against the vec_id=0 query vector
@@ -1907,6 +1922,16 @@ object PipelineQueries {
            FROM allb LEFT JOIN hist ON hist.i = allb.i AND hist.bin = allb.bk)
          SELECT 'PNG-' || i AS media_ref, bucket, CAST(cnt AS BIGINT) AS cnt
          FROM rows_out ORDER BY media_ref, bucket""",
+
+    // JPEG decode gate: dimensions are exact; the lossy channel-mean
+    // tolerance check is computed Spark-side and must be all-true
+    "mm_jpeg_features" ->
+      """WITH m AS (
+           SELECT UNNEST(generate_series(0,
+             (SELECT COUNT(*) // 3 FROM orders) // 10 - 1)) AS i)
+         SELECT 'JPEG-' || i AS media_ref, 24 AS width, 16 AS height,
+                true AS within_tol
+         FROM m ORDER BY media_ref""",
 
     "dd_simhash" ->
       """WITH tk AS (

@@ -182,4 +182,54 @@ class MultimodalSpec extends AnyFunSuite {
         Multimodal.decodePng(Multimodal.pngPayload(24, 16, seed)).toSeq)
     }
   }
+
+  test("decodeJpeg: real lossy decode — exact dims, bounded channel-mean error") {
+    // lossless-ish case first: a solid color survives JPEG almost
+    // exactly (DC-only blocks), so means land within 1.5/255
+    val solid = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 16).foreach(x =>
+        img.setRGB(x, y, (100 << 16) | (150 << 8) | 200)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val sf = Multimodal.decodeJpeg(solid)
+    assert(math.abs(sf(0) - 100f / 255) < 1.5f / 255, sf.mkString(","))
+    assert(math.abs(sf(1) - 150f / 255) < 1.5f / 255)
+    assert(math.abs(sf(2) - 200f / 255) < 1.5f / 255)
+    // formula-raster fixtures: means within the gate tolerance, luma
+    // histogram still L1-normalized, dims recovered exactly
+    (0L until 6L).foreach { seed =>
+      val f = Multimodal.decodeJpeg(Multimodal.jpegPayload(24, 16, seed))
+      val src = Multimodal.pngRaster(24, 16, seed, 3)
+      val sums = new Array[Long](3)
+      src.indices.foreach(k => sums(k % 3) += src(k))
+      (0 until 3).foreach { c =>
+        val want = sums(c).toFloat / (24 * 16) / 255f
+        assert(math.abs(f(c) - want) <= 0.03f,
+          s"seed $seed ch $c: got ${f(c)}, want $want")
+      }
+      assert(math.abs(f.drop(3).sum - 1f) < 1e-4f, "luma hist L1-normalized")
+    }
+    // malformed payloads are data rows, not job aborts
+    assert(Multimodal.decodeJpeg(Array.empty[Byte]).forall(_ == 0f))
+    assert(Multimodal.decodeJpeg("not a jpeg".getBytes).forall(_ == 0f))
+  }
+
+  test("jpegFeatures gate rows: exact dims, all within tolerance, distributed") {
+    val rows = Multimodal.jpegFeatures(Multimodal.jpegMedia(spark, 10, 3))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    assert(rows.length == 10)
+    rows.foreach { case (ref, w, h, ok) =>
+      assert(w == 24 && h == 16 && ok, s"$ref: ${w}x$h ok=$ok")
+    }
+    // a corrupted payload flips the flag instead of aborting the job
+    import spark.implicits._
+    val bad = spark.createDataset(Seq(
+      Multimodal.MediaRow("JPEG-0", "image", "garbage".getBytes, 24, 16)))
+    val r = Multimodal.jpegFeatures(bad).collect().head
+    assert(!r.getBoolean(3) && r.getInt(1) == -1)
+  }
 }
