@@ -364,6 +364,117 @@ object Multimodal {
     }).toDF("media_ref", "width", "height", "within_tol")
   }
 
+  /** Fifth codec — the AUDIO twin of decodePng: a real RIFF/WAVE PCM16
+    * decoder (chunk walk, fmt validation, little-endian samples),
+    * dependency-free and LOSSLESS, so the mm_wav_features gate is
+    * formula-exact like the PNG one. Feature shape (16 floats):
+    * [mean signed amplitude /2^15, mean |amplitude| /2^15,
+    * zero-crossing rate, 13-bin histogram of the unsigned sample].
+    * Only PCM (format 1), 16-bit, mono is decoded; anything else —
+    * truncated chunks, float WAV, stereo — yields the zero vector
+    * (a data row, not a job abort).
+    */
+  val decodeWav: Codec = payload => {
+    val out = new Array[Float](16)
+    try {
+      def le32(p: Int): Int =
+        (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8) |
+          ((payload(p + 2) & 0xff) << 16) | ((payload(p + 3) & 0xff) << 24)
+      def le16(p: Int): Int = (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8)
+      def tag(p: Int): String = new String(payload, p, 4, "US-ASCII")
+      require(payload.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "not a RIFF/WAVE payload")
+      // walk chunks: fmt must precede data per spec, but tolerate order
+      var pos = 12
+      var fmtOk = false
+      var dataPos = -1; var dataLen = 0
+      while (pos + 8 <= payload.length && (dataPos < 0 || !fmtOk)) {
+        val id = tag(pos); val len = le32(pos + 4)
+        require(len >= 0 && pos + 8 + len <= payload.length, "truncated chunk")
+        id match {
+          case "fmt " =>
+            require(len >= 16, "short fmt")
+            val audioFormat = le16(pos + 8); val channels = le16(pos + 10)
+            val bits = le16(pos + 22)
+            require(audioFormat == 1 && channels == 1 && bits == 16,
+              "unsupported wav shape")
+            fmtOk = true
+          case "data" => dataPos = pos + 8; dataLen = len
+          case _ => () // ancillary chunks (LIST, fact, ...) skipped
+        }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(fmtOk && dataPos >= 0 && dataLen >= 2, "missing fmt/data")
+      val n = dataLen / 2
+      var i = 0
+      var sumSigned = 0L; var sumAbs = 0L; var zc = 0L
+      var prevNeg = false
+      val hist = new Array[Float](13)
+      while (i < n) {
+        val u = le16(dataPos + 2 * i)
+        val s = if (u >= 32768) u - 65536 else u
+        sumSigned += s; sumAbs += math.abs(s)
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        hist(math.min(u * 13 / 65536, 12)) += 1f
+        i += 1
+      }
+      out(0) = sumSigned.toFloat / n / 32768
+      out(1) = sumAbs.toFloat / n / 32768
+      out(2) = zc.toFloat / n
+      var k = 0
+      while (k < 13) { out(3 + k) = hist(k) / n; k += 1 }
+      out
+    } catch { case _: Exception => new Array[Float](16) }
+  }
+
+  /** Deterministic in-repo WAV encoder (valid RIFF bytes incl. an
+    * ancillary LIST chunk the parser must skip): PCM16 mono 8 kHz,
+    * sample j of clip `seed` is the SAME LCG family as the rasters,
+    * masked to 16 bits — so oracles recompute expected features from
+    * the formula without touching the bytes.
+    */
+  def wavPayload(nSamples: Int, seed: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >>> 8) & 0xff)
+      bos.write((v >>> 16) & 0xff); bos.write((v >>> 24) & 0xff)
+    }
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val dataLen = nSamples * 2
+    // odd-length chunk: RIFF requires a pad byte after it — the parser
+    // must word-align, so the fixture exercises that path deliberately
+    val info = "graft synthetic".getBytes("US-ASCII")
+    val listLen = info.length + 4
+    val listPad = listLen & 1
+    tag("RIFF"); w32(4 + (8 + 16) + (8 + listLen + listPad) + (8 + dataLen))
+    tag("WAVE")
+    tag("fmt "); w32(16)
+    w16(1); w16(1); w32(8000); w32(16000); w16(2); w16(16)
+    tag("LIST"); w32(listLen); tag("INFO"); bos.write(info)
+    if (listPad == 1) bos.write(0)
+    tag("data"); w32(dataLen)
+    var j = 0
+    while (j < nSamples) {
+      w16((((seed * 2654435761L + j * 40503L) >>> 9) & 0xffff).toInt)
+      j += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Media rows whose payloads are REAL WAV bytes (256 PCM16 samples,
+    * seed = row id) — the fixture behind the mm_wav_features gate.
+    * 256 samples keeps every feature exactly recoverable from float32
+    * (sums ≤ 2^23 fit the mantissa; /256 and /32768 are exact).
+    */
+  def wavMedia(spark: SparkSession, n: Int, partitions: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map(i =>
+      MediaRow(s"WAV-$i", "audio", wavPayload(256, i), 0, 0))
+  }
+
   /** Partition-batched feature extraction: one pass per partition, no
     * shuffle of payloads, small feature rows out.
     */

@@ -741,6 +741,28 @@ object PipelineQueries {
         .orderBy(col("media_ref"), col("bucket"))
     }),
 
+    // REAL audio decode under the driver gate: payloads are genuine
+    // RIFF/WAVE PCM16 bytes (incl. an ancillary LIST chunk the parser
+    // must skip), decoded by Multimodal.decodeWav. PCM is lossless, so
+    // like mm_png_features the oracle recomputes expected features from
+    // the SAMPLE FORMULA; 256 samples/clip keeps every sum exactly
+    // recoverable from the float32 shares. Payloads never shuffle.
+    "mm_wav_features" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.Multimodal
+      val n = (graft.queries.KgQueries.nDocsFor(dir) / 10).toInt
+      val ns = 256
+      val feats = Multimodal.extractFeatures(
+        Multimodal.wavMedia(s, n, 8), Multimodal.decodeWav).toDF()
+      feats.select(col("media_ref"),
+          posexplode(col("features")).as(Seq("bucket", "share")))
+        .withColumn("cnt",
+          when(col("bucket") < 2,
+            round(col("share").cast("double") * ns * 32768))
+          .otherwise(round(col("share").cast("double") * ns)).cast("long"))
+        .drop("share")
+        .orderBy(col("media_ref"), col("bucket"))
+    }),
+
     // REAL lossy-image decode under the driver gate: payloads are
     // genuine baseline JPEG bytes (JDK ImageIO writer at quality 0.95),
     // decoded by the JDK's bundled ImageIO reader — no external libs.
@@ -1921,6 +1943,45 @@ object PipelineQueries {
            SELECT allb.i, 3 + allb.bk, COALESCE(hist.c, 0)
            FROM allb LEFT JOIN hist ON hist.i = allb.i AND hist.bin = allb.bk)
          SELECT 'PNG-' || i AS media_ref, bucket, CAST(cnt AS BIGINT) AS cnt
+         FROM rows_out ORDER BY media_ref, bucket""",
+
+    // WAV decode gate: sample j of clip i is ((i*2654435761 +
+    // j*40503) >> 9) & 65535 (signed 16-bit) — bucket 0/1 are the
+    // signed/absolute sums, 2 the zero-crossing count, 3-15 the
+    // unsigned-sample histogram, identical arithmetic to decodeWav
+    "mm_wav_features" ->
+      """WITH m AS (
+           SELECT UNNEST(generate_series(0,
+             (SELECT COUNT(*) // 3 FROM orders) // 10 - 1)) AS i),
+         sgn AS (
+           SELECT i, j, u,
+                  CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+           FROM (SELECT i, j,
+                        ((i*2654435761 + j*40503) >> 9) & 65535 AS u
+                 FROM m, UNNEST(generate_series(0, 255)) t(j))),
+         agg AS (
+           SELECT i, SUM(s) AS sum_signed, SUM(ABS(s)) AS sum_abs
+           FROM sgn GROUP BY i),
+         zc AS (
+           SELECT i, SUM(CASE WHEN j > 0 AND (s < 0) != (prev < 0)
+                              THEN 1 ELSE 0 END) AS n_zc
+           FROM (SELECT i, j, s,
+                        LAG(s) OVER (PARTITION BY i ORDER BY j) AS prev
+                 FROM sgn)
+           GROUP BY i),
+         hist AS (
+           SELECT i, least(u * 13 // 65536, 12) AS bin, COUNT(*) AS c
+           FROM sgn GROUP BY 1, 2),
+         allb AS (
+           SELECT i, bk FROM m, UNNEST(generate_series(0, 12)) u2(bk)),
+         rows_out AS (
+           SELECT i, 0 AS bucket, sum_signed AS cnt FROM agg
+           UNION ALL SELECT i, 1, sum_abs FROM agg
+           UNION ALL SELECT i, 2, n_zc FROM zc
+           UNION ALL
+           SELECT allb.i, 3 + allb.bk, COALESCE(hist.c, 0)
+           FROM allb LEFT JOIN hist ON hist.i = allb.i AND hist.bin = allb.bk)
+         SELECT 'WAV-' || i AS media_ref, bucket, CAST(cnt AS BIGINT) AS cnt
          FROM rows_out ORDER BY media_ref, bucket""",
 
     // JPEG decode gate: dimensions are exact; the lossy channel-mean

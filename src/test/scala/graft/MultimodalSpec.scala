@@ -232,4 +232,47 @@ class MultimodalSpec extends AnyFunSuite {
     val r = Multimodal.jpegFeatures(bad).collect().head
     assert(!r.getBoolean(3) && r.getInt(1) == -1)
   }
+
+  test("decodeWav: real RIFF PCM16 decode equals the sample formula") {
+    (0L until 6L).foreach { seed =>
+      val f = Multimodal.decodeWav(Multimodal.wavPayload(256, seed))
+      // recompute expected features from the formula
+      var sumS = 0L; var sumA = 0L; var zcs = 0L; var prevNeg = false
+      val hist = new Array[Int](13)
+      (0 until 256).foreach { j =>
+        val u = (((seed * 2654435761L + j * 40503L) >>> 9) & 0xffff).toInt
+        val s = if (u >= 32768) u - 65536 else u
+        sumS += s; sumA += math.abs(s)
+        if (j > 0 && (s < 0) != prevNeg) zcs += 1
+        prevNeg = s < 0
+        hist(math.min(u * 13 / 65536, 12)) += 1
+      }
+      assert(f(0) == sumS.toFloat / 256 / 32768, s"seed $seed mean")
+      assert(f(1) == sumA.toFloat / 256 / 32768, s"seed $seed meanabs")
+      assert(f(2) == zcs.toFloat / 256, s"seed $seed zc")
+      (0 until 13).foreach(k =>
+        assert(f(3 + k) == hist(k).toFloat / 256, s"seed $seed bin $k"))
+    }
+    // malformed / unsupported payloads are data rows, not job aborts
+    assert(Multimodal.decodeWav(Array.empty[Byte]).forall(_ == 0f))
+    assert(Multimodal.decodeWav("RIFFgarbage".getBytes).forall(_ == 0f))
+    val good = Multimodal.wavPayload(64, 1L)
+    assert(Multimodal.decodeWav(good.dropRight(10)).forall(_ == 0f))
+    // stereo refuses cleanly (fmt channels byte)
+    val stereo = good.clone(); stereo(22) = 2
+    assert(Multimodal.decodeWav(stereo).forall(_ == 0f))
+  }
+
+  test("decodeWav runs through the identical operator chain (drop-in #4)") {
+    val via = Multimodal.extractFeatures(
+      Multimodal.wavMedia(spark, 8, 3), Multimodal.decodeWav)
+      .collect().sortBy(_.media_ref)
+    assert(via.length == 8 && via.forall(_.kind == "audio"))
+    via.foreach { r =>
+      val seed = r.media_ref.stripPrefix("WAV-").toLong
+      assert(r.features.toSeq ==
+        Multimodal.decodeWav(Multimodal.wavPayload(256, seed)).toSeq)
+      assert(r.features.exists(_ != 0f), "decode produced a real vector")
+    }
+  }
 }
