@@ -299,6 +299,26 @@ object SnapshotTable {
     val spark = df.sparkSession
     val already = snapshotWithKey(dir, idempotencyKey)
     if (already.isDefined) return already.get
+    // add-column schema evolution: an append may WIDEN the schema (new
+    // columns — old files read as null via the recorded-schema scan in
+    // [[assemble]]) but never drop a column or change a type; those
+    // need an overwrite, which rewrites the file list anyway
+    if (mode == "append") {
+      val p = currentSnapshot(dir)
+      if (p > 0) schemaDdl(dir, p).foreach { ddl =>
+        StructType.fromDDL(ddl).fields.foreach { f =>
+          val i = df.schema.fieldNames.indexOf(f.name)
+          require(i >= 0,
+            s"append drops column ${f.name}; schema can only widen on append")
+          // catalogString comparison: nullability (incl. nested
+          // containsNull) is NOT a type change — parquet round-trips
+          // and DDL reconstitution flip it routinely
+          require(df.schema(i).dataType.catalogString == f.dataType.catalogString,
+            s"append changes ${f.name}: ${f.dataType.catalogString} -> " +
+              df.schema(i).dataType.catalogString)
+        }
+      }
+    }
     // inherit the table's declared stats columns (schema evolution may
     // drop one — stats only ever cover columns this write actually has)
     val effStats = {
@@ -550,16 +570,25 @@ object SnapshotTable {
     * requires one read per distinct data dir (basePath) — bounded by
     * the number of OVERWRITE generations, not appends, and compaction
     * collapses it to one.
+    *
+    * Every read uses the snapshot's RECORDED schema, never footer
+    * inference — that is what makes add-column SCHEMA EVOLUTION work:
+    * files written before the column was added simply lack it, and the
+    * parquet reader null-fills requested-but-absent columns. Footer
+    * inference over a mixed-schema file list would instead pick
+    * whichever file it sampled first.
     */
   private def assemble(spark: SparkSession, dir: String, snap: Long,
       entries: Array[(String, String)]): DataFrame = {
     if (entries.isEmpty) return emptyOf(spark, dir, snap)
+    val schemaOpt = schemaDdl(dir, snap).map(StructType.fromDDL)
+    def reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
     if (partitionSpec(dir, snap).isEmpty)
-      spark.read.parquet(entries.map(_._1).toSeq: _*)
+      reader.parquet(entries.map(_._1).toSeq: _*)
     else
       entries.groupBy(_._2).toSeq.sortBy(_._1)
         .map { case (base, fs) =>
-          spark.read.option("basePath", base).parquet(fs.map(_._1).toSeq: _*)
+          reader.option("basePath", base).parquet(fs.map(_._1).toSeq: _*)
         }
         .reduce(_.unionByName(_))
   }

@@ -832,6 +832,52 @@ class SnapshotTableSpec extends AnyFunSuite {
       Map(149L -> "old", 150L -> "new-150", 151L -> "new-151", 152L -> "old"))
   }
 
+  test("schema evolution: appends widen, old files null-fill, drops refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("snapevo").toString + "/t"
+    SnapshotTable.write(
+      spark.range(0, 50, 1, 2).select(col("id"), lit("a").as("v")), dir)
+    // widened append: the new column arrives with the new files
+    SnapshotTable.write(
+      spark.range(50, 80, 1, 2)
+        .select(col("id"), lit("b").as("v"), lit(9L).as("extra")),
+      dir, mode = "append")
+    val cur = SnapshotTable.read(spark, dir)
+    assert(cur.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    // pre-evolution rows read as null, post-evolution rows keep values
+    assert(cur.filter(col("extra").isNull).count() == 50)
+    assert(cur.filter(col("extra") === 9L).count() == 30)
+    // time travel: the old snapshot still reads with the OLD schema
+    assert(SnapshotTable.read(spark, dir, Some(1L))
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+    // delta read carries the widened schema
+    assert(SnapshotTable.readDelta(spark, dir, sinceSnapshot = 1L)
+      .filter(col("extra") === 9L).count() == 30)
+    // dropping a column on append refuses loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.write(spark.range(80, 90).select(col("id")),
+        dir, mode = "append")
+    }
+    // type change refuses loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.write(
+        spark.range(80, 90).select(col("id"), lit(1).as("v"), lit(9L).as("extra")),
+        dir, mode = "append")
+    }
+    // merge over the evolved table: unaffected pre-evolution files
+    // still null-fill, updates land with the full schema
+    import spark.implicits._
+    val updates = Seq((3L, "up", 7L), (900L, "ins", 8L)).toDF("id", "v", "extra")
+    SnapshotTable.merge(spark, dir, updates, Seq("id"), "evo-m1")
+    val merged = SnapshotTable.read(spark, dir)
+    assert(merged.count() == 81)
+    assert(merged.filter(col("id") === 3L).select("extra").head().getLong(0) == 7L)
+    assert(merged.filter(col("id") === 10L).select("extra").head().isNullAt(0) ||
+      merged.filter(col("id") === 10L).select("extra").head().get(0) == null)
+    // compaction collapses the mixed-schema files into uniform ones
+    SnapshotTable.compact(spark, dir, numFiles = 2)
+    assert(SnapshotTable.read(spark, dir).filter(col("extra").isNull).count() == 49)
+  }
+
   test("merge on a partitioned table keeps partition reconstitution") {
     val dir = java.nio.file.Files.createTempDirectory("snapmergep").toString + "/t"
     // alpha partition values: hive partition-dir inference keeps them
