@@ -144,6 +144,29 @@ object PipelineQueries {
       tableDir
     }
 
+  /** Once-per-(session, scale) Z-ORDERED snapshot table over orders —
+    * the driver gate for 2-D box reads: Morton-interleaved
+    * (o_orderkey, o_custkey) range partitioning gives every data file
+    * a tight bounding box on BOTH keys, recorded in the manifest
+    * stats, so `readBox` prunes two dimensions at once. The
+    * z-beats-1-D skip-count comparison is pinned in SnapshotTableSpec;
+    * the gate hashes the RESULT against the plain two-range filter.
+    */
+  private def zorderOrdersTable(s: SparkSession, dir: String): String =
+    Materialized.once(s, "zorderOrdersTable", dir) {
+      import graft.sources.SnapshotTable
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("snap-zorder-gate").toString + "/t"
+      deleteOnExit(tableDir)
+      val orders = s.read.parquet(t(dir, "orders"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      SnapshotTable.write(
+        graft.ops.ZOrder.cluster(orders, "o_orderkey", "o_custkey", 16),
+        tableDir, idempotencyKey = "zorder-gate-base",
+        statsCols = Seq("o_orderkey", "o_custkey"))
+      tableDir
+    }
+
   /** Once-per-(session, scale) embedding sign-LSH incremental state —
     * the incLshState twin for the vector family.
     */
@@ -589,6 +612,16 @@ object PipelineQueries {
       graft.sources.SnapshotTable
         .readRange(s, statsDocsTable(s, dir), "doc_id", "10", "45")
         .orderBy(col("doc_id"))
+    }),
+
+    // 2-D box read over the Z-ORDERED orders table: both range
+    // predicates prune through the per-file bounding boxes the Morton
+    // layout produces; the oracle is the plain conjunction filter.
+    "s8c_zorder_box" -> ((s: SparkSession, dir: String) => {
+      graft.sources.SnapshotTable
+        .readBox(s, zorderOrdersTable(s, dir), Seq(
+          ("o_orderkey", "100", "3000"), ("o_custkey", "1", "75")))
+        .orderBy(col("o_orderkey"))
     }),
 
     "dd_incremental_cos" -> ((s: SparkSession, dir: String) => {
@@ -1465,6 +1498,14 @@ object PipelineQueries {
          FROM documents
          WHERE doc_id BETWEEN 10 AND 45
          ORDER BY doc_id""",
+
+    // z-ordered 2-D box read ≡ the plain conjunction filter
+    "s8c_zorder_box" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+         FROM orders
+         WHERE o_orderkey BETWEEN 100 AND 3000
+           AND o_custkey BETWEEN 1 AND 75
+         ORDER BY o_orderkey""",
 
     // bloom bit positions mirror Sketches.bloomBit: 60-bit md5-prefix
     // hash of 'bloom<j>:' || key, mod 16384; might_contain = MIN over

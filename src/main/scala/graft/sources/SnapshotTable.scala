@@ -651,6 +651,36 @@ object SnapshotTable {
       .filter(col(keyCol) >= lit(lo).cast(dt) && col(keyCol) <= lit(hi).cast(dt))
   }
 
+  /** Multi-column box read: rows satisfying EVERY `(col, lo, hi)`
+    * range, skipping data files whose bounds exclude ANY of them —
+    * the 2-D (and higher) companion to [[readRange]]. On a z-ordered
+    * layout (`ops.ZOrder.cluster` + `statsCols` on both columns) a
+    * narrow box prunes on both dimensions at once; on a single-column
+    * sort it degrades gracefully to that column's pruning. Result ≡
+    * `read(...)` filtered by all ranges.
+    */
+  def readBox(spark: SparkSession, dir: String,
+      preds: Seq[(String, String, String)],
+      snapshot: Option[Long] = None): DataFrame = {
+    require(preds.nonEmpty, "readBox needs at least one (col, lo, hi)")
+    val snap = snapshot.getOrElse(currentSnapshot(dir))
+    require(snap > 0, s"no snapshot in $dir")
+    val keptPaths = preds
+      .map { case (c, lo, hi) =>
+        pruneEntries(spark, dir, snap, c, lo, hi)._1.map(_._1).toSet }
+      .reduce(_ intersect _)
+    // entry (path, base) pairs restored from the first column's scan
+    val (first, _) = pruneEntries(spark, dir, snap,
+      preds.head._1, preds.head._2, preds.head._3)
+    val schema = StructType.fromDDL(schemaDdl(dir, snap).get)
+    val filters = preds.map { case (c, lo, hi) =>
+      val dt = schema(c).dataType
+      col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
+    }.reduce(_ && _)
+    assemble(spark, dir, snap, first.filter(e => keptPaths.contains(e._1)))
+      .filter(filters)
+  }
+
   /** Incremental read: only the data files ADDED after `sinceSnapshot`
     * (manifest entries keep the snapshot that wrote them), up to
     * `snapshot` (default latest). The incremental-maintenance primitive:

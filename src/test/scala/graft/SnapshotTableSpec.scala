@@ -832,6 +832,43 @@ class SnapshotTableSpec extends AnyFunSuite {
       Map(149L -> "old", 150L -> "new-150", 151L -> "new-151", 152L -> "old"))
   }
 
+  test("z-order box reads: Morton layout prunes both dims, equals plain filter") {
+    import graft.ops.ZOrder
+    // interleave golden: a=3 (011), b=5 (101) → bits 1,1,1,0,0,1 = 39
+    val z = spark.range(1).select(ZOrder.zvalue(lit(3L), lit(5L), 3))
+      .head().getLong(0)
+    assert(z == 39L, s"zvalue(3,5)=$z")
+    // 64×64 grid of (x, y) points, 16 files each layout
+    val grid = spark.range(0, 64 * 64, 1, 4)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val zdir = java.nio.file.Files.createTempDirectory("snapz").toString + "/t"
+    SnapshotTable.write(ZOrder.cluster(grid, "x", "y", 16, bits = 6), zdir,
+      statsCols = Seq("x", "y"))
+    val ldir = java.nio.file.Files.createTempDirectory("snapl").toString + "/t"
+    SnapshotTable.write(grid.repartitionByRange(16, col("x")), ldir,
+      statsCols = Seq("x", "y"))
+    // a box narrow in BOTH dims: z-layout must skip strictly more
+    // files than the x-sorted layout (which prunes only x)
+    def boxFiles(dir: String): Int = {
+      val xs = SnapshotTable.pruneEntries(spark, dir, 1L, "x", "8", "15")._1
+        .map(_._1).toSet
+      val ys = SnapshotTable.pruneEntries(spark, dir, 1L, "y", "8", "15")._1
+        .map(_._1).toSet
+      (xs intersect ys).size
+    }
+    val (zf, lf) = (boxFiles(zdir), boxFiles(ldir))
+    assert(zf < lf, s"z kept $zf files, 1-D kept $lf — z must prune harder")
+    assert(zf <= 4, s"8x8 box of a 64x64 grid over 16 z-files kept $zf")
+    // result identity on both layouts
+    val want = (8 to 15).flatMap(x => (8 to 15).map(y => (x.toLong, y.toLong))).toSet
+    Seq(zdir, ldir).foreach { d =>
+      val got = SnapshotTable.readBox(spark, d,
+          Seq(("x", "8", "15"), ("y", "8", "15")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"$d box content")
+    }
+  }
+
   test("schema evolution: appends widen, old files null-fill, drops refuse") {
     val dir = java.nio.file.Files.createTempDirectory("snapevo").toString + "/t"
     SnapshotTable.write(
