@@ -120,6 +120,48 @@ object PipelineQueries {
       tableDir
     }
 
+  /** Once-per-(session, scale) snapshot table exercising the DML triad
+    * tail — snapshot 1: a range-clustered base (8 contiguous doc_id
+    * blocks with manifest min/max stats, so the stats-pruned
+    * affected-file detection runs); snapshot 2: ONE row-level DELETE
+    * (`sources/SnapshotTable.delete`) of every doc_id % 13 == 0 row
+    * plus five never-present negative keys (absent keys must be
+    * no-ops) — the takedown-request gate; snapshot 3: ONE MERGE that
+    * updates `lang` to "xx" for the surviving doc_id % 17 == 0 rows
+    * and inserts three brand-new negative-keyed rows — the fixture
+    * the change-data-feed gate (`s8e_changes`) diffs 2 → 3. The
+    * delete gate reads snapshot 2 back; its oracle is the plain
+    * NOT-IN filter — file-level COW, verbatim carry of untouched
+    * files, and the read path all sit inside the hash.
+    */
+  private def deletedDocsTable(s: SparkSession, dir: String): String =
+    Materialized.once(s, "deletedDocsTable", dir) {
+      import graft.sources.SnapshotTable
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("snap-delete-gate").toString + "/t"
+      deleteOnExit(tableDir)
+      val base = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("source"), col("lang"))
+      SnapshotTable.write(base.repartitionByRange(8, col("doc_id")),
+        tableDir, idempotencyKey = "delete-gate-base",
+        statsCols = Seq("doc_id"))
+      import s.implicits._
+      val doomed = base.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"))
+        .unionByName((1 to 5).map(i => -i.toLong).toDF("doc_id"))
+      SnapshotTable.delete(s, tableDir, doomed, Seq("doc_id"),
+        idempotencyKey = "delete-gate-rm")
+      val upserts = base
+        .filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 17 === 0)
+        .withColumn("lang", lit("xx"))
+        .unionByName(Seq(
+          (-101L, "synthetic", "zz"), (-102L, "synthetic", "zz"),
+          (-103L, "synthetic", "zz")).toDF("doc_id", "source", "lang"))
+      SnapshotTable.merge(s, tableDir, upserts, Seq("doc_id"),
+        idempotencyKey = "delete-gate-up")
+      tableDir
+    }
+
   /** Once-per-(session, scale) range-clustered snapshot table with
     * manifest min/max stats on `doc_id` — the driver gate for
     * file-skipping reads (`sources/SnapshotTable.readRange`). The
@@ -608,6 +650,32 @@ object PipelineQueries {
     // readRange — manifest min/max bounds skip the non-intersecting
     // files, the oracle is the plain BETWEEN filter. If pruning ever
     // skipped a file it shouldn't, the hash goes red.
+    // Row-level DELETE under the driver gate: read back the snapshot
+    // table [[deletedDocsTable]] built (range-clustered base + one
+    // keyed delete incl. absent keys), oracle = the plain NOT-IN
+    // filter. Completes the DML triad (append / merge / delete) on the
+    // same copy-on-write manifest machinery.
+    "s8d_delete" -> ((s: SparkSession, dir: String) => {
+      // snapshot 2 = post-delete (3 is the CDF fixture's merge)
+      graft.sources.SnapshotTable
+        .read(s, deletedDocsTable(s, dir), Some(2L))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Row-level change-data-feed under the driver gate: diff the
+    // fixture's merge commit (snapshot 2 → 3). The expected feed is
+    // fully derivable from `documents`: a delete+insert pair for every
+    // surviving doc_id % 17 == 0 row whose lang actually changed
+    // (no-op upserts must cancel — hence the lang <> 'xx' guard on
+    // BOTH engines), plus insert rows for the three brand-new keys.
+    // Carried survivor rows from the copy-on-write rewrite appear in
+    // both file sets and must cancel exactly — any leak goes red.
+    "s8e_changes" -> ((s: SparkSession, dir: String) => {
+      graft.sources.SnapshotTable
+        .changes(s, deletedDocsTable(s, dir), 2L, Some(3L))
+        .orderBy(col("doc_id"), col("_change"))
+    }),
+
     "s8b_stats_prune" -> ((s: SparkSession, dir: String) => {
       graft.sources.SnapshotTable
         .readRange(s, statsDocsTable(s, dir), "doc_id", "10", "45")
@@ -1491,6 +1559,33 @@ object PipelineQueries {
          SELECT -i, 'synthetic', 'ins'
          FROM UNNEST(generate_series(1, 10)) t(i)
          ORDER BY doc_id""",
+
+    // expected post-delete table content: every doc_id % 13 == 0 row
+    // gone, absent negative keys were no-ops, all other rows verbatim
+    "s8d_delete" ->
+      """SELECT doc_id, source, lang
+         FROM documents
+         WHERE doc_id % 13 <> 0
+         ORDER BY doc_id""",
+
+    // expected CDF of the merge commit: delete+insert pair per
+    // genuinely-updated survivor, inserts for the three fresh keys,
+    // NOTHING for no-op upserts or carried survivors
+    "s8e_changes" ->
+      """WITH upd AS (
+           SELECT doc_id, source, lang FROM documents
+           WHERE doc_id % 13 <> 0 AND doc_id % 17 = 0 AND lang <> 'xx')
+         SELECT doc_id, source, lang, "_change" FROM (
+           SELECT doc_id, source, lang, 'delete' AS "_change" FROM upd
+           UNION ALL
+           SELECT doc_id, source, 'xx' AS lang, 'insert' AS "_change" FROM upd
+           UNION ALL
+           SELECT * FROM (VALUES
+             (CAST(-101 AS BIGINT), 'synthetic', 'zz', 'insert'),
+             (CAST(-102 AS BIGINT), 'synthetic', 'zz', 'insert'),
+             (CAST(-103 AS BIGINT), 'synthetic', 'zz', 'insert'))
+             v(doc_id, source, lang, "_change"))
+         ORDER BY doc_id, "_change"""",
 
     // file-skipping readRange ≡ the plain BETWEEN filter
     "s8b_stats_prune" ->

@@ -425,22 +425,56 @@ object SnapshotTable {
     * `idempotencyKey`, like every other commit here.
     */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
-      keyCols: Seq[String], idempotencyKey: String = ""): Long = {
-    require(keyCols.nonEmpty, "merge needs at least one key column")
+      keyCols: Seq[String], idempotencyKey: String = ""): Long =
+    rewriteByKeys(spark, dir, Some(updates), updates, keyCols, "merge",
+      idempotencyKey)
+
+  /** Row-level DELETE by key — the takedown / right-to-be-forgotten
+    * primitive a training corpus needs: remove every row whose
+    * `keyCols` tuple appears in `keys`, as a new snapshot, with the
+    * same file-level copy-on-write as [[merge]] — only data files
+    * CONTAINING a doomed key are rewritten (stats-pruned detection
+    * when the table carries min/max bounds on a key column); every
+    * unaffected file is carried into the new manifest verbatim. Keys
+    * absent from the table are no-ops, not errors. Old snapshots stay
+    * time-travelable until [[expireSnapshots]] reclaims their files —
+    * a compliance delete is physically complete once expiry runs, and
+    * the `operation = "delete"` history row is the audit trail.
+    * Exactly-once under replays via `idempotencyKey`; a lost CAS race
+    * recomputes from detection, like merge.
+    */
+  def delete(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCols: Seq[String], idempotencyKey: String = ""): Long =
+    rewriteByKeys(spark, dir, None, keys, keyCols, "delete", idempotencyKey)
+
+  /** Shared copy-on-write core of [[merge]] and [[delete]]: rewrite
+    * only the data files whose rows match a key in `keys`, union the
+    * upsert rows back in when `upsert` is present, carry every other
+    * file verbatim. */
+  private def rewriteByKeys(spark: SparkSession, dir: String,
+      upsert: Option[DataFrame], keys: DataFrame, keyCols: Seq[String],
+      operation: String, idempotencyKey: String): Long = {
+    require(keyCols.nonEmpty, s"$operation needs at least one key column")
     val already = snapshotWithKey(dir, idempotencyKey)
     if (already.isDefined) return already.get
     var attempt = 0
     while (true) {
       val parent = currentSnapshot(dir)
-      require(parent > 0, s"no snapshot in $dir to merge into")
+      require(parent > 0, s"no snapshot in $dir to $operation into")
       val cols = StructType.fromDDL(schemaDdl(dir, parent).get).fieldNames.toSeq
       require(keyCols.forall(cols.contains), s"key not in table: $keyCols")
-      require(cols.forall(updates.columns.contains),
-        s"updates missing columns: ${cols.filterNot(updates.columns.contains)}")
-      val upd = updates.select(cols.map(col): _*).persist()
-      require(upd.groupBy(keyCols.map(col): _*).count().filter(col("count") > 1)
-        .isEmpty, "updates must be key-distinct (newest-wins is ambiguous)")
-      val updKeys = upd.select(keyCols.map(col): _*).distinct()
+      val upd = upsert.map { u =>
+        require(cols.forall(u.columns.contains),
+          s"updates missing columns: ${cols.filterNot(u.columns.contains)}")
+        val sel = u.select(cols.map(col): _*).persist()
+        require(sel.groupBy(keyCols.map(col): _*).count()
+          .filter(col("count") > 1).isEmpty,
+          "updates must be key-distinct (newest-wins is ambiguous)")
+        sel
+      }
+      require(keyCols.forall(keys.columns.contains),
+        s"keys missing columns: ${keyCols.filterNot(keys.columns.contains)}")
+      val updKeys = upd.getOrElse(keys).select(keyCols.map(col): _*).distinct()
       val manifestDf = spark.read.parquet(manifestDir(dir, parent))
       val allEntries = manifestDf.select(col("path"), col("base")).collect()
         .map(r => (r.getString(0), r.getString(1)))
@@ -481,7 +515,7 @@ object SnapshotTable {
         .join(affectedDf.withColumnRenamed("path", "_file"), Seq("_file"))
         .drop("_file")
         .join(updKeys, keyCols, "left_anti")
-      val rewritten = survivors.unionByName(upd)
+      val rewritten = upd.fold(survivors)(survivors.unionByName(_))
       val partitionBy = partitionSpec(dir, parent)
       val token = java.util.UUID.randomUUID.toString.take(12)
       val dataDir = s"$dir/data/w-$token"
@@ -496,7 +530,12 @@ object SnapshotTable {
       val mergeStatAggs = mergeStats.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c")))
-      val newEntries = spark.read.parquet(dataDir)
+      // explicit schema: a delete that empties every affected file
+      // leaves dataDir with zero part files, which a schema-less
+      // parquet read rejects — with the table schema it reads empty
+      val newEntries = spark.read
+        .schema(StructType.fromDDL(schemaDdl(dir, parent).get))
+        .parquet(dataDir)
         .groupBy(input_file_name().as("path"))
         .agg(count(lit(1)).as("rows"), mergeStatAggs: _*)
         .withColumn("base", lit(dataDir))
@@ -504,7 +543,7 @@ object SnapshotTable {
       val manifestRel = s"manifests/snap-$snap-$token"
       keptDf.unionByName(newEntries, allowMissingColumns = true).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/$manifestRel")
-      upd.unpersist()
+      upd.foreach(_.unpersist())
       val stats = spark.read.parquet(s"$dir/$manifestRel")
         .agg(count(lit(1)), coalesce(sum(col("rows")), lit(0L))).head()
       // a racer may have committed our key while we computed: our files
@@ -516,7 +555,7 @@ object SnapshotTable {
         return racedKey.get
       }
       try {
-        commitCas(dir, snap, "merge", parent,
+        commitCas(dir, snap, operation, parent,
           StructType.fromDDL(schemaDdl(dir, parent).get).toDDL, partitionBy,
           manifestRel, stats.getLong(0), stats.getLong(1), idempotencyKey,
           mergeStats)
@@ -529,7 +568,7 @@ object SnapshotTable {
           deleteRecursively(Paths.get(dataDir))
           cleanWriterAttempts(dir, token, keepRel = None)
           attempt += 1
-          require(attempt < 20, s"merge contention on $dir")
+          require(attempt < 20, s"$operation contention on $dir")
       }
     }
     throw new IllegalStateException("unreachable")
@@ -697,6 +736,56 @@ object SnapshotTable {
       .select(col("path"), col("base")).collect()
       .map(r => (r.getString(0), r.getString(1)))
     assemble(spark, dir, snap, entries)
+  }
+
+  /** Row-level change-data-feed between two snapshots: every row
+    * inserted or deleted going `fromSnapshot` → `snapshot` (default
+    * latest), tagged by a `_change` column (`insert` / `delete`; an
+    * UPDATE surfaces as its delete+insert pair, and a no-op upsert —
+    * new row identical to the old — surfaces as NOTHING). Because
+    * every commit here is file-level copy-on-write, the two manifests
+    * share untouched files verbatim, so only the SYMMETRIC DIFFERENCE
+    * of the file sets is ever read: at 10^12 rows a CDC consumer of a
+    * small merge/delete scans the handful of rewritten files, never
+    * the corpus. Survivor rows that a rewrite merely carried into a
+    * new file appear on both sides and cancel (multiset `EXCEPT ALL`
+    * on the changed-file rows only); an append-only delta reads the
+    * new files with no shuffle at all. Both sides are aligned to the
+    * DESTINATION snapshot's schema (added columns null-fill on the
+    * old side), so the feed is directly applyable to a downstream
+    * replica of the destination schema.
+    */
+  def changes(spark: SparkSession, dir: String, fromSnapshot: Long,
+      snapshot: Option[Long] = None): DataFrame = {
+    val to = snapshot.getOrElse(currentSnapshot(dir))
+    require(fromSnapshot >= 1, s"no snapshot $fromSnapshot in $dir")
+    require(to >= fromSnapshot, s"changes needs from <= to: $fromSnapshot > $to")
+    def entriesOf(snap: Long): Array[(String, String)] =
+      spark.read.parquet(manifestDir(dir, snap))
+        .select(col("path"), col("base")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+    val fromE = entriesOf(fromSnapshot)
+    val toE = entriesOf(to)
+    val fromPaths = fromE.map(_._1).toSet
+    val toPaths = toE.map(_._1).toSet
+    val added = toE.filterNot(e => fromPaths.contains(e._1))
+    val removed = fromE.filterNot(e => toPaths.contains(e._1))
+    val toSchema = StructType.fromDDL(schemaDdl(dir, to).get)
+    // removed files read under the SOURCE snapshot (its schema and
+    // partition layout), then aligned to the destination schema —
+    // columns added in between null-fill, like the read path's own
+    // schema-evolution rule
+    val delRaw = assemble(spark, dir, fromSnapshot, removed)
+    val del0 = delRaw.select(toSchema.fields.toSeq.map(f =>
+      if (delRaw.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+    val ins0 = assemble(spark, dir, to, added)
+    val (ins, del) =
+      if (removed.isEmpty) (ins0, emptyOf(spark, dir, to))
+      else if (added.isEmpty) (emptyOf(spark, dir, to), del0)
+      else (ins0.exceptAll(del0), del0.exceptAll(ins0))
+    ins.withColumn("_change", lit("insert"))
+      .unionByName(del.withColumn("_change", lit("delete")))
   }
 
   /** Table maintenance: rewrite the current snapshot's (possibly many

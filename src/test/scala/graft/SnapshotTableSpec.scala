@@ -764,6 +764,132 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(compacted == want)
   }
 
+  test("delete: copy-on-write removal rewrites ONLY affected files") {
+    val dir = java.nio.file.Files.createTempDirectory("snapdel").toString + "/t"
+    // 200 rows across 8 contiguous range files so stats prune detection
+    val base = spark.range(0, 200, 1, 1)
+      .select(col("id"), concat(lit("v-"), col("id")).as("v"))
+      .repartitionByRange(8, col("id"))
+    SnapshotTable.write(base, dir, statsCols = Seq("id"))
+    val parent = SnapshotTable.currentSnapshot(dir)
+    val parentFiles = SnapshotTable.read(spark, dir)
+      .withColumn("f", input_file_name())
+      .select("f").distinct().collect().map(_.getString(0)).toSet
+    // doom a narrow key range (hits few files) + absent keys (no-ops)
+    val doomed = (Seq(10L, 11L, 12L) ++ Seq(-5L, 9999L)).toDF("id")
+    val snap = SnapshotTable.delete(spark, dir, doomed, Seq("id"), "d-1")
+    assert(snap == parent + 1)
+    val got = SnapshotTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (0L until 200L).filterNot(Seq(10L, 11L, 12L).contains)
+      .map(k => k -> s"v-$k").toMap
+    assert(got == want)
+    // copy-on-write: the narrow range lives in 1 of 8 range files —
+    // at least 7 files must be carried verbatim
+    val afterFiles = SnapshotTable.read(spark, dir)
+      .withColumn("f", input_file_name())
+      .select("f").distinct().collect().map(_.getString(0)).toSet
+    assert(afterFiles.intersect(parentFiles).size >= 7,
+      s"only ${afterFiles.intersect(parentFiles).size} of 8 files carried")
+    // history records the audit row; time travel still sees the rows
+    assert(SnapshotTable.history(dir).find(_.id == snap)
+      .exists(_.operation == "delete"))
+    val old = SnapshotTable.read(spark, dir, Some(parent)).collect()
+      .map(_.getLong(0)).toSet
+    assert(old.contains(10L))
+    // idempotency: replaying the delete key is a no-op
+    assert(SnapshotTable.delete(spark, dir, doomed, Seq("id"), "d-1") == snap)
+    assert(SnapshotTable.read(spark, dir).count() == 197)
+    // delete-to-empty: dooming every key leaves a readable empty table
+    val all = spark.range(0, 200).select(col("id"))
+    SnapshotTable.delete(spark, dir, all, Seq("id"), "d-all")
+    val empty = SnapshotTable.read(spark, dir)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "v"))
+  }
+
+  test("compliance: delete + expire physically removes the doomed rows") {
+    import java.nio.file.{Files, Paths}
+    val dir = java.nio.file.Files.createTempDirectory("snapgdpr").toString + "/t"
+    val base = spark.range(0, 100, 1, 1)
+      .select(col("id"), concat(lit("v-"), col("id")).as("v"))
+      .repartitionByRange(4, col("id"))
+    SnapshotTable.write(base, dir, statsCols = Seq("id"))
+    def pathOf(uri: String) =
+      if (uri.startsWith("file:")) Paths.get(new java.net.URI(uri))
+      else Paths.get(uri)
+    val fileOf10 = SnapshotTable.read(spark, dir)
+      .withColumn("f", input_file_name())
+      .filter(col("id") === 10L).select("f").head().getString(0)
+    SnapshotTable.delete(spark, dir, Seq(10L).toDF("id"), Seq("id"), "d-1")
+    // pre-expiry: the old file must SURVIVE (time travel still works)
+    assert(Files.exists(pathOf(fileOf10)))
+    SnapshotTable.expireSnapshots(spark, dir, keepLast = 1,
+      sweepOrphansOlderThanMs = 0L)
+    // post-expiry: the rewritten-away file is physically gone, the
+    // table reads complete minus the key, and NO parquet file left
+    // anywhere under the table root still holds the doomed row
+    assert(!Files.exists(pathOf(fileOf10)))
+    assert(SnapshotTable.read(spark, dir).count() == 99)
+    import scala.jdk.CollectionConverters._
+    val leftovers = Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(_.toString).toSeq
+    assert(leftovers.nonEmpty)
+    val residual = spark.read.schema("id BIGINT, v STRING")
+      .parquet(leftovers: _*).filter(col("id") === 10L).count()
+    assert(residual == 0, s"doomed row still on disk in $leftovers")
+  }
+
+  test("changes: row-level CDF across append, merge, delete, evolution") {
+    val dir = java.nio.file.Files.createTempDirectory("snapcdf").toString + "/t"
+    val base = spark.range(0, 100, 1, 1)
+      .select(col("id"), concat(lit("v-"), col("id")).as("v"))
+      .repartitionByRange(4, col("id"))
+    SnapshotTable.write(base, dir, statsCols = Seq("id"))
+    // append-only delta: pure inserts, no deletes
+    SnapshotTable.write(
+      Seq((100L, "v-100"), (101L, "v-101")).toDF("id", "v"), dir,
+      mode = "append", idempotencyKey = "a-1")
+    val afterAppend = SnapshotTable.changes(spark, dir, 1L, Some(2L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(afterAppend.toSet ==
+      Set((100L, "v-100", "insert"), (101L, "v-101", "insert")))
+    // merge: one genuine update, one no-op upsert, one fresh insert —
+    // the no-op and every carried survivor must cancel exactly
+    val up = Seq((10L, "v-NEW"), (11L, "v-11"), (200L, "v-200"))
+      .toDF("id", "v")
+    SnapshotTable.merge(spark, dir, up, Seq("id"), "m-1")
+    val afterMerge = SnapshotTable.changes(spark, dir, 2L, Some(3L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(afterMerge.toSet == Set(
+      (10L, "v-NEW", "insert"), (10L, "v-10", "delete"),
+      (200L, "v-200", "insert")))
+    // delete: pure deletes
+    SnapshotTable.delete(spark, dir, Seq(5L, 6L).toDF("id"), Seq("id"), "d-1")
+    val afterDelete = SnapshotTable.changes(spark, dir, 3L, Some(4L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(afterDelete.toSet ==
+      Set((5L, "v-5", "delete"), (6L, "v-6", "delete")))
+    // add-column evolution between the endpoints (a widening append):
+    // pre-evolution rows null-fill the new column on BOTH feed sides;
+    // the feed carries the DESTINATION schema. The 5/6 deletes and
+    // 10/200 inserts span 2 -> 5 too, plus the evolution row itself.
+    SnapshotTable.write(Seq((300L, "v-300", 7)).toDF("id", "v", "w"),
+      dir, mode = "append", idempotencyKey = "e-1")
+    val span = SnapshotTable.changes(spark, dir, 2L, Some(5L))
+    assert(span.columns.toSeq == Seq("id", "v", "w", "_change"))
+    val spanRows = span.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)), r.getString(3)))
+    assert(spanRows.toSet == Set(
+      (10L, "v-NEW", None, "insert"), (10L, "v-10", None, "delete"),
+      (200L, "v-200", None, "insert"),
+      (5L, "v-5", None, "delete"), (6L, "v-6", None, "delete"),
+      (300L, "v-300", Some(7), "insert")))
+    // from == to: empty feed, destination schema
+    assert(SnapshotTable.changes(spark, dir, 5L, Some(5L)).count() == 0)
+  }
+
   test("manifest min/max stats: readRange skips files, equals the plain filter") {
     val dir = java.nio.file.Files.createTempDirectory("snapstats").toString + "/t"
     // 1000 rows in 10 range-clustered files (range partitions are
