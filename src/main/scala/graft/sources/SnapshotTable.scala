@@ -788,6 +788,26 @@ object SnapshotTable {
       .unionByName(del.withColumn("_change", lit("delete")))
   }
 
+  /** Apply a [[changes]] feed to a downstream replica: remove the
+    * feed's `delete` rows (multiset semantics — one removal per feed
+    * row, matching the one-insertion-per-feed-row on the other side),
+    * add its `insert` rows. `applyChanges(read(from), changes(from, to))`
+    * reproduces `read(to)` exactly — the replica-maintenance loop a
+    * CDC consumer runs per snapshot, with cost proportional to the
+    * CHANGED rows, not the replica. A replica behind on schema
+    * evolution null-fills columns the feed added, the same alignment
+    * rule the feed itself uses for its old side.
+    */
+  def applyChanges(replica: DataFrame, feed: DataFrame): DataFrame = {
+    val cols = feed.columns.filterNot(_ == "_change").toSeq
+    val aligned = replica.select(cols.map(c =>
+      if (replica.columns.contains(c)) col(c)
+      else lit(null).cast(feed.schema(c).dataType).as(c)): _*)
+    val del = feed.filter(col("_change") === "delete").select(cols.map(col): _*)
+    val ins = feed.filter(col("_change") === "insert").select(cols.map(col): _*)
+    aligned.exceptAll(del).unionByName(ins)
+  }
+
   /** Table maintenance: rewrite the current snapshot's (possibly many
     * small) data files into `numFiles` files as a new snapshot with
     * identical logical content — the small-file compaction a streaming

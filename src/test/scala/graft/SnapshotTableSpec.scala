@@ -888,6 +888,12 @@ class SnapshotTableSpec extends AnyFunSuite {
       (300L, "v-300", Some(7), "insert")))
     // from == to: empty feed, destination schema
     assert(SnapshotTable.changes(spark, dir, 5L, Some(5L)).count() == 0)
+    // replica maintenance: applying the 2 -> 5 feed to the snapshot-2
+    // read (old schema — w null-fills) reproduces snapshot 5 exactly
+    val replayed = SnapshotTable.applyChanges(
+      SnapshotTable.read(spark, dir, Some(2L)), span)
+    val want5 = SnapshotTable.read(spark, dir, Some(5L))
+    assert(replayed.exceptAll(want5).isEmpty && want5.exceptAll(replayed).isEmpty)
   }
 
   test("manifest min/max stats: readRange skips files, equals the plain filter") {
