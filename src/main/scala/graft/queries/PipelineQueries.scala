@@ -786,6 +786,39 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("term"))
     }),
 
+    // ---- retrieval: inverted index (df-capped) -------------------------
+    // The posting-list build with the hot-term cap: terms with df >
+    // N/2 (every hot term in this fixture) are dropped BEFORE any list
+    // materializes; the surviving lists are pinned exactly via the
+    // 60-bit-xor fingerprint, and the kept/dropped ledger rides along.
+    "tx_inverted_index" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.{Dedup, Retrieval}
+      val d = s.read.parquet(t(dir, "documents"))
+      val cap = d.count() / 2
+      val (index, ledger) = Retrieval.invertedIndex(d, "doc_id", "text", cap)
+      index.select(col("term"), col("df"),
+          size(col("postings")).cast("long").as("n_postings"),
+          element_at(col("postings"), 1).as("first_doc"),
+          element_at(col("postings"), -1).as("last_doc"),
+          aggregate(col("postings"), lit(0L),
+            (acc, x) => acc.bitwiseXOR(Dedup.hash60(x.cast("string"))))
+            .as("postings_fp"))
+        .crossJoin(broadcast(ledger))
+        .orderBy(col("term"))
+    }),
+
+    // ---- retrieval: BM25 top-k (rational idf, bit-exact doubles) -------
+    // Engine-portable BM25: the libm-log idf is replaced by its
+    // rational argument (per-term order-equivalent), every remaining
+    // op is IEEE-754 correctly-rounded and mirrored operation-for-
+    // operation in the oracle, so the double scores hash EXACTLY
+    // (the cosine-gate convention — no rounding anywhere).
+    "tx_bm25_topk" -> ((s: SparkSession, dir: String) => {
+      graft.ops.Retrieval.bm25TopK(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        Seq("vector", "customer", "dup"), k = 20)
+    }),
+
     "dd_simhash" -> ((s: SparkSession, dir: String) => {
       // engine-portable 60-bit md5 SimHash — hash-verified by the DuckDB
       // oracle (the xxhash64 variant stays as the Spark-native fast path,
@@ -1975,6 +2008,72 @@ object PipelineQueries {
            FROM tf JOIN dfreq USING (term))
          SELECT doc_id, term, tf, df FROM r WHERE rn <= 3
          ORDER BY doc_id, term""",
+
+    // inverted index: same df cap (N/2), same distinct-term explode,
+    // posting lists pinned by the 60-bit-xor fingerprint + bounds
+    "tx_inverted_index" ->
+      """WITH tok AS (
+           SELECT doc_id, UNNEST(list_distinct(regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+'))) AS term
+           FROM documents),
+         dfr AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY 1),
+         n AS (SELECT COUNT(*) AS c FROM documents),
+         kept AS (SELECT term, df FROM dfr WHERE df <= (SELECT c FROM n) // 2),
+         idx AS (
+           SELECT t.term, k.df,
+                  COUNT(*) AS n_postings,
+                  MIN(t.doc_id) AS first_doc,
+                  MAX(t.doc_id) AS last_doc,
+                  bit_xor(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                    AS postings_fp
+           FROM tok t JOIN kept k USING (term) GROUP BY 1, 2),
+         led AS (
+           SELECT COUNT(*) AS n_terms_total,
+                  CAST(SUM(CASE WHEN df <= (SELECT c FROM n) // 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_kept,
+                  CAST(COALESCE(SUM(CASE WHEN df > (SELECT c FROM n) // 2
+                       THEN df END), 0) AS BIGINT) AS n_postings_dropped
+           FROM dfr)
+         SELECT * FROM idx CROSS JOIN led ORDER BY term""",
+
+    // BM25 with the rational idf substitute, operation-for-operation
+    // the same IEEE-754 double arithmetic as the engine — the score
+    // column hashes bit-exactly, no rounding
+    "tx_bm25_topk" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS ts
+           FROM documents),
+         d AS (
+           SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+                  CAST(len(list_filter(ts, x -> x = 'vector')) AS BIGINT) AS tf0,
+                  CAST(len(list_filter(ts, x -> x = 'customer')) AS BIGINT) AS tf1,
+                  CAST(len(list_filter(ts, x -> x = 'dup')) AS BIGINT) AS tf2
+           FROM tk),
+         g AS (
+           SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+                  SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                  SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                  SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+           FROM d),
+         s AS (
+           SELECT doc_id, dl, tf0, tf1, tf2,
+             (((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE)) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+               * ((CAST(tf0 AS DOUBLE) * 2.2) /
+                  (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+                    (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             + (((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE)) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+               * ((CAST(tf1 AS DOUBLE) * 2.2) /
+                  (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+                    (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             + (((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE)) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+               * ((CAST(tf2 AS DOUBLE) * 2.2) /
+                  (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+                    (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+             AS score
+           FROM d CROSS JOIN g)
+         SELECT doc_id, dl, tf0, tf1, tf2, score FROM s
+         ORDER BY score DESC, doc_id ASC LIMIT 20""",
 
     "ev_asof_join" -> """
          WITH x AS (
