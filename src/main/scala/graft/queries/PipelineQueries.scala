@@ -42,6 +42,7 @@ object PipelineQueries {
     statsDocsTable(s, dir)
     zorderOrdersTable(s, dir)
     deletedDocsTable(s, dir)
+    partitionedDocsTable(s, dir)
     ()
   }
 
@@ -168,6 +169,32 @@ object PipelineQueries {
           (-103L, "synthetic", "zz")).toDF("doc_id", "source", "lang"))
       SnapshotTable.merge(s, tableDir, upserts, Seq("doc_id"),
         idempotencyKey = "delete-gate-up")
+      tableDir
+    }
+
+  /** Once-per-(session, scale) lang-partitioned snapshot table after a
+    * DYNAMIC PARTITION OVERWRITE: base write partitioned by `lang`,
+    * then ONE `overwritePartitions` re-landing the 'de' partition with
+    * modified content (only even doc_ids survive, `source` rewritten).
+    * The gate reads the table back; the oracle is the UNION of the
+    * untouched partitions and the re-landed rows — partition-granular
+    * copy-on-write, verbatim carry, and the hive-partitioned read path
+    * all sit inside the hash.
+    */
+  private def partitionedDocsTable(s: SparkSession, dir: String): String =
+    Materialized.once(s, "partitionedDocsTable", dir) {
+      import graft.sources.SnapshotTable
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("snap-owp-gate").toString + "/t"
+      deleteOnExit(tableDir)
+      val base = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("source"), col("lang"))
+      SnapshotTable.write(base, tableDir, partitionBy = Seq("lang"),
+        idempotencyKey = "owp-gate-base", statsCols = Seq("doc_id"))
+      val reland = base
+        .filter(col("lang") === "de" && col("doc_id") % 2 === 0)
+        .withColumn("source", lit("relanded"))
+      SnapshotTable.overwritePartitions(reland, tableDir, "owp-gate-ow")
       tableDir
     }
 
@@ -683,6 +710,17 @@ object PipelineQueries {
       graft.sources.SnapshotTable
         .changes(s, deletedDocsTable(s, dir), 2L, Some(3L))
         .orderBy(col("doc_id"), col("_change"))
+    }),
+
+    // Dynamic partition overwrite under the driver gate: read back the
+    // lang-partitioned table after [[partitionedDocsTable]]'s re-land
+    // of the 'de' partition; oracle = untouched partitions UNION the
+    // re-landed rows.
+    "s8f_overwrite_part" -> ((s: SparkSession, dir: String) => {
+      graft.sources.SnapshotTable
+        .read(s, partitionedDocsTable(s, dir))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
     }),
 
     "s8b_stats_prune" -> ((s: SparkSession, dir: String) => {
@@ -1628,6 +1666,15 @@ object PipelineQueries {
              (CAST(-103 AS BIGINT), 'synthetic', 'zz', 'insert'))
              v(doc_id, source, lang, "_change"))
          ORDER BY doc_id, "_change"""",
+
+    // expected post-overwrite table: untouched partitions verbatim,
+    // the 'de' partition replaced by its re-landed rows
+    "s8f_overwrite_part" ->
+      """SELECT doc_id, source, lang FROM documents WHERE lang <> 'de'
+         UNION ALL
+         SELECT doc_id, 'relanded' AS source, lang FROM documents
+         WHERE lang = 'de' AND doc_id % 2 = 0
+         ORDER BY doc_id""",
 
     // file-skipping readRange ≡ the plain BETWEEN filter
     "s8b_stats_prune" ->

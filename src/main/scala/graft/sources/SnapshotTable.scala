@@ -396,6 +396,121 @@ object SnapshotTable {
     } finally newEntries.unpersist()
   }
 
+  /** Partition tuple of a manifest entry, parsed from the hive path
+    * segments between `base` and the file name (`col=value` dirs, in
+    * partition-spec order). Constraint shared with the writer: values
+    * must not need hive path escaping (alphanumeric plus `-_.`);
+    * the overwrite-partitions API enforces it at the boundary.
+    */
+  private def entryPartition(path: String, base: String,
+      partitionBy: Seq[String]): Seq[String] = {
+    val rel = path.stripPrefix(base).stripPrefix("/")
+    val dirs = rel.split("/").dropRight(1)
+    partitionBy.map { c =>
+      dirs.collectFirst { case d if d.startsWith(s"$c=") =>
+        d.substring(c.length + 1) }
+        .getOrElse(throw new IllegalStateException(
+          s"no $c= segment in $path (base $base)"))
+    }
+  }
+
+  /** Dynamic partition overwrite (the `INSERT OVERWRITE ... PARTITION`
+    * analogue): replace EXACTLY the hive partitions present in `df` —
+    * every file of an affected partition is dropped from the new
+    * manifest, `df`'s rows land as its new content, and every other
+    * partition's files are carried verbatim. Copy-on-write at
+    * partition granularity: the daily re-ingest primitive — re-landing
+    * one day of a date-partitioned event table rewrites that day, not
+    * the corpus, and `readDelta(sinceSnapshot = parent)` shows exactly
+    * the re-landed rows. An affected partition absent from the parent
+    * is simply created; overwriting with zero rows for a partition is
+    * impossible by construction (a partition is "present in df" only
+    * via its rows) — use [[delete]] to empty one. Partition values
+    * must be hive-path-safe (alphanumeric plus `-_.`), checked here.
+    * Same CAS discipline as [[merge]]: a lost race recomputes from
+    * detection; exactly-once under replays via `idempotencyKey`.
+    */
+  def overwritePartitions(df: DataFrame, dir: String,
+      idempotencyKey: String = ""): Long = {
+    val spark = df.sparkSession
+    val already = snapshotWithKey(dir, idempotencyKey)
+    if (already.isDefined) return already.get
+    var attempt = 0
+    while (true) {
+      val parent = currentSnapshot(dir)
+      require(parent > 0, s"no snapshot in $dir to overwrite into")
+      val partitionBy = partitionSpec(dir, parent)
+      require(partitionBy.nonEmpty,
+        "overwritePartitions needs a partitioned table (use write(mode=overwrite))")
+      val cols = StructType.fromDDL(schemaDdl(dir, parent).get).fieldNames.toSeq
+      require(cols.forall(df.columns.contains),
+        s"df missing columns: ${cols.filterNot(df.columns.contains)}")
+      val sel = df.select(cols.map(col): _*)
+      val affected = sel.select(partitionBy.map(col): _*).distinct()
+        .collect().map { r =>
+          require(partitionBy.indices.forall(!r.isNullAt(_)),
+            "null partition values are unsupported in overwritePartitions")
+          partitionBy.indices.map(i => String.valueOf(r.get(i))).toList
+        }.toSet
+      val safe = "[A-Za-z0-9._-]+".r
+      affected.flatten.foreach(v => require(safe.matches(v),
+        s"partition value needs hive escaping, unsupported here: '$v'"))
+      // manifests are file-level metadata (one coalesced file; the
+      // merge path collects them the same way) — driver-side filter
+      val manifestDf = spark.read.parquet(manifestDir(dir, parent))
+      val keep = manifestDf.collect().filter { r =>
+        val p = r.getAs[String]("path"); val b = r.getAs[String]("base")
+        !affected.contains(entryPartition(p, b, partitionBy).toList)
+      }
+      val keptDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(keep.toSeq, 1), manifestDf.schema)
+      val token = java.util.UUID.randomUUID.toString.take(12)
+      val dataDir = s"$dir/data/w-$token"
+      sel.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(dataDir)
+      val effStats = statsColumns(dir, parent).filter(cols.contains)
+      val statAggs = effStats.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c")))
+      val newEntries = spark.read
+        .option("basePath", dataDir)
+        .schema(StructType.fromDDL(schemaDdl(dir, parent).get))
+        .parquet(dataDir)
+        .groupBy(input_file_name().as("path"))
+        .agg(count(lit(1)).as("rows"), statAggs: _*)
+        .withColumn("base", lit(dataDir))
+      val snap = parent + 1
+      val manifestRel = s"manifests/snap-$snap-$token"
+      keptDf.unionByName(newEntries.withColumn("snapshot_id", lit(snap)),
+          allowMissingColumns = true)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$manifestRel")
+      val stats = spark.read.parquet(s"$dir/$manifestRel")
+        .agg(count(lit(1)), coalesce(sum(col("rows")), lit(0L))).head()
+      val racedKey = snapshotWithKey(dir, idempotencyKey)
+      if (racedKey.isDefined) {
+        deleteRecursively(Paths.get(dataDir))
+        cleanWriterAttempts(dir, token, keepRel = None)
+        return racedKey.get
+      }
+      try {
+        commitCas(dir, snap, "overwrite_partitions", parent,
+          StructType.fromDDL(schemaDdl(dir, parent).get).toDDL, partitionBy,
+          manifestRel, stats.getLong(0), stats.getLong(1), idempotencyKey,
+          effStats)
+        cleanWriterAttempts(dir, token, keepRel = Some(manifestRel))
+        return snap
+      } catch {
+        case _: FileAlreadyExistsException =>
+          // lost the race: the kept set was derived from the old
+          // parent — recompute everything from detection
+          deleteRecursively(Paths.get(dataDir))
+          cleanWriterAttempts(dir, token, keepRel = None)
+          attempt += 1
+          require(attempt < 20, s"overwrite_partitions contention on $dir")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Copy-on-write MERGE (the Iceberg MERGE INTO analogue): upsert
     * `updates` into the table by `keyCols`, newest-wins — existing rows
     * whose key appears in `updates` are replaced, new keys are

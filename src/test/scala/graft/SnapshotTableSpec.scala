@@ -807,6 +807,54 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "v"))
   }
 
+  test("overwritePartitions: replaces touched partitions, carries the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("snapowp").toString + "/t"
+    val base = spark.range(0, 100, 1, 1)
+      .select(col("id"), concat(lit("p"), col("id") % 4).as("part"),
+        lit("orig").as("v"))
+    SnapshotTable.write(base, dir, partitionBy = Seq("part"),
+      statsCols = Seq("id"))
+    val parent = SnapshotTable.currentSnapshot(dir)
+    val parentFiles = SnapshotTable.read(spark, dir)
+      .withColumn("f", input_file_name())
+      .filter(col("part") =!= "p1")
+      .select("f").distinct().collect().map(_.getString(0)).toSet
+    // re-land p1 with entirely new content + create a new partition p9
+    val reland = Seq((1000L, "p1", "new"), (1001L, "p1", "new"),
+      (2000L, "p9", "fresh")).toDF("id", "part", "v")
+    val snap = SnapshotTable.overwritePartitions(reland, dir, "ow-1")
+    assert(snap == parent + 1)
+    val got = SnapshotTable.read(spark, dir).select("id", "part", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val wantKept = (0L until 100L).filter(_ % 4 != 1)
+      .map(i => (i, s"p${i % 4}", "orig")).toSet
+    assert(got == wantKept ++ Set((1000L, "p1", "new"), (1001L, "p1", "new"),
+      (2000L, "p9", "fresh")))
+    // untouched partitions carried VERBATIM (same physical files)
+    val afterFiles = SnapshotTable.read(spark, dir)
+      .withColumn("f", input_file_name())
+      .filter(col("part") =!= "p1" && col("part") =!= "p9")
+      .select("f").distinct().collect().map(_.getString(0)).toSet
+    assert(afterFiles == parentFiles, "untouched partitions must not rewrite")
+    // the delta is exactly the re-landed rows; time travel sees old p1
+    val delta = SnapshotTable.readDelta(spark, dir, parent)
+      .select("id", "part", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(delta == Set((1000L, "p1", "new"), (1001L, "p1", "new"),
+      (2000L, "p9", "fresh")))
+    assert(SnapshotTable.read(spark, dir, Some(parent))
+      .filter(col("part") === "p1").count() == 25)
+    // idempotent replay; audit row; unsafe partition values refuse
+    assert(SnapshotTable.overwritePartitions(reland, dir, "ow-1") == snap)
+    assert(SnapshotTable.history(dir).find(_.id == snap)
+      .exists(_.operation == "overwrite_partitions"))
+    val bad = Seq((1L, "has space", "x")).toDF("id", "part", "v")
+    assertThrows[IllegalArgumentException] {
+      SnapshotTable.overwritePartitions(bad, dir, "ow-bad")
+    }
+  }
+
   test("compliance: delete + expire physically removes the doomed rows") {
     import java.nio.file.{Files, Paths}
     val dir = java.nio.file.Files.createTempDirectory("snapgdpr").toString + "/t"
