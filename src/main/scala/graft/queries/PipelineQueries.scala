@@ -824,6 +824,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("term"))
     }),
 
+    // ---- data-quality expectations (write-time contracts) --------------
+    // ONE map-side-combinable aggregate computes every check's
+    // violation count + the rows passing ALL checks — the observe mode
+    // of the contract layer whose enforce mode fronts snapshot-table
+    // writes (ExpectationsSpec pins the refuse-commit composition).
+    // NULL predicate = violation (affirmative contracts) on BOTH
+    // engines via the same COALESCE(pred, FALSE) shape.
+    "tx_expectations" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.{Expectations, TextOps}
+      val d = s.read.parquet(t(dir, "documents"))
+      Expectations.ledger(d, Seq(
+        "doc_id_present" -> col("doc_id").isNotNull,
+        "lang_known" -> col("lang").isin("en", "de", "fr", "es", "zh"),
+        "min_20_tokens" -> (TextOps.tokenCount(col("text")) >= 20),
+        "nchars_consistent" -> (col("n_chars") === length(col("text")))))
+        .orderBy(col("check"))
+    }),
+
     // ---- retrieval: inverted index (df-capped) -------------------------
     // The posting-list build with the hot-term cap: terms with df >
     // N/2 (every hot term in this fixture) are dropped BEFORE any list
@@ -2055,6 +2073,36 @@ object PipelineQueries {
            FROM tf JOIN dfreq USING (term))
          SELECT doc_id, term, tf, df FROM r WHERE rn <= 3
          ORDER BY doc_id, term""",
+
+    // per-check violation counts + pass-all count, NULL-as-violation
+    // mirrored via COALESCE(pred, FALSE)
+    "tx_expectations" ->
+      """WITH g AS (
+           SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN NOT COALESCE(doc_id IS NOT NULL, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN NOT COALESCE(lang IN ('en','de','fr','es','zh'), FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN NOT COALESCE(
+                    len(regexp_extract_all(text, '\S+')) >= 20, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+             CAST(SUM(CASE WHEN NOT COALESCE(n_chars = length(text), FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+             CAST(SUM(CASE WHEN COALESCE(doc_id IS NOT NULL, FALSE)
+                   AND COALESCE(lang IN ('en','de','fr','es','zh'), FALSE)
+                   AND COALESCE(len(regexp_extract_all(text, '\S+')) >= 20, FALSE)
+                   AND COALESCE(n_chars = length(text), FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           FROM documents)
+         SELECT "check", n_violations, n_rows, n_kept FROM (
+           SELECT 'doc_id_present' AS "check", v1 AS n_violations, n_rows, n_kept FROM g
+           UNION ALL
+           SELECT 'lang_known', v2, n_rows, n_kept FROM g
+           UNION ALL
+           SELECT 'min_20_tokens', v3, n_rows, n_kept FROM g
+           UNION ALL
+           SELECT 'nchars_consistent', v4, n_rows, n_kept FROM g)
+         ORDER BY "check"""",
 
     // inverted index: same df cap (N/2), same distinct-term explode,
     // posting lists pinned by the 60-bit-xor fingerprint + bounds
