@@ -169,6 +169,10 @@ object PipelineQueries {
           (-103L, "synthetic", "zz")).toDF("doc_id", "source", "lang"))
       SnapshotTable.merge(s, tableDir, upserts, Seq("doc_id"),
         idempotencyKey = "delete-gate-up")
+      // snapshot 4: ROLLBACK to the post-delete state — undoes the
+      // merge; the s8g gate reads the table head through this commit
+      SnapshotTable.rollback(s, tableDir, 2L,
+        idempotencyKey = "delete-gate-rb")
       tableDir
     }
 
@@ -710,6 +714,16 @@ object PipelineQueries {
       graft.sources.SnapshotTable
         .changes(s, deletedDocsTable(s, dir), 2L, Some(3L))
         .orderBy(col("doc_id"), col("_change"))
+    }),
+
+    // ROLLBACK under the driver gate: the fixture's snapshot 4 rolls
+    // the merge back to the post-delete state, and the table HEAD is
+    // read here — the rollback's manifest copy + the read path sit in
+    // the hash (same oracle as the post-delete content, reached
+    // through a different commit).
+    "s8g_rollback" -> ((s: SparkSession, dir: String) => {
+      graft.sources.SnapshotTable.read(s, deletedDocsTable(s, dir))
+        .orderBy(col("doc_id"))
     }),
 
     // Dynamic partition overwrite under the driver gate: read back the
@@ -1661,6 +1675,14 @@ object PipelineQueries {
     // expected post-delete table content: every doc_id % 13 == 0 row
     // gone, absent negative keys were no-ops, all other rows verbatim
     "s8d_delete" ->
+      """SELECT doc_id, source, lang
+         FROM documents
+         WHERE doc_id % 13 <> 0
+         ORDER BY doc_id""",
+
+    // rollback(2) undid the merge: the head reads as the post-delete
+    // state again
+    "s8g_rollback" ->
       """SELECT doc_id, source, lang
          FROM documents
          WHERE doc_id % 13 <> 0

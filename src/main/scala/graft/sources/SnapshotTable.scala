@@ -396,6 +396,58 @@ object SnapshotTable {
     } finally newEntries.unpersist()
   }
 
+  /** ROLLBACK: revert the table to the logical content of snapshot
+    * `to`, as a NEW commit (the Iceberg rollback analogue) — the
+    * bad-ingest undo: nothing is deleted, the new snapshot simply
+    * references `to`'s manifest entries (original `snapshot_id` stamps
+    * preserved, so [[readDelta]] correctly reports an EMPTY delta for
+    * a rollback — no file is newer than the parent), history keeps
+    * both the bad commit and the `operation = "rollback"` audit row,
+    * and the schema / partition spec / stats columns revert with the
+    * data (undoing a schema evolution restores the pre-evolution
+    * DDL). Refuses if `to`'s manifest has been expired. Exactly-once
+    * under replays via `idempotencyKey`.
+    */
+  def rollback(spark: SparkSession, dir: String, to: Long,
+      idempotencyKey: String = ""): Long = {
+    val already = snapshotWithKey(dir, idempotencyKey)
+    if (already.isDefined) return already.get
+    var attempt = 0
+    while (true) {
+      val parent = currentSnapshot(dir)
+      require(parent > 0, s"no snapshot in $dir to roll back")
+      require(to >= 1 && to <= parent, s"no snapshot $to in $dir")
+      require(Files.exists(Paths.get(manifestDir(dir, to))),
+        s"snapshot $to of $dir has been expired; cannot roll back to it")
+      val token = java.util.UUID.randomUUID.toString.take(12)
+      val snap = parent + 1
+      val manifestRel = s"manifests/snap-$snap-$token"
+      val src = spark.read.parquet(manifestDir(dir, to))
+      src.coalesce(1).write.mode("overwrite").parquet(s"$dir/$manifestRel")
+      val stats = spark.read.parquet(s"$dir/$manifestRel")
+        .agg(count(lit(1)), coalesce(sum(col("rows")), lit(0L))).head()
+      val racedKey = snapshotWithKey(dir, idempotencyKey)
+      if (racedKey.isDefined) {
+        cleanWriterAttempts(dir, token, keepRel = None)
+        return racedKey.get
+      }
+      try {
+        commitCas(dir, snap, "rollback", parent,
+          schemaDdl(dir, to).get, partitionSpec(dir, to),
+          manifestRel, stats.getLong(0), stats.getLong(1), idempotencyKey,
+          statsColumns(dir, to))
+        cleanWriterAttempts(dir, token, keepRel = Some(manifestRel))
+        return snap
+      } catch {
+        case _: FileAlreadyExistsException =>
+          cleanWriterAttempts(dir, token, keepRel = None)
+          attempt += 1
+          require(attempt < 20, s"rollback contention on $dir")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Partition tuple of a manifest entry, parsed from the hive path
     * segments between `base` and the file name (`col=value` dirs, in
     * partition-spec order). Constraint shared with the writer: values

@@ -807,6 +807,51 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "v"))
   }
 
+  test("rollback: reverts content, schema, and stats as a new audited commit") {
+    val dir = java.nio.file.Files.createTempDirectory("snaprb").toString + "/t"
+    val base = spark.range(0, 50, 1, 1)
+      .select(col("id"), concat(lit("v-"), col("id")).as("v"))
+    SnapshotTable.write(base, dir, statsCols = Seq("id"))
+    // a "bad" merge + a schema evolution on top
+    SnapshotTable.merge(spark, dir,
+      Seq((10L, "BAD")).toDF("id", "v"), Seq("id"), "m-bad")
+    SnapshotTable.write(Seq((100L, "v-100", 1)).toDF("id", "v", "w"),
+      dir, mode = "append", idempotencyKey = "evo")
+    val snap = SnapshotTable.rollback(spark, dir, 1L, "rb-1")
+    assert(snap == 4L)
+    // content, schema, and stats columns all revert to snapshot 1
+    val got = SnapshotTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == (0L until 50L).map(k => k -> s"v-$k").toMap)
+    assert(SnapshotTable.read(spark, dir).columns.toSeq == Seq("id", "v"))
+    assert(SnapshotTable.statsColumns(dir, snap) == Seq("id"))
+    // audit trail: the bad commits stay time-travelable
+    assert(SnapshotTable.history(dir).find(_.id == snap)
+      .exists(_.operation == "rollback"))
+    assert(SnapshotTable.read(spark, dir, Some(2L)).collect()
+      .exists(_.getString(1) == "BAD"))
+    // a rollback adds no files: the delta since the parent is empty
+    assert(SnapshotTable.readDelta(spark, dir, 3L).count() == 0)
+    // the CDF across the rollback is the exact inverse of the bad
+    // merge + evolution append — and it carries the DESTINATION
+    // (reverted, w-less) schema, so the evolved column projects away
+    val feedDf = SnapshotTable.changes(spark, dir, 3L, Some(snap))
+    assert(feedDf.columns.toSeq == Seq("id", "v", "_change"))
+    val feed = feedDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set((10L, "BAD", "delete"), (10L, "v-10", "insert"),
+      (100L, "v-100", "delete")))
+    // idempotent replay; expired target refuses
+    assert(SnapshotTable.rollback(spark, dir, 1L, "rb-1") == snap)
+    SnapshotTable.expireSnapshots(spark, dir, keepLast = 1,
+      sweepOrphansOlderThanMs = 0L)
+    assertThrows[IllegalArgumentException] {
+      SnapshotTable.rollback(spark, dir, 2L, "rb-2")
+    }
+    // post-expiry the table still reads the rolled-back content
+    assert(SnapshotTable.read(spark, dir).count() == 50)
+  }
+
   test("overwritePartitions: replaces touched partitions, carries the rest") {
     val dir = java.nio.file.Files.createTempDirectory("snapowp").toString + "/t"
     val base = spark.range(0, 100, 1, 1)
