@@ -60,6 +60,40 @@ object Expectations {
     df.filter(checks.map(c => !violated(c._2)).reduce(_ && _))
   }
 
+  /** Per-row list of the check NAMES the row violates — the quarantine
+    * audit column (`array<string>`, empty when the row passes all).
+    */
+  def failedChecks(checks: Seq[(String, Column)]): Column =
+    filter(array(checks.map { case (n, p) =>
+      when(violated(p), lit(n)) }: _*), x => x.isNotNull)
+
+  /** The streaming DEAD-LETTER sink body (compose inside
+    * `foreachBatch { (batch, id) => quarantineSink(batch, id, ...) }`):
+    * rows passing every check append to the main table; violating rows
+    * append to the quarantine table tagged with the batch id and the
+    * names of the checks they failed — nothing is silently dropped,
+    * and the corrupt rows stay queryable for repair/re-ingest. BOTH
+    * appends key on the batch id, so a replayed micro-batch is a
+    * content no-op on both tables (the CDC-sink exactly-once
+    * discipline). The split predicates stay in the batch's scan; cost
+    * is one pass over the micro-batch per side.
+    */
+  def quarantineSink(batch: DataFrame, batchId: Long,
+      checks: Seq[(String, Column)], tableDir: String,
+      quarantineDir: String): Unit = {
+    import graft.sources.SnapshotTable
+    val mode = "append"
+    SnapshotTable.write(dropViolations(batch, checks), tableDir, mode,
+      idempotencyKey = s"expect-good-$batchId")
+    val failed = failedChecks(checks)
+    val bad = batch
+      .withColumn("_failed", failed)
+      .filter(size(col("_failed")) > 0)
+      .withColumn("_batch_id", lit(batchId))
+    SnapshotTable.write(bad, quarantineDir, mode,
+      idempotencyKey = s"expect-bad-$batchId"): Unit
+  }
+
   /** The write gate: returns `df` untouched when every check passes on
     * every row, otherwise throws listing each failed check with its
     * violation count. Runs the [[ledger]] aggregate (one scan) — the

@@ -227,6 +227,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == got)
   }
 
+  test("streaming quarantine sink: violators dead-letter, exactly-once under replay") {
+    import graft.sources.SnapshotTable
+    import graft.ops.Expectations
+    val tmp = java.nio.file.Files.createTempDirectory("qsink").toString
+    val inDir = s"$tmp/in"; val tableDir = s"$tmp/table"
+    val quarDir = s"$tmp/quarantine"; val cp = s"$tmp/cp"
+    val checks = Seq(
+      "id_positive" -> (col("id") > 0),
+      "v_nonempty" -> (length(col("v")) > 0))
+    // three micro-batches; batches 0 and 2 carry violators
+    val batches = Seq(
+      Seq((1L, "a"), (-2L, "bad-id"), (3L, "")),
+      Seq((4L, "d"), (5L, "e")),
+      Seq((-6L, "")))
+    batches.foreach { b =>
+      b.toDF("id", "v").coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(1100)
+    }
+    def runStream(): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING"))
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          Expectations.quarantineSink(batch, id, checks, tableDir, quarDir)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runStream()
+    // main table: exactly the pass-all rows
+    val good = SnapshotTable.read(spark, tableDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(good == Set((1L, "a"), (4L, "d"), (5L, "e")))
+    // quarantine: every violator, tagged with its failed checks; the
+    // batch ids partition them by arrival
+    val bad = SnapshotTable.read(spark, quarDir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[String](2).toList, r.getLong(3))).toSet
+    assert(bad.map(t => (t._1, t._3)) == Set(
+      (-2L, List("id_positive")), (3L, List("v_nonempty")),
+      (-6L, List("id_positive", "v_nonempty"))))
+    assert(bad.count(_._4 == bad.map(_._4).max) == 1) // last batch: one row
+    // replay from a fresh checkpoint: content no-op on BOTH tables
+    val (s1, s2) = (SnapshotTable.currentSnapshot(tableDir),
+      SnapshotTable.currentSnapshot(quarDir))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(cp)).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    runStream()
+    assert(SnapshotTable.currentSnapshot(tableDir) == s1)
+    assert(SnapshotTable.currentSnapshot(quarDir) == s2)
+  }
+
   test("streaming micro-batches drive exact incremental KG maintenance") {
     // the full composition: stream → docs snapshot append (exactly-once
     // via batch-id key) → incremental maintenance per micro-batch — and
