@@ -311,9 +311,25 @@ object Sketches {
   val BloomK = 4
 
   // same single-definition rule as cmsBucket: build and probe must
-  // derive bit positions identically
-  private def bloomBit(j: Int, key: Column): Column =
+  // derive bit positions identically (private[graft]: the snapshot
+  // table's per-file bloom index builds its bits through this too)
+  private[graft] def bloomBit(j: Int, key: Column): Column =
     pmod(Dedup.hash60(concat(lit(s"bloom$j:"), key)), lit(BloomBits.toLong))
+
+  /** Driver-side twin of [[bloomBit]] over the string form of a value —
+    * MUST stay formula-identical (15 hex chars of md5 as a long, pmod
+    * BloomBits); the snapshot table's point-read probe computes its
+    * positions here without a Spark job. Duplicate positions collapse.
+    */
+  private[graft] def bloomPositions(value: String): Seq[Long] = {
+    (0 until BloomK).map { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"bloom$j:$value".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      math.floorMod(java.lang.Long.parseLong(hex.take(15), 16),
+        BloomBits.toLong)
+    }.distinct
+  }
 
   /** Bloom SET-membership state: the distinct bit positions set by the
     * keys — sparse (bit, one) rows, OR-mergeable (union + distinct),

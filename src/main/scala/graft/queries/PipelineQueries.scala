@@ -43,6 +43,7 @@ object PipelineQueries {
     zorderOrdersTable(s, dir)
     deletedDocsTable(s, dir)
     partitionedDocsTable(s, dir)
+    bloomDocsTable(s, dir)
     ()
   }
 
@@ -173,6 +174,25 @@ object PipelineQueries {
       // merge; the s8g gate reads the table head through this commit
       SnapshotTable.rollback(s, tableDir, 2L,
         idempotencyKey = "delete-gate-rb")
+      tableDir
+    }
+
+  /** Once-per-(session, scale) snapshot table with a per-file BLOOM
+    * index on `doc_id`, files clustered by `lang` (a DIFFERENT key, so
+    * min/max bounds cannot prune a doc_id probe) — the fixture for the
+    * bloom point-read gate.
+    */
+  private def bloomDocsTable(s: SparkSession, dir: String): String =
+    Materialized.once(s, "bloomDocsTable", dir) {
+      import graft.sources.SnapshotTable
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("snap-bloom-gate").toString + "/t"
+      deleteOnExit(tableDir)
+      val base = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .repartition(8, col("lang"))
+      SnapshotTable.write(base, tableDir,
+        idempotencyKey = "bloom-gate-base", bloomCols = Seq("doc_id"))
       tableDir
     }
 
@@ -735,6 +755,24 @@ object PipelineQueries {
         .read(s, partitionedDocsTable(s, dir))
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Bloom point read under the driver gate: probe one doc_id against
+    // the lang-clustered bloom-indexed table (bounds can't prune; the
+    // bloom skips, no-false-negative swept in SnapshotTableSpec);
+    // oracle = the plain equality filter.
+    "s8h_bloom_point" -> ((s: SparkSession, dir: String) => {
+      graft.sources.SnapshotTable
+        .readPoint(s, bloomDocsTable(s, dir), "doc_id", "123")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Metadata-only aggregates under the driver gate: COUNT/MIN/MAX
+    // answered purely from the manifest's per-file row counts and
+    // bounds — zero data scanned; oracle = the real scan aggregates.
+    "s8i_meta_agg" -> ((s: SparkSession, dir: String) => {
+      graft.sources.SnapshotTable
+        .metadataAggs(s, statsDocsTable(s, dir), "doc_id")
     }),
 
     "s8b_stats_prune" -> ((s: SparkSession, dir: String) => {
@@ -1715,6 +1753,17 @@ object PipelineQueries {
          SELECT doc_id, 'relanded' AS source, lang FROM documents
          WHERE lang = 'de' AND doc_id % 2 = 0
          ORDER BY doc_id""",
+
+    // bloom point read ≡ the plain equality filter
+    "s8h_bloom_point" ->
+      """SELECT doc_id, source, lang FROM documents
+         WHERE doc_id = 123 ORDER BY doc_id""",
+
+    // manifest-only COUNT/MIN/MAX ≡ the scan aggregates
+    "s8i_meta_agg" ->
+      """SELECT COUNT(*) AS n_rows, MIN(doc_id) AS min_doc_id,
+                MAX(doc_id) AS max_doc_id
+         FROM documents""",
 
     // file-skipping readRange ≡ the plain BETWEEN filter
     "s8b_stats_prune" ->

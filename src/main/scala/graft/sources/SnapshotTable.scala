@@ -295,7 +295,7 @@ object SnapshotTable {
     */
   def write(df: DataFrame, dir: String, mode: String = "overwrite",
       partitionBy: Seq[String] = Nil, idempotencyKey: String = "",
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val already = snapshotWithKey(dir, idempotencyKey)
     if (already.isDefined) return already.get
@@ -341,11 +341,34 @@ object SnapshotTable {
     val statAggs = effStats.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"min_$c"),
       max(col(c)).cast("string").as(s"max_$c")))
-    val newEntries = spark.read.parquet(dataDir)
+    val plainEntries = spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"), statAggs: _*)
       .withColumn("base", lit(dataDir))
-      .persist()
+    // per-file BLOOM INDEX (the Iceberg/Delta file-bloom analogue):
+    // the distinct set bit positions of a column's values per file —
+    // ≤ BloomBits rows per file (the distinct caps the aggregation
+    // state BEFORE collect_set), so building it is one extra bounded
+    // pass over the just-written files. Point reads ([[readPoint]])
+    // skip files whose bloom excludes the value — the lookup path for
+    // a column the layout is NOT clustered on, where min/max bounds
+    // cannot prune. Null blooms (other writers, merge rewrites) mean
+    // "unknown, cannot skip", like null stats bounds.
+    require(bloomCols.forall(df.columns.contains),
+      s"bloomCols not in df: ${bloomCols.filterNot(df.columns.contains)}")
+    require(bloomCols.intersect(partitionBy).isEmpty,
+      s"bloomCols must not be partition columns")
+    val newEntries = bloomCols.foldLeft(plainEntries) { (acc, c) =>
+      val bits = spark.read.parquet(dataDir)
+        .select(input_file_name().as("path"),
+          explode(array((0 until graft.ops.Sketches.BloomK).map(j =>
+            graft.ops.Sketches.bloomBit(j, col(c).cast("string"))): _*))
+            .as("bit"))
+        .distinct()
+        .groupBy(col("path"))
+        .agg(sort_array(collect_set(col("bit"))).as(s"bloom_$c"))
+      acc.join(bits, Seq("path"), "left")
+    }.persist()
     newEntries.count()
     try {
       var attempt = 0
@@ -885,6 +908,74 @@ object SnapshotTable {
     }.reduce(_ && _)
     assemble(spark, dir, snap, first.filter(e => keptPaths.contains(e._1)))
       .filter(filters)
+  }
+
+  /** Point lookup with BLOOM file skipping: rows where `keyCol`'s
+    * string form equals `value`, opening only the files whose per-file
+    * bloom (written via `write(bloomCols = ...)`) might contain it —
+    * at 10^12 rows a point probe on a NON-clustered column (where
+    * min/max bounds prune nothing) opens the handful of
+    * bloom-positive files instead of the table. One-sided guarantee:
+    * the bloom never skips a file that holds the value (no false
+    * negatives — spec-swept); false positives only cost an extra file
+    * open. Entries without a bloom (older writers, merge rewrites)
+    * are never skipped. Result ≡ `read(...).filter(keyCol = value)`.
+    */
+  def readPoint(spark: SparkSession, dir: String, keyCol: String,
+      value: String, snapshot: Option[Long] = None): DataFrame = {
+    val snap = snapshot.getOrElse(currentSnapshot(dir))
+    require(snap > 0, s"no snapshot in $dir")
+    val m = spark.read.parquet(manifestDir(dir, snap))
+    val bloomCol = s"bloom_$keyCol"
+    val keep =
+      if (!m.columns.contains(bloomCol)) lit(true)
+      else {
+        val pos = graft.ops.Sketches.bloomPositions(value)
+        col(bloomCol).isNull ||
+          size(array_intersect(col(bloomCol),
+            array(pos.map(lit(_)): _*))) === pos.size
+      }
+    val kept = m.filter(keep).select(col("path"), col("base")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val dt = StructType.fromDDL(schemaDdl(dir, snap).get)(keyCol).dataType
+    assemble(spark, dir, snap, kept)
+      .filter(col(keyCol) === lit(value).cast(dt))
+  }
+
+  /** METADATA-ONLY aggregates: `(n_rows, min_<keyCol>, max_<keyCol>)`
+    * computed purely from the manifest (per-file row counts + min/max
+    * bounds) — O(#files) metadata, ZERO data scanned: the `SELECT
+    * COUNT(*), MIN(k), MAX(k)` a 10^12-row table should answer without
+    * a job per file. Refuses (IllegalStateException) when any
+    * non-empty file lacks bounds on `keyCol` — null bounds mean
+    * "unknown", and a metadata answer built on unknowns would be a
+    * silent lie; callers fall back to the scan. Empty files count
+    * toward n_rows (zero) but never poison min/max.
+    */
+  def metadataAggs(spark: SparkSession, dir: String, keyCol: String,
+      snapshot: Option[Long] = None): DataFrame = {
+    val snap = snapshot.getOrElse(currentSnapshot(dir))
+    require(snap > 0, s"no snapshot in $dir")
+    require(statsColumns(dir, snap).contains(keyCol),
+      s"no recorded stats on $keyCol for $dir@$snap")
+    val dt = StructType.fromDDL(schemaDdl(dir, snap).get)(keyCol).dataType
+    val m = spark.read.parquet(manifestDir(dir, snap))
+    val unknown =
+      if (!m.columns.contains(s"min_$keyCol")) m.filter(col("rows") > 0)
+      else m.filter(col("rows") > 0 &&
+        (col(s"min_$keyCol").isNull || col(s"max_$keyCol").isNull))
+    if (unknown.limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"files without $keyCol bounds in $dir@$snap: metadata-only " +
+          "aggregates would be unsound; scan instead")
+    // an all-empty table may have no bounds columns at all — its
+    // metadata answer is (0, null, null), still sound
+    val (mn, mx) =
+      if (m.columns.contains(s"min_$keyCol"))
+        (col(s"min_$keyCol").cast(dt), col(s"max_$keyCol").cast(dt))
+      else (lit(null).cast(dt), lit(null).cast(dt))
+    m.agg(coalesce(sum(col("rows")), lit(0L)).as("n_rows"),
+      min(mn).as(s"min_$keyCol"), max(mx).as(s"max_$keyCol"))
   }
 
   /** Incremental read: only the data files ADDED after `sinceSnapshot`

@@ -807,6 +807,62 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "v"))
   }
 
+  test("bloom point reads: files skip, no false negative across every key") {
+    val dir = java.nio.file.Files.createTempDirectory("snapbloom").toString + "/t"
+    // files clustered by a DIFFERENT key (v-hash), so id min/max
+    // bounds are useless — exactly the case the bloom index serves
+    val base = spark.range(0, 400, 1, 1)
+      .select(col("id"), concat(lit("v-"), col("id") % 7).as("v"))
+      .repartition(8, col("v"))
+    SnapshotTable.write(base, dir, statsCols = Seq("id"),
+      bloomCols = Seq("id"))
+    val total = SnapshotTable.read(spark, dir)
+      .withColumn("f", input_file_name())
+      .select("f").distinct().count()
+    // a present key: exactly its row, from FEWER files than the table
+    val hit = SnapshotTable.readPoint(spark, dir, "id", "123")
+    assert(hit.collect().map(r => (r.getLong(0), r.getString(1))).toList ==
+      List((123L, s"v-${123 % 7}")))
+    val opened = hit.withColumn("f", input_file_name())
+      .select("f").distinct().count()
+    assert(opened < total, s"bloom skipped nothing: $opened of $total")
+    // absent keys: empty, typically zero files opened
+    assert(SnapshotTable.readPoint(spark, dir, "id", "9999").count() == 0)
+    // no-false-negative sweep: every key is found
+    (0L until 400L by 13L).foreach { k =>
+      assert(SnapshotTable.readPoint(spark, dir, "id", k.toString)
+        .count() == 1, s"false negative on $k")
+    }
+    // a merge rewrite leaves null blooms on rewritten files — they are
+    // never skipped, so the point read stays exact
+    SnapshotTable.merge(spark, dir,
+      Seq((123L, "REWRITTEN")).toDF("id", "v"), Seq("id"), "m-1")
+    assert(SnapshotTable.readPoint(spark, dir, "id", "123")
+      .head().getString(1) == "REWRITTEN")
+  }
+
+  test("metadataAggs: count/min/max from the manifest alone, unsound refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("snapmeta").toString + "/t"
+    val base = spark.range(5, 905, 1, 1).select(col("id"),
+      concat(lit("v"), col("id")).as("v")).repartitionByRange(6, col("id"))
+    SnapshotTable.write(base, dir, statsCols = Seq("id"))
+    val row = SnapshotTable.metadataAggs(spark, dir, "id").head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((900L, 5L, 904L)))
+    // a delete narrows the extremes; the metadata answer follows
+    SnapshotTable.delete(spark,
+      dir, Seq(5L, 904L).toDF("id"), Seq("id"), "d-1")
+    val after = SnapshotTable.metadataAggs(spark, dir, "id").head()
+    assert((after.getLong(0), after.getLong(1), after.getLong(2)) ==
+      ((898L, 6L, 903L)))
+    // an append WITHOUT stats coverage poisons soundness → refuse
+    val noStatsDir = java.nio.file.Files
+      .createTempDirectory("snapmeta2").toString + "/t"
+    SnapshotTable.write(base, noStatsDir)  // no statsCols recorded
+    assertThrows[IllegalArgumentException] {
+      SnapshotTable.metadataAggs(spark, noStatsDir, "id")
+    }
+  }
+
   test("rollback: reverts content, schema, and stats as a new audited commit") {
     val dir = java.nio.file.Files.createTempDirectory("snaprb").toString + "/t"
     val base = spark.range(0, 50, 1, 1)
