@@ -736,6 +736,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("_change"))
     }),
 
+    // Materialized-view maintenance under the driver gate: a
+    // lang-count view initialized from snapshot 1 and folded through
+    // the CDF of every later commit (delete, merge, rollback) must
+    // equal the direct GROUP BY over the head — the MV identity,
+    // maintained at per-commit delta cost. The oracle recomputes the
+    // head's counts from scratch.
+    "s8j_mv_counts" -> ((s: SparkSession, dir: String) => {
+      import graft.sources.SnapshotTable
+      val td = deletedDocsTable(s, dir)
+      val head = SnapshotTable.currentSnapshot(td)
+      val init = SnapshotTable.read(s, td, Some(1L))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      (1L until head).foldLeft(init) { (view, snap) =>
+        SnapshotTable.applyCountDelta(view,
+          SnapshotTable.changes(s, td, snap, Some(snap + 1)), Seq("lang"))
+      }.orderBy(col("lang"))
+    }),
+
     // ROLLBACK under the driver gate: the fixture's snapshot 4 rolls
     // the merge back to the post-delete state, and the table HEAD is
     // read here — the rollback's manifest copy + the read path sit in
@@ -1717,6 +1735,13 @@ object PipelineQueries {
          FROM documents
          WHERE doc_id % 13 <> 0
          ORDER BY doc_id""",
+
+    // the feed-maintained lang counts equal a fresh GROUP BY over the
+    // head state (= post-delete content after the rollback)
+    "s8j_mv_counts" ->
+      """SELECT lang, COUNT(*) AS n FROM documents
+         WHERE doc_id % 13 <> 0
+         GROUP BY lang ORDER BY lang""",
 
     // rollback(2) undid the merge: the head reads as the post-delete
     // state again

@@ -1046,6 +1046,26 @@ object SnapshotTable {
       .unionByName(del.withColumn("_change", lit("delete")))
   }
 
+  /** Incremental MATERIALIZED-VIEW maintenance from a [[changes]]
+    * feed: update a count-by-key view (`keyCols…, n`) with a feed's
+    * deltas — inserts +1, deletes −1 per row — without touching the
+    * base table. The classic MV-maintenance identity: folding the
+    * feeds of every commit over the initial view reproduces
+    * `read(head).groupBy(key).count()` exactly (driver-gated), at cost
+    * proportional to the CHANGED rows per commit, not the corpus.
+    * Keys whose count reaches zero leave the view.
+    */
+  def applyCountDelta(view: DataFrame, feed: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "count view needs at least one key column")
+    val delta = feed.groupBy(keyCols.map(col): _*)
+      .agg(sum(when(col("_change") === "insert", 1L).otherwise(-1L)).as("n"))
+    view.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0)
+  }
+
   /** Apply a [[changes]] feed to a downstream replica: remove the
     * feed's `delete` rows (multiset semantics — one removal per feed
     * row, matching the one-insertion-per-feed-row on the other side),
