@@ -571,6 +571,22 @@ object CaseStudyQueries {
     // recomputes round k's lineage. At corpus scale this is the
     // standard frontier-expansion BFS — one shuffle per round, frontier
     // rows only (never the full graph), k bounded.
+    // HyperBall neighborhood-function estimation (per-node HLL
+    // counters MAX-merged along edges, one shuffle per radius — THE
+    // web-scale distance-distribution algorithm) beside the exact
+    // frontier-expansion rider: (r, exact_pairs, est_pairs) for
+    // r = 0..3 over the organism graph. Both the register iteration
+    // and the estimate formula are engine-portable, so the oracle
+    // re-derives the ESTIMATES too — not just the exact counts.
+    "kg_cs_hyperball" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.HyperBall
+      val e = organismEdges(s, dir)
+      HyperBall.neighborhoodFunction(e, 3)
+        .join(HyperBall.exactNeighborhood(e, 3), Seq("r"))
+        .select(col("r"), col("exact_pairs"), col("est_pairs"))
+        .orderBy(col("r"))
+    }),
+
     "kg_cs_bfs_reach" -> ((s: SparkSession, dir: String) => {
       val und = organismEdges(s, dir) // memo-checkpointed
       val sym = und.select(col("u").as("a"), col("v").as("b"))
@@ -1057,6 +1073,71 @@ object CaseStudyQueries {
           SELECT top.u, top.v, top.common_capped,
                  ledger.wedges_kept, ledger.wedges_total
           FROM top CROSS JOIN ledger""",
+
+    // the identical HLL-register iteration (MAX-merge along edges per
+    // round) AND the identical estimate formula, unrolled r = 0..3;
+    // exact pairs by the same distinct frontier expansion
+    "kg_cs_hyperball" -> {
+      val regRounds = (1 to 3).map { k =>
+        s"""r$k AS MATERIALIZED (
+              SELECT node, b, MAX(mreg) AS mreg FROM (
+                SELECT s.dst AS node, r.b, r.mreg
+                FROM sym s JOIN r${k - 1} r ON r.node = s.src
+                UNION ALL SELECT node, b, mreg FROM r${k - 1})
+              GROUP BY node, b)"""
+      }.mkString(",\n          ")
+      val pairRounds = (1 to 3).map { k =>
+        s"""p$k AS MATERIALIZED (
+              SELECT DISTINCT a, z FROM (
+                SELECT p.a, s.dst AS z FROM p${k - 1} p
+                JOIN sym s ON s.src = p.z
+                UNION ALL SELECT a, z FROM p${k - 1}))"""
+      }.mkString(",\n          ")
+      val perR = (0 to 3).map { k =>
+        s"""SELECT $k AS r,
+               (SELECT COUNT(*) FROM p$k) AS exact_pairs,
+               (SELECT CAST(SUM(CAST(est AS DECIMAL(18,3))) AS DOUBLE) FROM (
+                  SELECT round(CASE WHEN v > 0
+                            AND (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / z <= 160.0
+                           THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE))
+                           ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / z
+                      END, 3) AS est
+                  FROM (SELECT node,
+                          SUM(2.0 ^ (-mreg)) + CAST(64 - COUNT(*) AS DOUBLE) AS z,
+                          64 - COUNT(*) AS v
+                        FROM r$k GROUP BY node))) AS est_pairs"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""WITH g AS (SELECT * FROM $g),
+          so AS (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          und AS MATERIALIZED (
+            SELECT DISTINCT least(s1.org, s2.org) AS u,
+                   greatest(s1.org, s2.org) AS v
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          sym AS (SELECT u AS src, v AS dst FROM und
+                  UNION ALL SELECT v AS src, u AS dst FROM und),
+          n AS (SELECT DISTINCT src AS node FROM sym),
+          h AS (SELECT node,
+                  ('0x' || substr(md5(node), 1, 15))::BIGINT AS h FROM n),
+          r0 AS MATERIALIZED (
+            SELECT node, h % 64 AS b,
+                   MAX(CASE WHEN (h >> 6) = 0 THEN 55
+                            ELSE 55 - length(bin(h >> 6)) END) AS mreg
+            FROM h GROUP BY node, h % 64),
+          $regRounds,
+          p0 AS (SELECT node AS a, node AS z FROM n),
+          $pairRounds
+          SELECT r, exact_pairs, est_pairs FROM (
+          $perR)
+          ORDER BY r"""
+    },
 
     // same top-3 hub pick (degree desc, name), same 3 unrolled
     // frontier-expansion rounds with the anti-join against the visited
