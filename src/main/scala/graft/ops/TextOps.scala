@@ -41,6 +41,31 @@ object TextOps {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Overlapping token-window CHUNKING — the RAG/embedding-pipeline
+    * splitter: each document explodes into windows of `size` tokens
+    * starting every `stride` tokens (stride < size ⇒ overlap), the
+    * tail window shorter. Pure scan-stage work (tokenize + sequence +
+    * explode + slice; the only cost is the bounded ≤ size/stride-factor
+    * fan-out), no shuffle: at 10^12 docs chunking is embarrassingly
+    * parallel and this keeps it that way. Chunks are identified by
+    * `(id, start_tok)` and carry an engine-portable 60-bit content
+    * fingerprint, so chunk-level dedup/decontamination plug into the
+    * same machinery as documents. Empty documents produce no chunks.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    df.select(col(idCol), tokens(normalizeText(col(textCol))).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") > 0)
+      .withColumn("start_tok",
+        explode(sequence(lit(1), col("n"), lit(stride))))
+      .withColumn("chunk", slice(col("ts"), col("start_tok"), lit(chunkSize)))
+      .select(col(idCol), col("start_tok").cast("long").as("start_tok"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        Dedup.hash60(array_join(col("chunk"), " ")).as("chunk_fp"))
+  }
+
   /** Quality features, all integer-exact (safe to compare across engines):
     * n_chars, n_tokens, n_punct, n_stopwords, plus boolean quality gate.
     */

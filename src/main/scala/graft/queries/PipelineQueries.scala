@@ -894,6 +894,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("term"))
     }),
 
+    // ---- RAG chunking: overlapping token windows ------------------------
+    // Scan-stage explode (size 64 / stride 48), chunk content pinned
+    // via the 60-bit fingerprint — chunk-level dedup/decontamination
+    // plug into the same hash machinery as documents.
+    "tx_chunk" -> ((s: SparkSession, dir: String) => {
+      graft.ops.TextOps.chunkTokens(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"), col("start_tok"))
+    }),
+
     // ---- data-quality expectations (write-time contracts) --------------
     // ONE map-side-combinable aggregate computes every check's
     // violation count + the rows passing ALL checks — the observe mode
@@ -2169,6 +2179,24 @@ object PipelineQueries {
            FROM tf JOIN dfreq USING (term))
          SELECT doc_id, term, tf, df FROM r WHERE rn <= 3
          ORDER BY doc_id, term""",
+
+    // same windows (1-based starts every 48, 64-token slices, short
+    // tail), same md5-derived chunk fingerprint
+    "tx_chunk" ->
+      """WITH tarr AS (
+           SELECT doc_id, regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS ts
+           FROM documents),
+         w AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS start_tok,
+                  ts[i:least(i + 63, len(ts))] AS chunk
+           FROM tarr, UNNEST(generate_series(1, len(ts), 48)) t(i)
+           WHERE len(ts) > 0)
+         SELECT doc_id, start_tok,
+                CAST(len(chunk) AS BIGINT) AS n_tokens,
+                ('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 15))::BIGINT
+                  AS chunk_fp
+         FROM w ORDER BY doc_id, start_tok""",
 
     // per-check violation counts + pass-all count, NULL-as-violation
     // mirrored via COALESCE(pred, FALSE)
