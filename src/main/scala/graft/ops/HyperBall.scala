@@ -59,6 +59,47 @@ object HyperBall {
     out
   }
 
+  /** HARMONIC CENTRALITY via the same ball iteration (the HyperBall
+    * paper's headline application): harmonic(v) = Σ_u 1/d(v,u),
+    * truncated at `maxR`, estimated as
+    * Σ_{r=1..maxR} (|ball_r(v)| − |ball_{r−1}(v)|) / r with the
+    * per-node HLL estimates — the centrality that needs all-pairs
+    * distances exactly, estimated here in maxR shuffles with bounded
+    * per-node state. The per-round estimates are 3-dp-rounded doubles
+    * and the difference/division/sum chain is written in fixed order,
+    * so the scores hash exactly against a mirrored-order oracle.
+    * Returns the top `k` (node, harmonic), score desc then node asc.
+    */
+  def harmonicCentrality(edges: DataFrame, maxR: Int, k: Int): DataFrame = {
+    require(maxR >= 1, "harmonic centrality needs maxR >= 1")
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var regs = Sketches.hllRegisters(
+      nodes.withColumn("h", Dedup.hash60(col("node").cast("string"))),
+      "node", "h").localCheckpoint(true)
+    def est(r: Int): DataFrame = Sketches.hllEstimate(regs, "node")
+      .withColumnRenamed("est_distinct", s"e$r")
+    var perRound = Seq(est(0))
+    for (r <- 1 to maxR) {
+      val prop = sym
+        .join(regs.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("b"), col("mreg"))
+      regs = prop.unionByName(regs.select(col("node"), col("b"), col("mreg")))
+        .groupBy(col("node"), col("b"))
+        .agg(max(col("mreg")).as("mreg"))
+        .localCheckpoint(true)
+      perRound = perRound :+ est(r)
+    }
+    val joined = perRound.reduce(_.join(_, Seq("node")))
+    val harmonic = (1 to maxR)
+      .map(r => (col(s"e$r") - col(s"e${r - 1}")) / lit(r.toDouble))
+      .reduce(_ + _)
+    joined.select(col("node"), harmonic.as("harmonic"))
+      .orderBy(col("harmonic").desc, col("node").asc)
+      .limit(k)
+  }
+
   /** Exact neighborhood function — the fixture-scale honesty rider
     * (the recall@10 convention): distinct reachable pairs per radius
     * by frontier expansion. Quadratic in the worst case; the estimate

@@ -587,6 +587,17 @@ object CaseStudyQueries {
         .orderBy(col("r"))
     }),
 
+    // Harmonic centrality (HyperBall's headline application): top-15
+    // organisms by estimated sum of inverse distances (truncated at
+    // r = 3) — the centrality that classically needs all-pairs BFS,
+    // in 3 shuffles with 64 ints of state per node. The oracle
+    // re-derives the per-node estimates and the fixed-order
+    // difference/division/sum chain, so the SCORES hash exactly.
+    "kg_cs_harmonic" -> ((s: SparkSession, dir: String) => {
+      graft.ops.HyperBall
+        .harmonicCentrality(organismEdges(s, dir), 3, 15)
+    }),
+
     "kg_cs_bfs_reach" -> ((s: SparkSession, dir: String) => {
       val und = organismEdges(s, dir) // memo-checkpointed
       val sym = und.select(col("u").as("a"), col("v").as("b"))
@@ -1137,6 +1148,63 @@ object CaseStudyQueries {
           SELECT r, exact_pairs, est_pairs FROM (
           $perR)
           ORDER BY r"""
+    },
+
+    // identical register rounds as kg_cs_hyperball, per-node estimates
+    // per round, identical fixed-order difference/division/sum chain
+    "kg_cs_harmonic" -> {
+      val regRounds = (1 to 3).map { k =>
+        s"""r$k AS MATERIALIZED (
+              SELECT node, b, MAX(mreg) AS mreg FROM (
+                SELECT s.dst AS node, r.b, r.mreg
+                FROM sym s JOIN r${k - 1} r ON r.node = s.src
+                UNION ALL SELECT node, b, mreg FROM r${k - 1})
+              GROUP BY node, b)"""
+      }.mkString(",\n          ")
+      val estRounds = (0 to 3).map { k =>
+        s"""e$k AS (
+              SELECT node, round(CASE WHEN v > 0
+                        AND (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / z <= 160.0
+                       THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE))
+                       ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / z
+                  END, 3) AS e$k
+              FROM (SELECT node,
+                      SUM(2.0 ^ (-mreg)) + CAST(64 - COUNT(*) AS DOUBLE) AS z,
+                      64 - COUNT(*) AS v
+                    FROM r$k GROUP BY node))"""
+      }.mkString(",\n          ")
+      s"""WITH g AS (SELECT * FROM $g),
+          so AS (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          und AS MATERIALIZED (
+            SELECT DISTINCT least(s1.org, s2.org) AS u,
+                   greatest(s1.org, s2.org) AS v
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          sym AS (SELECT u AS src, v AS dst FROM und
+                  UNION ALL SELECT v AS src, u AS dst FROM und),
+          n AS (SELECT DISTINCT src AS node FROM sym),
+          h AS (SELECT node,
+                  ('0x' || substr(md5(node), 1, 15))::BIGINT AS h FROM n),
+          r0 AS MATERIALIZED (
+            SELECT node, h % 64 AS b,
+                   MAX(CASE WHEN (h >> 6) = 0 THEN 55
+                            ELSE 55 - length(bin(h >> 6)) END) AS mreg
+            FROM h GROUP BY node, h % 64),
+          $regRounds,
+          $estRounds
+          SELECT node,
+                 (e1 - e0) / 1.0 + (e2 - e1) / 2.0 + (e3 - e2) / 3.0
+                   AS harmonic
+          FROM e0 JOIN e1 USING (node) JOIN e2 USING (node)
+               JOIN e3 USING (node)
+          ORDER BY harmonic DESC, node ASC LIMIT 15"""
     },
 
     // same top-3 hub pick (degree desc, name), same 3 unrolled
