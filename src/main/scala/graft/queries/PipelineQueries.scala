@@ -530,6 +530,42 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PMI collocations: pointwise mutual information of adjacent word
+    // pairs under corpus MLE estimates — the classic phrase-mining
+    // signal (word2vec-style phrase detection, corpus diagnostics).
+    // Bigrams are minted INSIDE each doc's token array (one `transform`
+    // per row, zero self-join, zero positional explode+shuffle): at
+    // 100 TB the only wide exchanges are the two count aggregates
+    // (map-side partial) and the final joins against the vocab-sized
+    // unigram table, which broadcast. The PMI ln() takes a ratio of
+    // three exact integer-ratio divisions spelled identically in both
+    // engines; round-6 absorbs libm drift.
+    "tx_pmi" -> ((s: SparkSession, dir: String) => {
+      val arr = s.read.parquet(t(dir, "documents"))
+        .select(TextOps.tokens(TextOps.normalizeText(col("text"))).as("l"))
+        .filter(size(col("l")) >= 2)
+      val uni = arr.select(explode(col("l")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nUni = uni.agg(sum(col("c")).cast("double").as("n_uni"))
+      val big = arr.select(explode(expr(
+          "transform(sequence(1, size(l) - 1)," +
+            " i -> struct(l[i-1] AS w1, l[i] AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      val nBig = big.agg(sum(col("c_xy")).cast("double").as("n_big"))
+      big.filter(col("c_xy") >= 3)
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))),
+          Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))),
+          Seq("w2"))
+        .crossJoin(broadcast(nBig)).crossJoin(broadcast(nUni))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          round(log((col("c_xy").cast("double") / col("n_big")) /
+            ((col("c_x").cast("double") / col("n_uni")) *
+              (col("c_y").cast("double") / col("n_uni")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+    }),
+
     "tx_decontaminate" -> ((s: SparkSession, dir: String) => {
       // train/eval decontamination: flag training docs sharing verbatim
       // word 5-grams with the held-out suite (doc_id % 97 == 0 stands in
@@ -1925,6 +1961,34 @@ object PipelineQueries {
          FROM toks t JOIN cnt USING (tok) CROSS JOIN tot
          GROUP BY t.doc_id
          ORDER BY doc_id""",
+
+    // same tokenization, same in-list bigram minting (DuckDB's lateral
+    // generate_series == Spark's transform(sequence)), same division
+    // spelling inside ln()
+    "tx_pmi" ->
+      """WITH t0 AS (
+           SELECT regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS l
+           FROM documents),
+         tarr AS (SELECT l FROM t0 WHERE len(l) >= 2),
+         uni AS (SELECT w, COUNT(*) AS c FROM (
+                   SELECT UNNEST(l) AS w FROM tarr) GROUP BY w),
+         nu AS (SELECT CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS n_uni
+                FROM uni),
+         big AS (SELECT l[i] AS w1, l[i+1] AS w2
+                 FROM tarr, UNNEST(generate_series(1, len(l) - 1)) t(i)),
+         bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM big GROUP BY w1, w2),
+         nb AS (SELECT CAST(CAST(SUM(c_xy) AS BIGINT) AS DOUBLE) AS n_big
+                FROM bc)
+         SELECT bc.w1, bc.w2, bc.c_xy,
+                round(ln((CAST(c_xy AS DOUBLE) / n_big) /
+                      ((CAST(ux.c AS DOUBLE) / n_uni)
+                       * (CAST(uy.c AS DOUBLE) / n_uni))), 6) AS pmi
+         FROM bc JOIN uni ux ON ux.w = bc.w1
+                 JOIN uni uy ON uy.w = bc.w2
+                 CROSS JOIN nb CROSS JOIN nu
+         WHERE c_xy >= 3
+         ORDER BY pmi DESC, w1, w2 LIMIT 20""",
 
     "tx_decontaminate" ->
       """WITH tarr AS (

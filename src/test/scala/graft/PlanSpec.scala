@@ -263,6 +263,57 @@ class PlanSpec extends AnyFunSuite {
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == expectedTop)
   }
 
+  test("kg_cs_lcc equals brute clustering coefficient; degree-1 excluded") {
+    val edges = bruteOrganismEdges()
+    val adj = (edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = adj.collect { case (n, nbrs) if nbrs.size >= 2 =>
+      val t = nbrs.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }
+      val d = nbrs.size
+      (n, d.toLong, t.toLong,
+        BigDecimal(2.0 * t / (d.toDouble * (d - 1).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    val expected = brute.sortBy { case (n, _, _, l) => (-l, n) }.take(15)
+    val got = SparkEntry.queries("kg_cs_lcc")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got.nonEmpty && got == expected, s"\ngot  $got\nwant $expected")
+    assert(got.exists(_._4 > 0.0), "all-zero lcc — fixture has no triangles")
+  }
+
+  test("kg_cs_sssp equals brute Bellman-Ford with the md5 edge weights") {
+    val edges = bruteOrganismEdges().toSeq
+    def w(u: String, v: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u|$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 9 + 1
+    }
+    val sym = edges.flatMap { case (u, v) =>
+      val wt = w(u, v); Seq((u, v, wt), (v, u, wt))
+    }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+    val hub = deg.toSeq.minBy { case (n, d) => (-d, n) }._1
+    var dist = Map(hub -> 0L)
+    for (_ <- 1 to 4) {
+      val relaxed = sym.flatMap { case (a, b, wt) =>
+        dist.get(a).map(d => b -> (d + wt))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    val expected = dist.toSeq.sortBy { case (n, d) => (d, n) }.take(25)
+    val got = SparkEntry.queries("kg_cs_sssp")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected, s"\ngot  $got\nwant $expected")
+    // weighted distances must spread beyond {0, 1}: several distinct
+    // values within the 25-closest slice proves the weights bite
+    assert(got.map(_._2).distinct.size > 2,
+      s"degenerate distance spread: ${got.map(_._2).distinct}")
+  }
+
   test("kg_cs_jaccard_nbrs equals brute common-neighbor Jaccard; no existing edges") {
     val edges = bruteOrganismEdges()
     val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }

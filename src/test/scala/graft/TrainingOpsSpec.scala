@@ -707,6 +707,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_pmi equals brute PMI over adjacent-word bigrams") {
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val toks = texts.map(t =>
+        t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq)
+      .filter(_.length >= 2)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nUni = uni.values.sum.toDouble
+    val bi = toks.flatMap(l => l.zip(l.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nBi = bi.values.sum.toDouble
+    val brute = bi.collect { case ((x, y), c) if c >= 3 =>
+      val pmi = BigDecimal(math.log((c / nBi) /
+          ((uni(x) / nUni) * (uni(y) / nUni))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (x, y, c, pmi)
+    }.toSeq
+    val expected = brute.sortBy { case (x, y, _, p) => (-p, x, y) }.take(20)
+    val got = SparkEntry.queries("tx_pmi")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected, s"\ngot  $got\nwant $expected")
+    // collocations must rank above independence somewhere
+    assert(got.exists(_._4 > 0.0), "no positive-PMI pair — gate vacuous")
+  }
+
   test("tx_decontaminate: flags only training docs, against real eval overlap") {
     val rows = SparkEntry.queries("tx_decontaminate")(spark, dir).collect()
     // the synthetic corpus contains near-dups of eval docs → nonempty
