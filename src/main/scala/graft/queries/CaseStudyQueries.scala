@@ -315,6 +315,64 @@ object CaseStudyQueries {
         .orderBy(col("pr_scaled").desc, col("organism")).limit(20)
     }),
 
+    // Personalized PageRank from the top-degree hub over the symmetric
+    // organism graph: the restart mass (0.15) concentrates at ONE seed
+    // instead of spreading 1/n everywhere, so the stationary vector
+    // ranks proximity to the seed — the link-prediction / related-entity
+    // primitive (the random-walk counterpart of kg_cs_adamic_adar's
+    // counting heuristic). Same iterative plan as kg_cs_pagerank: 10
+    // rounds, each ONE shuffle (contrib groupBy), per-round
+    // localCheckpoint, dimension-sized state.
+    "kg_cs_ppr" -> ((s: SparkSession, dir: String) => {
+      val und = organismEdges(s, dir)
+      val edges = und.select(col("u").as("src"), col("v").as("dst"))
+        .union(und.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      // symmetric graph ⇒ every node appears in deg (no dangling mass)
+      val seed = deg.orderBy(col("deg").desc, col("node")).limit(1)
+        .select(col("node"), lit(1).as("is_seed")).localCheckpoint(true)
+      val nodes = deg.select(col("node"))
+      var pr = nodes.join(seed, Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_seed").isNotNull, lit(1.0)).otherwise(lit(0.0))
+            .as("rank"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 10) {
+        val contrib = pr.join(deg, Seq("node"))
+          .join(edges, col("node") === col("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("rank") / col("deg")).as("x"))
+        pr = nodes.join(contrib, Seq("node"), "left")
+          .join(seed, Seq("node"), "left")
+          .select(col("node"),
+            (when(col("is_seed").isNotNull, lit(0.15)).otherwise(lit(0.0))
+              + lit(0.85) * coalesce(col("x"), lit(0.0))).as("rank"))
+          .localCheckpoint(true)
+      }
+      pr.select(col("node").as("organism"), round(col("rank"), 6).as("ppr"))
+        .orderBy(col("ppr").desc, col("organism")).limit(20)
+    }),
+
+    // Degree distribution of the undirected organism graph: histogram
+    // plus the descending cumulative count (the CCDF both power-law
+    // eyeballing and cap-sizing policies read). The windowed cumsum runs
+    // over the HISTOGRAM (distinct degree values — dimension-sized even
+    // at 100 TB), never over nodes, so the unpartitioned window is safe
+    // by construction; integer-exact in both engines.
+    "kg_cs_degree_dist" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val und = organismEdges(s, dir)
+      val deg = und.select(col("u").as("n")).union(und.select(col("v")))
+        .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+      val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      val w = Window.orderBy(col("degree").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("n_nodes_ge", sum(col("n_nodes")).over(w))
+        .orderBy(col("degree"))
+    }),
+
     // CS3 generalization: triangle counting over the undirected
     // organism interaction graph (the clustering-coefficient /
     // community-density companion to kg_cs_top_degree's raw degree and
@@ -957,6 +1015,86 @@ object CaseStudyQueries {
           SELECT organism, n_triangles, total_triangles
           FROM pn CROSS JOIN tot
           ORDER BY n_triangles DESC, organism LIMIT 20""",
+
+    // the identical 10 seeded power iterations, unrolled (the
+    // kg_cs_pagerank MATERIALIZED-CTE discipline), over the symmetric
+    // edge set with the same single-seed restart term
+    "kg_cs_ppr" -> {
+      val iters = (1 to 10).map { k =>
+        s"""pr$k AS MATERIALIZED (
+            SELECT n.node,
+                   CASE WHEN s.node IS NOT NULL THEN 0.15 ELSE 0.0 END
+                     + 0.85 * COALESCE(c.x, 0) AS rank
+            FROM nodes n LEFT JOIN seed s ON s.node = n.node
+            LEFT JOIN (
+              SELECT e.b AS node, SUM(p.rank / d.deg) AS x
+              FROM pr${k - 1} p
+              JOIN deg d ON d.node = p.node
+              JOIN sym e ON e.a = p.node
+              GROUP BY e.b) c ON c.node = n.node)"""
+      }.mkString(",\n")
+      s"""WITH g AS (SELECT * FROM $g),
+          so AS (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          und AS (
+            SELECT DISTINCT least(s1.org, s2.org) AS u,
+                   greatest(s1.org, s2.org) AS v
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          sym AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM und
+            UNION ALL SELECT v AS a, u AS b FROM und),
+          deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+          nodes AS (SELECT node FROM deg),
+          seed AS (SELECT node FROM (
+                     SELECT node, deg FROM deg
+                     ORDER BY deg DESC, node LIMIT 1)),
+          pr0 AS (SELECT n.node,
+                    CASE WHEN s.node IS NOT NULL THEN 1.0 ELSE 0.0 END
+                      AS rank
+                  FROM nodes n LEFT JOIN seed s ON s.node = n.node),
+          $iters
+          SELECT node AS organism, round(rank, 6) AS ppr
+          FROM pr10 ORDER BY ppr DESC, organism LIMIT 20"""
+    },
+
+    // histogram-level window cumsum, integer-exact. Every CTE is
+    // AS MATERIALIZED: DuckDB otherwise inlines the whole chain into
+    // the window query and the re-planned tree spills unboundedly
+    // (observed: >80 GB temp at sf0.1 vs instant materialized)
+    "kg_cs_degree_dist" ->
+      s"""WITH g AS (SELECT * FROM $g),
+          so AS (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          und AS MATERIALIZED (
+            SELECT DISTINCT least(s1.org, s2.org) AS u,
+                   greatest(s1.org, s2.org) AS v
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          deg AS MATERIALIZED (
+            SELECT n, COUNT(*) AS degree FROM (
+              SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+            GROUP BY n),
+          hist AS MATERIALIZED (
+            SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1)
+          SELECT degree, n_nodes,
+                 CAST(SUM(n_nodes) OVER (
+                   ORDER BY degree DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_nodes_ge
+          FROM hist ORDER BY degree""",
 
     // identical degree-oriented triangle enumeration, then the
     // single-division clustering ratio with the same operand spelling

@@ -566,6 +566,45 @@ object PipelineQueries {
         .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
     }),
 
+    // Interpolated bigram language-model scoring: per-doc mean
+    // ln(0.75·p(w2|w1) + 0.25·p(w2)) under corpus MLE estimates — the
+    // natural next rung above tx_unigram_lm's unigram perplexity (the
+    // Jelinek-Mercer smoothing every n-gram quality filter uses so
+    // unseen-context bigrams never hit ln(0); every bigram HAS a count
+    // here because the model is trained on the scored corpus itself,
+    // but the unigram mixture is what generalizes). Same 100 TB shape
+    // as tx_pmi: bigrams minted in the token array, count tables are
+    // vocab-sized broadcasts, ONE per-doc aggregate.
+    "tx_bigram_lm" -> ((s: SparkSession, dir: String) => {
+      val arr = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          TextOps.tokens(TextOps.normalizeText(col("text"))).as("l"))
+        .filter(size(col("l")) >= 2)
+      val bigr = arr.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(l) - 1)," +
+            " i -> struct(l[i-1] AS w1, l[i] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bc = bigr.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val fromC = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val uni = arr.select(explode(col("l")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val nTot = uni.agg(sum(col("cu")).cast("double").as("n_tot"))
+      bigr
+        .join(broadcast(bc), Seq("w1", "w2"))
+        .join(broadcast(fromC), Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))),
+          Seq("w2"))
+        .crossJoin(broadcast(nTot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(log(
+            lit(0.75) * (col("c12").cast("double") / col("c1").cast("double"))
+              + lit(0.25) * (col("c2").cast("double") / col("n_tot"))))
+            / count(lit(1)), 6).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     "tx_decontaminate" -> ((s: SparkSession, dir: String) => {
       // train/eval decontamination: flag training docs sharing verbatim
       // word 5-grams with the held-out suite (doc_id % 97 == 0 stands in
@@ -1434,6 +1473,32 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // First-order Markov transition matrix over each user's event
+    // sequence (the product-analytics "behavior model" / next-event
+    // predictor): consecutive event-type pairs per user via ONE
+    // user-partitioned lead() window (a single shuffle on user_id; no
+    // self-join on position), then event-type²-sized count + normalize
+    // aggregates — at 100 TB the matrix is vocabulary-sized, so
+    // everything after the window stage is broadcast-trivial.
+    "ev_markov" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = e.withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_from"))
+      trans.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("n_from").cast("double"), 6)
+            .as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     "ev_funnel" -> ((s: SparkSession, dir: String) => {
       // ordered funnel analysis (view → click → purchase): per user, the
       // first view, the first click strictly after that view, the first
@@ -1989,6 +2054,35 @@ object PipelineQueries {
                  CROSS JOIN nb CROSS JOIN nu
          WHERE c_xy >= 3
          ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+
+    // same bigram minting; the Jelinek-Mercer mixture is spelled with
+    // the identical cast/divide/multiply order inside ln()
+    "tx_bigram_lm" ->
+      """WITH t0 AS (
+           SELECT doc_id, regexp_extract_all(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\S+') AS l
+           FROM documents),
+         tarr AS (SELECT doc_id, l FROM t0 WHERE len(l) >= 2),
+         big AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+                 FROM tarr, UNNEST(generate_series(1, len(l) - 1)) t(i)),
+         bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+         fc AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+         uni AS (SELECT w, COUNT(*) AS cu FROM (
+                   SELECT UNNEST(l) AS w FROM tarr) GROUP BY w),
+         nt AS (SELECT CAST(CAST(SUM(cu) AS BIGINT) AS DOUBLE) AS n_tot
+                FROM uni)
+         SELECT b.doc_id, COUNT(*) AS n_bigrams,
+                round(SUM(ln(
+                  0.75 * (CAST(bc.c12 AS DOUBLE) / CAST(fc.c1 AS DOUBLE))
+                    + 0.25 * (CAST(u2.cu AS DOUBLE) / nt.n_tot)))
+                  / COUNT(*), 6) AS avg_logprob
+         FROM big b
+         JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+         JOIN fc ON fc.w1 = b.w1
+         JOIN uni u2 ON u2.w = b.w2
+         CROSS JOIN nt
+         GROUP BY b.doc_id
+         ORDER BY doc_id""",
 
     "tx_decontaminate" ->
       """WITH tarr AS (
@@ -2961,6 +3055,23 @@ object PipelineQueries {
          ORDER BY user_id, event_id""",
 
     // same strictly-after chaining (ts > prior stage's min) per stage
+    // same lead() window with the same (ts, event_id) total order
+    "ev_markov" ->
+      """WITH tr AS (
+           SELECT event_type AS from_type,
+                  LEAD(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+         bc AS (SELECT from_type, to_type, COUNT(*) AS n FROM tr
+                WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+                 FROM bc GROUP BY 1)
+         SELECT bc.from_type, bc.to_type, bc.n,
+                round(CAST(bc.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE), 6)
+                  AS p
+         FROM bc JOIN tot USING (from_type)
+         ORDER BY from_type, to_type""",
+
     "ev_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
                     WHERE event_type = 'view' GROUP BY 1),

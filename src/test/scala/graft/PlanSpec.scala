@@ -314,6 +314,45 @@ class PlanSpec extends AnyFunSuite {
       s"degenerate distance spread: ${got.map(_._2).distinct}")
   }
 
+  test("kg_cs_ppr equals brute seeded power iteration; mass near the seed") {
+    val edges = bruteOrganismEdges().toSeq
+    val sym = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+    val seed = deg.toSeq.minBy { case (n, d) => (-d, n) }._1
+    var pr = deg.keys.map(n => n -> (if (n == seed) 1.0 else 0.0)).toMap
+    for (_ <- 1 to 10) {
+      val contrib = sym.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => pr(src) / deg(src) }.sum).toMap
+      pr = deg.keys.map { n =>
+        n -> ((if (n == seed) 0.15 else 0.0) + 0.85 * contrib.getOrElse(n, 0.0))
+      }.toMap
+    }
+    val got = SparkEntry.queries("kg_cs_ppr")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (n, p) =>
+      assert(math.abs(p - pr(n)) < 1e-4, s"$n: $p vs brute ${pr(n)}")
+    }
+    // the seed holds the restart mass, so it must lead the ranking
+    assert(got.head._1 == seed && got.head._2 > got.last._2)
+  }
+
+  test("kg_cs_degree_dist equals brute histogram; CCDF is monotone") {
+    val edges = bruteOrganismEdges().toSeq
+    val deg = edges.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val hist = deg.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("kg_cs_degree_dist")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(r => (r._1, r._2)).toMap == hist)
+    // descending-cumulative: n_ge at the smallest degree covers all nodes
+    assert(got.head._3 == deg.size.toLong)
+    assert(got.sliding(2).forall {
+      case Seq((_, _, a), (_, _, b)) => a >= b; case _ => true
+    })
+  }
+
   test("kg_cs_jaccard_nbrs equals brute common-neighbor Jaccard; no existing edges") {
     val edges = bruteOrganismEdges()
     val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }

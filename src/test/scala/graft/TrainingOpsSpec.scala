@@ -733,6 +733,55 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 0.0), "no positive-PMI pair — gate vacuous")
   }
 
+  test("tx_bigram_lm equals brute interpolated bigram scoring") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) =>
+      (id, t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq)
+    }.filter(_._2.length >= 2)
+    val bi = toks.flatMap { case (_, l) => l.zip(l.tail) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromC = bi.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val uni = toks.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val nTot = uni.values.sum.toDouble
+    val brute = toks.map { case (id, l) =>
+      val bs = l.zip(l.tail)
+      val s = bs.map { case (x, y) =>
+        math.log(0.75 * (bi((x, y)).toDouble / fromC(x).toDouble)
+          + 0.25 * (uni(y).toDouble / nTot))
+      }.sum
+      (id, bs.length.toLong, s / bs.length)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("tx_bigram_lm")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) == brute.map(_._1).toSeq)
+    got.zip(brute).foreach { case ((_, ng, lp), (_, nb, blp)) =>
+      assert(ng == nb)
+      assert(math.abs(lp - blp) < 1e-5, s"$lp vs $blp")
+      // interpolated probability is a proper probability: lp < 0
+      assert(lp < 0.0)
+    }
+  }
+
+  test("ev_markov: counts complete, rows normalize to 1 per from_type") {
+    val rows = SparkEntry.queries("ev_markov")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // per-user transitions: n_pairs == n_events - n_users (each user
+    // contributes length-1 transitions)
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val nEvents = e.count()
+    val nUsers = e.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nEvents - nUsers)
+    rows.groupBy(_._1).foreach { case (ft, rs) =>
+      val tot = rs.map(_._4).sum
+      assert(math.abs(tot - 1.0) < 1e-3, s"$ft row sums to $tot")
+    }
+  }
+
   test("tx_decontaminate: flags only training docs, against real eval overlap") {
     val rows = SparkEntry.queries("tx_decontaminate")(spark, dir).collect()
     // the synthetic corpus contains near-dups of eval docs → nonempty
