@@ -364,6 +364,46 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Stratified sampling with EXACT largest-remainder allocation: a
+    // 20% corpus sample whose per-language counts hit the proportional
+    // quota exactly (Σ alloc == N div 5 by construction) — the
+    // curriculum / eval-set builder that per-row Bernoulli can't give
+    // (its stratum counts drift). The allocation math is all integer
+    // division over the lang-cardinality quota table (portable and
+    // broadcast-trivial); membership is rank-by-salted-hash within
+    // stratum (deterministic, rerun-stable — the tx_domain_cap
+    // convention, incl. its documented 100 TB boundary: the per-stratum
+    // rank gets a hash-threshold pre-filter before the exact trim).
+    "tx_stratified" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("lang"))
+      val tot = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val n = tot.agg(sum(col("n_l")).cast("long").as("n_total"))
+      val q = tot.crossJoin(broadcast(n))
+        .withColumn("target", expr("n_total div 5"))
+        .withColumn("base", expr("(n_l * target) div n_total"))
+        .withColumn("rem", expr("(n_l * target) % n_total"))
+      val sb = q.agg(sum(col("base")).as("sum_base"),
+        max(col("target")).as("tgt"))
+      val wq = Window.orderBy(col("rem").desc, col("lang"))
+      val alloc = q.withColumn("extra_rank", row_number().over(wq))
+        .crossJoin(broadcast(sb))
+        .withColumn("n_alloc", col("base")
+          + when(col("extra_rank") <= col("tgt") - col("sum_base"), 1L)
+            .otherwise(0L))
+        .select(col("lang"), col("n_alloc"))
+      val wr = Window.partitionBy(col("lang"))
+        .orderBy(col("hk"), col("doc_id"))
+      d.withColumn("hk", Dedup.hash60(
+          concat(lit("strat:"), col("doc_id").cast("string"))))
+        .withColumn("rn", row_number().over(wr))
+        .join(broadcast(alloc), Seq("lang"))
+        .filter(col("rn") <= col("n_alloc"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "tx_domain_cap" -> ((s: SparkSession, dir: String) => {
       // per-domain document cap (the crawl-pipeline "max N pages per
       // domain" operator): rank within domain by salted hash — an
@@ -837,6 +877,27 @@ object PipelineQueries {
     "s8g_rollback" -> ((s: SparkSession, dir: String) => {
       graft.sources.SnapshotTable.read(s, deletedDocsTable(s, dir))
         .orderBy(col("doc_id"))
+    }),
+
+    // Order-independent table checksum — the anti-entropy primitive
+    // the CDF-replay family needs (replica == primary without shipping
+    // rows): COUNT + bit-XOR + modular SUM over a per-row 60-bit
+    // content hash, all three mergeable, so at 100 TB the checksum is
+    // ONE map-side-combinable aggregate per replica and a
+    // constant-size comparison. Computed over the snapshot-table HEAD
+    // (after delete + merge + rollback); the oracle re-derives the
+    // same checksum from the independently-computed expected content.
+    // (The modular sum uses 2^40 so a petabyte-scale row count still
+    // fits a BIGINT accumulator; production would widen to a 128-bit
+    // or overflow-wrapping sum — same plan.)
+    "s8k_checksum" -> ((s: SparkSession, dir: String) => {
+      graft.sources.SnapshotTable.read(s, deletedDocsTable(s, dir))
+        .select(Dedup.hash60(concat_ws("|",
+          col("doc_id").cast("string"), col("source"), col("lang")))
+          .as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_fp"),
+          sum(pmod(col("h"), lit(1099511627776L))).as("sum_fp"))
     }),
 
     // Dynamic partition overwrite under the driver gate: read back the
@@ -1787,6 +1848,35 @@ object PipelineQueries {
 
     // same salted-hash rank (ties by doc_id) and kept-set bit_xor
     // fingerprint; the aggregate ignores NULL (unkept) rows identically
+    // same integer largest-remainder allocation, same salted-hash
+    // within-stratum rank
+    "tx_stratified" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+         tot AS (SELECT lang, COUNT(*) AS n_l FROM d GROUP BY 1),
+         n AS (SELECT CAST(SUM(n_l) AS BIGINT) AS n_total FROM tot),
+         q AS (SELECT lang, n_l, n_total // 5 AS target,
+                      (n_l * (n_total // 5)) // n_total AS base,
+                      (n_l * (n_total // 5)) % n_total AS rem
+               FROM tot CROSS JOIN n),
+         sb AS (SELECT CAST(SUM(base) AS BIGINT) AS sum_base,
+                       MAX(target) AS tgt FROM q),
+         alloc AS (SELECT lang,
+                     base + CASE WHEN ROW_NUMBER() OVER (
+                                    ORDER BY rem DESC, lang)
+                                  <= tgt - sum_base
+                            THEN 1 ELSE 0 END AS n_alloc
+                   FROM q CROSS JOIN sb),
+         ranked AS (SELECT doc_id, lang,
+                      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                        ('0x' || substr(md5('strat:'
+                          || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id) AS rn
+                    FROM d)
+         SELECT r.doc_id, r.lang
+         FROM ranked r JOIN alloc a ON a.lang = r.lang
+         WHERE r.rn <= a.n_alloc
+         ORDER BY doc_id""",
+
     "tx_domain_cap" ->
       """WITH ranked AS (
            SELECT doc_id, source,
@@ -1861,6 +1951,18 @@ object PipelineQueries {
          FROM documents
          WHERE doc_id % 13 <> 0
          ORDER BY doc_id""",
+
+    // same hash60 row fingerprint, same three mergeable accumulators,
+    // over the same independently re-derived head content
+    "s8k_checksum" ->
+      """WITH c AS (
+           SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+             || source || '|' || lang), 1, 15))::BIGINT AS h
+           FROM documents WHERE doc_id % 13 <> 0)
+         SELECT COUNT(*) AS n_rows,
+                bit_xor(h) AS xor_fp,
+                CAST(SUM(h % 1099511627776) AS BIGINT) AS sum_fp
+         FROM c""",
 
     // expected CDF of the merge commit: delete+insert pair per
     // genuinely-updated survivor, inserts for the three fresh keys,
