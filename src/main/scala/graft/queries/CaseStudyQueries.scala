@@ -877,6 +877,120 @@ object CaseStudyQueries {
           sum(when(col("_hasLoc").isNotNull, 1).otherwise(0)).as("n_with_loc"),
           sum(when(col("_hasLoc").isNull, 1).otherwise(0)).as("n_without_loc"))
         .orderBy(col("ilabel"))
+    }),
+
+    // RDFS-style taxonomy reasoning: transitive ancestor closure over
+    // the parent edges encoded in the taxon rank paths (the pipe-joined
+    // lineage strings matcher.py:133-180 consumes). Edges = adjacent
+    // path elements (deeper element → its parent), distinct'ed —
+    // dimension-sized (distinct lineages, not records) at any corpus
+    // scale. The closure runs as PATH DOUBLING: round r extends the
+    // relation from min-depth ≤ 2^(r-1) to ≤ 2^r by joining it with
+    // ITSELF, so a depth-D hierarchy closes in ceil(log2 D) shuffle
+    // rounds instead of D semi-naive iterations — the posture that
+    // matters when the hierarchy is deep and each round is a full
+    // shuffle. min(depth) keeps the shortest derivation (unique on a
+    // tree; well-defined on the noisy-path DAG — level-prefixed rank
+    // names make cycles impossible); each round localCheckpoints (the
+    // CC/PageRank discipline). The DuckDB oracle re-derives the edges
+    // from the side-channel paths dump and closes them with a RECURSIVE
+    // CTE — a different closure algorithm agreeing hash-exact.
+    "kg_taxonomy_closure" -> ((s: SparkSession, dir: String) => {
+      val paths = Materialized.taxonPaths(s, dir)
+      val toks = paths.select(split(col("path"), "\\|").as("p"))
+        .filter(size(col("p")) >= 2)
+      val edges = toks.select(explode(transform(
+          sequence(lit(1), size(col("p")) - 1),
+          i => struct(trim(element_at(col("p"), i + lit(1))).as("child"),
+            trim(element_at(col("p"), i)).as("parent")))).as("e"))
+        .select(col("e.child"), col("e.parent"))
+        .filter(col("child") =!= "" && col("parent") =!= "" &&
+          col("child") =!= col("parent"))
+        .distinct()
+        .localCheckpoint(true)
+      var anc = edges.select(col("child").as("node"),
+        col("parent").as("anc"), lit(1L).as("depth"))
+      // 3 doubling rounds ⇒ min-depths ≤ 8 ≥ the 7-level hierarchy
+      // (6 rank edges + the stale pseudo-root the dup-rank noise mints)
+      for (_ <- 1 to 3) {
+        val left = anc.toDF("node", "mid", "d1")
+        val right = anc.toDF("mid", "anc", "d2")
+        val ext = left.join(right, "mid")
+          .select(col("node"), col("anc"),
+            (col("d1") + col("d2")).as("depth"))
+        anc = anc.union(ext)
+          .groupBy(col("node"), col("anc"))
+          .agg(min(col("depth")).as("depth"))
+          .localCheckpoint(true)
+      }
+      anc.orderBy(col("node"), col("anc"))
+    }),
+
+    // SHACL-lite shapes validation over the triple table: cardinality
+    // shapes (targetClass × path × minCount/maxCount) plus nodeKind/
+    // datatype shapes, all evaluated in ONE pred-pushed scan — a single
+    // per-subject conditional aggregate carries the type tag and every
+    // constrained path's count (one shuffle total, NOT one scan per
+    // shape), then each shape is a filter over that node-scale frame,
+    // assembled by a bounded explode. The gate emits per-shape
+    // violation COUNT + an order-independent bit_xor fingerprint of the
+    // violating subjects — constant-size output that still pins the
+    // exact violating SET at 100 TB (the s8k_checksum convention). The
+    // sample_sex_max1 shape is genuinely violated by the fixture
+    // (multi-valued hasSex), so the gate proves non-empty detection.
+    "kg_shacl" -> ((s: SparkSession, dir: String) => {
+      val interaction = EMI + "Interaction"
+      val sample = SOSA + "Sample"
+      // (shape_id, targetClass, path, minCount, maxCount)
+      val cardShapes = Seq(
+        ("interaction_source_exactly1", interaction, EMI + "hasSource", 1L, 1L),
+        ("interaction_target_exactly1", interaction, EMI + "hasTarget", 1L, 1L),
+        ("interaction_classified_min1", interaction, EMI + "isClassifiedWith",
+          1L, Long.MaxValue),
+        ("sample_intaxon_exactly1", sample, EMI + "inTaxon", 1L, 1L),
+        ("sample_label_min1", sample, RDFS_LABEL, 1L, Long.MaxValue),
+        ("sample_sex_max1", sample, EMI + "hasSex", 0L, 1L))
+      val nodeKindIds =
+        Seq("intaxon_nodekind_iri", "numericvalue_datatype_integer")
+      val t = s.table(Materialized.globiTable(s, dir))
+      val cardPreds = Model.RDF_TYPE +: cardShapes.map(_._3)
+      val perSubj = t.filter(col("pred").isin(cardPreds: _*))
+        .groupBy(col("subj"))
+        .agg(
+          max(when(col("pred") === Model.RDF_TYPE &&
+            col("obj").isin(interaction, sample), col("obj"))).as("ttype"),
+          cardShapes.map { case (id, _, p, _, _) =>
+            sum(when(col("pred") === p, 1L).otherwise(0L)).as(s"c_$id")
+          }: _*)
+      val checks = array(cardShapes.map { case (id, target, _, lo, hi) =>
+        struct(lit(id).as("shape_id"),
+          (col("ttype") === target &&
+            (col(s"c_$id") < lo || col(s"c_$id") > hi)).as("bad"))
+      }: _*)
+      val cardViols = perSubj
+        .select(col("subj"), explode(checks).as("chk"))
+        .filter(col("chk.bad"))
+        .select(col("chk.shape_id").as("shape_id"), col("subj"))
+      val nodeKindViols =
+        t.filter(col("pred") === EMI + "inTaxon" && col("objIsLiteral"))
+          .select(lit("intaxon_nodekind_iri").as("shape_id"), col("subj"))
+          .union(t.filter(col("pred") === Model.QUDT + "numericValue" &&
+              (!col("objIsLiteral") ||
+                col("objDatatype") =!= Model.XSD_INTEGER))
+            .select(lit("numericvalue_datatype_integer").as("shape_id"),
+              col("subj")))
+      val agg = cardViols.union(nodeKindViols)
+        .select(col("shape_id"), graft.ops.Dedup.hash60(col("subj")).as("h"))
+        .groupBy(col("shape_id"))
+        .agg(count(lit(1)).as("n_violations"),
+          expr("bit_xor(h)").as("fp"))
+      import s.implicits._
+      val allShapes = (cardShapes.map(_._1) ++ nodeKindIds).toDF("shape_id")
+      broadcast(allShapes).join(agg, Seq("shape_id"), "left")
+        .select(col("shape_id"),
+          coalesce(col("n_violations"), lit(0L)).as("n_violations"),
+          coalesce(col("fp"), lit(0L)).as("fp"))
+        .orderBy(col("shape_id"))
     })
   )
 
@@ -1747,5 +1861,95 @@ object CaseStudyQueries {
                  CAST(SUM(CASE WHEN loc.rec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_loc,
                  CAST(SUM(CASE WHEN loc.rec IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_loc
           FROM cw JOIN lbl USING (itype) LEFT JOIN loc ON loc.rec = cw.rec
-          GROUP BY ilabel ORDER BY ilabel""")
+          GROUP BY ilabel ORDER BY ilabel""",
+
+    // independent re-derivation of BOTH the parent edges (string_split
+    // over the side-channel paths dump) and the closure itself — a
+    // depth-bounded RECURSIVE CTE (bound 12 > the max min-depth 7, so
+    // MIN(depth) over enumerated paths equals the engine's doubling
+    // fixpoint exactly)
+    "kg_taxonomy_closure" ->
+      s"""WITH RECURSIVE p AS (
+           SELECT DISTINCT path
+           FROM '${Materialized.SideDir}/taxon_paths_n*/*.parquet'
+           WHERE n_docs = (SELECT COUNT(*) // 3 FROM orders)),
+         toks AS (SELECT string_split(path, '|') AS t FROM p
+                  WHERE len(string_split(path, '|')) >= 2),
+         idx AS (SELECT t, i
+                 FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+         e AS (SELECT DISTINCT trim(t[i + 1]) AS child, trim(t[i]) AS parent
+               FROM idx
+               WHERE trim(t[i + 1]) <> '' AND trim(t[i]) <> ''
+                 AND trim(t[i + 1]) <> trim(t[i])),
+         c AS (
+           SELECT child AS node, parent AS anc, 1 AS depth FROM e
+           UNION ALL
+           SELECT c.node, e.parent, c.depth + 1
+           FROM c JOIN e ON e.child = c.anc
+           WHERE c.depth < 12)
+         SELECT node, anc, CAST(MIN(depth) AS BIGINT) AS depth
+         FROM c GROUP BY node, anc ORDER BY node, anc""",
+
+    // same one-pass per-subject conditional aggregate, same shape
+    // predicates, same hash60 bit_xor fingerprint; the VALUES shape
+    // list supplies the zero-violation rows on both sides
+    "kg_shacl" ->
+      s"""WITH gg AS (
+           SELECT subj, pred, obj, objIsLiteral, objDatatype
+           FROM '${Materialized.SideDir}/globi_triples_n*/*.parquet'
+           WHERE n_docs = (SELECT COUNT(*) // 3 FROM orders)),
+         ps AS (
+           SELECT subj,
+             MAX(CASE WHEN pred = '${Model.RDF_TYPE}'
+                       AND obj IN ('${EMI}Interaction', '${SOSA}Sample')
+                      THEN obj END) AS ttype,
+             SUM(CASE WHEN pred = '${EMI}hasSource' THEN 1 ELSE 0 END) AS c_src,
+             SUM(CASE WHEN pred = '${EMI}hasTarget' THEN 1 ELSE 0 END) AS c_tgt,
+             SUM(CASE WHEN pred = '${EMI}isClassifiedWith' THEN 1 ELSE 0 END) AS c_cls,
+             SUM(CASE WHEN pred = '${EMI}inTaxon' THEN 1 ELSE 0 END) AS c_tax,
+             SUM(CASE WHEN pred = '$RDFS_LABEL' THEN 1 ELSE 0 END) AS c_lbl,
+             SUM(CASE WHEN pred = '${EMI}hasSex' THEN 1 ELSE 0 END) AS c_sex
+           FROM gg
+           WHERE pred IN ('${Model.RDF_TYPE}', '${EMI}hasSource',
+             '${EMI}hasTarget', '${EMI}isClassifiedWith', '${EMI}inTaxon',
+             '$RDFS_LABEL', '${EMI}hasSex')
+           GROUP BY subj),
+         v AS (
+           SELECT 'interaction_source_exactly1' AS shape_id, subj FROM ps
+           WHERE ttype = '${EMI}Interaction' AND c_src <> 1
+           UNION ALL
+           SELECT 'interaction_target_exactly1', subj FROM ps
+           WHERE ttype = '${EMI}Interaction' AND c_tgt <> 1
+           UNION ALL
+           SELECT 'interaction_classified_min1', subj FROM ps
+           WHERE ttype = '${EMI}Interaction' AND c_cls < 1
+           UNION ALL
+           SELECT 'sample_intaxon_exactly1', subj FROM ps
+           WHERE ttype = '${SOSA}Sample' AND c_tax <> 1
+           UNION ALL
+           SELECT 'sample_label_min1', subj FROM ps
+           WHERE ttype = '${SOSA}Sample' AND c_lbl < 1
+           UNION ALL
+           SELECT 'sample_sex_max1', subj FROM ps
+           WHERE ttype = '${SOSA}Sample' AND c_sex > 1
+           UNION ALL
+           SELECT 'intaxon_nodekind_iri', subj FROM gg
+           WHERE pred = '${EMI}inTaxon' AND objIsLiteral
+           UNION ALL
+           SELECT 'numericvalue_datatype_integer', subj FROM gg
+           WHERE pred = '${Model.QUDT}numericValue'
+             AND (NOT objIsLiteral OR objDatatype <> '${Model.XSD_INTEGER}')),
+         agg AS (
+           SELECT shape_id, COUNT(*) AS n_violations,
+             bit_xor(('0x' || substr(md5(subj), 1, 15))::BIGINT) AS fp
+           FROM v GROUP BY shape_id),
+         shapes(shape_id) AS (VALUES
+           ('interaction_source_exactly1'), ('interaction_target_exactly1'),
+           ('interaction_classified_min1'), ('sample_intaxon_exactly1'),
+           ('sample_label_min1'), ('sample_sex_max1'),
+           ('intaxon_nodekind_iri'), ('numericvalue_datatype_integer'))
+         SELECT s.shape_id, COALESCE(n_violations, 0) AS n_violations,
+                COALESCE(fp, 0) AS fp
+         FROM shapes s LEFT JOIN agg USING (shape_id)
+         ORDER BY shape_id""")
 }

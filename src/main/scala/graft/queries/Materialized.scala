@@ -154,4 +154,28 @@ object Materialized {
         spark.read.parquet(s"$SideDir/trydb_triples_n$n"), tbl, "subj", 16)
       tbl
     }
+
+  /** Distinct raw taxon rank-path strings ("Kingdom0|Phylum3|...") from
+    * the memoized extracted records — the taxonomy dimension the
+    * RDFS-style closure queries reason over (reference:
+    * matcher.py:133-180 consumes these same pipe-joined lineage paths).
+    * Dumped to the side channel (n_docs contract) so the DuckDB oracle
+    * re-derives parent edges AND the recursive closure independently.
+    * Dimension-sized at any corpus scale (distinct lineages, not
+    * records), so the checkpoint + coalesce(1) dump are trivial.
+    */
+  def taxonPaths(spark: SparkSession, dir: String): DataFrame =
+    once(spark, "taxonPaths", dir) {
+      val n = KgQueries.nDocsFor(dir)
+      val (records, _) = recordsAndMatched(spark, dir)
+      val paths = records
+        .select(explode(array(col("sourceTaxonPathNames"),
+          col("targetTaxonPathNames"))).as("path"))
+        .filter(col("path").isNotNull && col("path") =!= "")
+        .distinct()
+        .localCheckpoint(true)
+      paths.withColumn("n_docs", lit(n)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$SideDir/taxon_paths_n$n")
+      paths
+    }
 }
