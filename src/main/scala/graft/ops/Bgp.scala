@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Basic-graph-pattern (BGP) compiler: a SPARQL-style conjunctive
+  * pattern over a (subj, pred, obj) triple table, compiled to a
+  * DataFrame join plan (the query surface the reference serves via its
+  * SPARQL endpoint — e.g. the CS query patterns in
+  * case-studies/CS3/CS3_query.rq-style star/chain shapes).
+  *
+  * Compilation is Spark-first, not an interpreter:
+  *
+  *  - each triple pattern becomes ONE pred/subj/obj-CONSTANT-filtered
+  *    projection of the triple table, so every constant is a pushdown
+  *    predicate that reaches the parquet scan (PushedFilters), and only
+  *    the variable positions survive as columns — column pruning does
+  *    the rest;
+  *  - shared variables between patterns become equi-join keys
+  *    (using-column joins, so Catalyst sees plain hash-joinable keys);
+  *  - join ORDER is greedy-selective: seed with the most-constant
+  *    pattern, then repeatedly join the pattern sharing the most
+  *    already-bound variables (ties: more constants, then input order).
+  *    A connected BGP therefore never plans a cartesian product; a
+  *    genuinely disconnected one fails fast instead of exploding;
+  *  - a variable repeated WITHIN one pattern compiles to an intra-row
+  *    equality filter before projection (?x ?p ?x → subj = obj).
+  *
+  * At scale: same-subject star joins run exchange-free over the
+  * subj-bucketed triple tables ([[Bucketing]]); dimension-sized pattern
+  * scans (e.g. `?t rdf:type emi:InteractionType`) broadcast via AQE's
+  * runtime size estimate, so the compiler does not hand-place hints.
+  */
+object Bgp {
+
+  sealed trait Term
+  final case class V(name: String) extends Term
+  final case class C(value: String) extends Term
+
+  final case class Pattern(s: Term, p: Term, o: Term) {
+    def terms: Seq[(String, Term)] =
+      Seq("subj" -> s, "pred" -> p, "obj" -> o)
+    def vars: Set[String] = terms.collect { case (_, V(n)) => n }.toSet
+    def nConsts: Int = terms.count(_._2.isInstanceOf[C])
+  }
+
+  /** Parse a compact BGP string: `.`-separated triples of
+    * whitespace-separated terms. `?x` = variable; `<iri>` = absolute
+    * IRI; `"lit"` = literal; `prefix:local` expands via `prefixes`;
+    * bare `a` = rdf:type (SPARQL shorthand).
+    */
+  def parse(bgp: String,
+      prefixes: Map[String, String] = defaultPrefixes): Seq[Pattern] = {
+    def term(t: String): Term = t match {
+      case v if v.startsWith("?") && v.length > 1 => V(v.drop(1))
+      case "a" => C(graft.kg.Model.RDF_TYPE)
+      case i if i.startsWith("<") && i.endsWith(">") =>
+        C(i.substring(1, i.length - 1))
+      case l if l.startsWith("\"") && l.endsWith("\"") && l.length >= 2 =>
+        C(l.substring(1, l.length - 1))
+      case p if p.contains(":") =>
+        val Array(pre, local) = p.split(":", 2)
+        prefixes.get(pre) match {
+          case Some(ns) => C(ns + local)
+          case None => throw new IllegalArgumentException(
+            s"unknown prefix '$pre:' in term '$p'")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unparseable term '$other' (expect ?var, <iri>, \"lit\", pfx:local, or a)")
+    }
+    bgp.split("\\.").map(_.trim).filter(_.nonEmpty).toSeq.map { t =>
+      val toks = t.split("\\s+").toSeq
+      require(toks.length == 3,
+        s"triple pattern must have exactly 3 terms, got ${toks.length} in '$t'")
+      Pattern(term(toks(0)), term(toks(1)), term(toks(2)))
+    }
+  }
+
+  val defaultPrefixes: Map[String, String] = {
+    val m = graft.kg.Model
+    Map("emi" -> m.EMI, "emibox" -> m.EMIBOX, "sosa" -> m.SOSA,
+      "rdf" -> m.RDF, "rdfs" -> m.RDFS, "xsd" -> m.XSD, "wd" -> m.WD,
+      "prov" -> m.PROV, "qudt" -> m.QUDT, "dcterms" -> m.DCTERMS,
+      "wgs84" -> m.WGS84)
+  }
+
+  /** One pattern → constant-filtered, variable-projected scan. */
+  private def scan(triples: DataFrame, pat: Pattern): DataFrame = {
+    val constFiltered = pat.terms.foldLeft(triples) {
+      case (df, (pos, C(v))) => df.filter(col(pos) === v)
+      case (df, _) => df
+    }
+    // repeated variable within the pattern → intra-row equality
+    val varPositions: Seq[(String, String)] =
+      pat.terms.collect { case (pos, V(n)) => (pos, n) }
+    val eqFiltered = varPositions.groupBy(_._2).values
+      .filter(_.length > 1)
+      .foldLeft(constFiltered) { (df, dup) =>
+        dup.map(_._1).sliding(2).foldLeft(df) { case (d, Seq(a, b)) =>
+          d.filter(col(a) === col(b))
+        }
+      }
+    val proj: Seq[Column] = varPositions
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (name, poss) => col(poss.head._1).as(name) }
+    eqFiltered.select(proj: _*)
+  }
+
+  /** Compile a BGP to a DataFrame of variable bindings (SPARQL bag
+    * semantics — no implicit distinct), projected to `select`.
+    */
+  def compile(triples: DataFrame, patterns: Seq[Pattern],
+      select: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "empty BGP")
+    val boundable = patterns.flatMap(_.vars).toSet
+    val missing = select.filterNot(boundable)
+    require(missing.isEmpty,
+      s"select variables not bound by any pattern: ${missing.mkString(",")}")
+
+    // greedy-selective order: seed = most constants (ties: input order)
+    val seedIdx = patterns.zipWithIndex.maxBy { case (p, i) =>
+      (p.nConsts, -i)
+    }._2
+    var remaining = patterns.zipWithIndex.filterNot(_._2 == seedIdx)
+    var plan = scan(triples, patterns(seedIdx))
+    var bound = patterns(seedIdx).vars
+    while (remaining.nonEmpty) {
+      val (next, idx) = remaining.maxBy { case (p, i) =>
+        ((p.vars & bound).size, p.nConsts, -i)
+      }
+      val shared = (next.vars & bound).toSeq.sorted
+      require(shared.nonEmpty,
+        "disconnected BGP: pattern shares no variable with the bound set " +
+          s"(bound = ${bound.toSeq.sorted.mkString(",")}); " +
+          "cartesian products are refused")
+      plan = plan.join(scan(triples, next), shared)
+      bound ++= next.vars
+      remaining = remaining.filterNot(_._2 == idx)
+    }
+    plan.select(select.map(col): _*)
+  }
+
+  /** Parse + compile in one step. */
+  def query(triples: DataFrame, bgp: String, select: Seq[String],
+      prefixes: Map[String, String] = defaultPrefixes): DataFrame =
+    compile(triples, parse(bgp, prefixes), select)
+}

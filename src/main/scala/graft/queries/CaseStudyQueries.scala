@@ -879,6 +879,49 @@ object CaseStudyQueries {
         .orderBy(col("ilabel"))
     }),
 
+    // BGP (basic-graph-pattern) compiler under the driver gate: the
+    // SPARQL-star archetype — interaction records fanned out to their
+    // source/target organisms — expressed as a PATTERN STRING and
+    // compiled by ops.Bgp into pred-pushed scans + greedy-ordered
+    // equi-joins (the same-subject star joins land on the subj-bucketed
+    // table, so they are exchange-free). The aggregate on top bounds
+    // the gated output; the oracle re-states the pattern as explicit
+    // SQL joins, so a green row certifies the COMPILER's plan, not a
+    // hand-translated query.
+    "kg_bgp_star" -> ((s: SparkSession, dir: String) => {
+      val t = s.table(Materialized.globiTable(s, dir))
+      graft.ops.Bgp.query(t,
+        """?rec a emi:Interaction .
+           ?rec emi:hasSource ?ss .
+           ?rec emi:hasTarget ?ts .
+           ?ss sosa:isSampleOf ?sorg .
+           ?ts sosa:isSampleOf ?torg""",
+        Seq("sorg", "torg"))
+        .groupBy(col("sorg"), col("torg"))
+        .agg(count(lit(1)).as("n_recs"))
+        .orderBy(col("n_recs").desc, col("sorg"), col("torg"))
+        .limit(20)
+    }),
+
+    // BGP with a constant-literal anchor: "which source samples feed
+    // 'eats' interactions" — the compiler seeds the join order at the
+    // most-constant pattern (?it rdfs:label "eats", 2 constants), so
+    // the dimension-sized interaction-type scan anchors the plan and
+    // AQE broadcasts it into the record join.
+    "kg_bgp_filtered" -> ((s: SparkSession, dir: String) => {
+      val t = s.table(Materialized.globiTable(s, dir))
+      graft.ops.Bgp.query(t,
+        """?rec emi:isClassifiedWith ?it .
+           ?it rdfs:label "eats" .
+           ?rec emi:hasSource ?ss .
+           ?ss rdfs:label ?sname""",
+        Seq("sname"))
+        .groupBy(col("sname"))
+        .agg(count(lit(1)).as("n_recs"))
+        .orderBy(col("n_recs").desc, col("sname"))
+        .limit(15)
+    }),
+
     // RDFS-style taxonomy reasoning: transitive ancestor closure over
     // the parent edges encoded in the taxon rank paths (the pipe-joined
     // lineage strings matcher.py:133-180 consumes). Edges = adjacent
@@ -1862,6 +1905,42 @@ object CaseStudyQueries {
                  CAST(SUM(CASE WHEN loc.rec IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_loc
           FROM cw JOIN lbl USING (itype) LEFT JOIN loc ON loc.rec = cw.rec
           GROUP BY ilabel ORDER BY ilabel""",
+
+    // the BGP restated as explicit joins — gate covers the compiler's
+    // parse + join-order + projection end-to-end
+    "kg_bgp_star" ->
+      s"""WITH g AS (SELECT * FROM $g),
+          rec AS (SELECT subj AS rec FROM g
+                  WHERE pred = '${Model.RDF_TYPE}'
+                    AND obj = '${EMI}Interaction'),
+          hs AS (SELECT subj AS rec, obj AS ss FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS ts FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          so AS (SELECT subj AS samp, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf')
+          SELECT s1.org AS sorg, s2.org AS torg,
+                 COUNT(*) AS n_recs
+          FROM rec JOIN hs USING (rec) JOIN ht USING (rec)
+               JOIN so s1 ON s1.samp = hs.ss
+               JOIN so s2 ON s2.samp = ht.ts
+          GROUP BY 1, 2
+          ORDER BY n_recs DESC, sorg, torg LIMIT 20""",
+
+    "kg_bgp_filtered" ->
+      s"""WITH g AS (SELECT * FROM $g),
+          it AS (SELECT subj AS it FROM g
+                 WHERE pred = '$RDFS_LABEL' AND obj = 'eats'),
+          cw AS (SELECT subj AS rec, obj AS it FROM g
+                 WHERE pred = '${EMI}isClassifiedWith'),
+          hs AS (SELECT subj AS rec, obj AS ss FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          lbl AS (SELECT subj AS ss, obj AS sname FROM g
+                  WHERE pred = '$RDFS_LABEL')
+          SELECT sname, COUNT(*) AS n_recs
+          FROM it JOIN cw USING (it) JOIN hs USING (rec)
+               JOIN lbl USING (ss)
+          GROUP BY 1 ORDER BY n_recs DESC, sname LIMIT 15""",
 
     // independent re-derivation of BOTH the parent edges (string_split
     // over the side-channel paths dump) and the closure itself — a
