@@ -1560,6 +1560,64 @@ object PipelineQueries {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // SCD2 (type-2 slowly-changing-dimension) build from the event
+    // stream: per user, runs of consecutive equal event_type collapse
+    // into versioned dimension rows with [valid_from, valid_to) windows
+    // and an is_current flag — the standard warehouse dimension-history
+    // operator. ONE shuffle total: the lag/run-id windows partition by
+    // user_id, and every later window/groupBy clusters on a superset of
+    // user_id, which Spark's ClusteredDistribution subset rule satisfies
+    // from the same exchange (no re-shuffle at 100 TB either — the
+    // partitioning is carried through).
+    "ev_scd2" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val runs = e
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("chg",
+          when(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("version",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      runs.groupBy(col("user_id"), col("version"), col("event_type"))
+        .agg(min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("version"))))
+        .select(col("user_id"), col("version"),
+          col("event_type").as("state"), col("valid_from"), col("valid_to"),
+          col("n_events"), col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    // Leakage-safe train/eval split: the curriculum/eval-builder rule
+    // that near-duplicate documents must never straddle the split (or
+    // eval leaks train content). Composes the shared verified-LSH-pair
+    // memo → connected components (pair-scale edges) → one left join
+    // back to the corpus; the split side is the salted hash of the
+    // CLUSTER REPRESENTATIVE, so every member of a near-dup cluster
+    // lands on the same side by construction, and singleton docs hash
+    // on their own id. Rerun-stable (pure hash, no RNG), one
+    // corpus-scale shuffle (the join).
+    "tx_leakage_split" -> ((s: SparkSession, dir: String) => {
+      val d = s.read.parquet(t(dir, "documents")).select(col("doc_id"))
+      val pairs = verifiedLshPairs(s, dir)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val comp = graft.kg.Canonical.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("component"))
+      d.join(comp, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("component"), col("doc_id")))
+        .withColumn("split",
+          when(pmod(Dedup.hash60(
+            concat(lit("lsplit:"), col("rep").cast("string"))), lit(10L)) < 8,
+            lit("train")).otherwise(lit("eval")))
+        .select(col("doc_id"), col("rep"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ev_funnel" -> ((s: SparkSession, dir: String) => {
       // ordered funnel analysis (view → click → purchase): per user, the
       // first view, the first click strictly after that view, the first
@@ -2425,6 +2483,27 @@ object PipelineQueries {
          SELECT component AS keep_id, COUNT(*) AS n_members
          FROM mapping GROUP BY 1 ORDER BY keep_id""",
 
+    // same pair graph + closure, then the same rep-salted-hash side
+    // rule re-applied per document
+    "tx_leakage_split" -> s"""
+         WITH RECURSIVE ${lshPairsCtes(hashedTokensCte, "0.8")},
+         sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         nodes AS (SELECT DISTINCT u AS node FROM sym),
+         reach(node, comp) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.node),
+         mapping AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node),
+         reps AS (
+           SELECT d.doc_id, COALESCE(m.component, d.doc_id) AS rep
+           FROM documents d LEFT JOIN mapping m ON m.node = d.doc_id)
+         SELECT doc_id, rep,
+                CASE WHEN ('0x' || substr(md5('lsplit:' ||
+                       CAST(rep AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+                     THEN 'train' ELSE 'eval' END AS split
+         FROM reps ORDER BY doc_id""",
+
     "tx_tfidf_topk" -> """
          WITH tok AS (
            SELECT doc_id, UNNEST(regexp_extract_all(
@@ -3173,6 +3252,34 @@ object PipelineQueries {
                   AS p
          FROM bc JOIN tot USING (from_type)
          ORDER BY from_type, to_type""",
+
+    // same run-collapse (lag → change flag → cumulative run id), same
+    // [valid_from, valid_to) stitching via LEAD over the run rows
+    "ev_scd2" ->
+      """WITH r AS (
+           SELECT user_id, ts, event_id, event_type,
+                  LAG(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         rid AS (
+           SELECT user_id, ts, event_type,
+                  SUM(CASE WHEN prev_type IS NULL
+                            OR prev_type <> event_type THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS version
+           FROM r),
+         runs AS (
+           SELECT user_id, CAST(version AS BIGINT) AS version,
+                  event_type AS state, MIN(ts) AS valid_from,
+                  COUNT(*) AS n_events
+           FROM rid GROUP BY 1, 2, 3),
+         stitched AS (
+           SELECT *, LEAD(valid_from) OVER (
+                    PARTITION BY user_id ORDER BY version) AS valid_to
+           FROM runs)
+         SELECT user_id, version, state, valid_from, valid_to, n_events,
+                valid_to IS NULL AS is_current
+         FROM stitched ORDER BY user_id, version""",
 
     "ev_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
