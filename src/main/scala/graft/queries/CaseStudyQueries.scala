@@ -951,22 +951,10 @@ object CaseStudyQueries {
           col("child") =!= col("parent"))
         .distinct()
         .localCheckpoint(true)
-      var anc = edges.select(col("child").as("node"),
-        col("parent").as("anc"), lit(1L).as("depth"))
       // 3 doubling rounds ⇒ min-depths ≤ 8 ≥ the 7-level hierarchy
       // (6 rank edges + the stale pseudo-root the dup-rank noise mints)
-      for (_ <- 1 to 3) {
-        val left = anc.toDF("node", "mid", "d1")
-        val right = anc.toDF("mid", "anc", "d2")
-        val ext = left.join(right, "mid")
-          .select(col("node"), col("anc"),
-            (col("d1") + col("d2")).as("depth"))
-        anc = anc.union(ext)
-          .groupBy(col("node"), col("anc"))
-          .agg(min(col("depth")).as("depth"))
-          .localCheckpoint(true)
-      }
-      anc.orderBy(col("node"), col("anc"))
+      graft.ops.Closure.transitive(edges, rounds = 3)
+        .orderBy(col("node"), col("anc"))
     }),
 
     // SHACL-lite shapes validation over the triple table: cardinality
@@ -982,58 +970,26 @@ object CaseStudyQueries {
     // sample_sex_max1 shape is genuinely violated by the fixture
     // (multi-valued hasSex), so the gate proves non-empty detection.
     "kg_shacl" -> ((s: SparkSession, dir: String) => {
+      import graft.ops.Shacl
       val interaction = EMI + "Interaction"
       val sample = SOSA + "Sample"
-      // (shape_id, targetClass, path, minCount, maxCount)
-      val cardShapes = Seq(
-        ("interaction_source_exactly1", interaction, EMI + "hasSource", 1L, 1L),
-        ("interaction_target_exactly1", interaction, EMI + "hasTarget", 1L, 1L),
-        ("interaction_classified_min1", interaction, EMI + "isClassifiedWith",
-          1L, Long.MaxValue),
-        ("sample_intaxon_exactly1", sample, EMI + "inTaxon", 1L, 1L),
-        ("sample_label_min1", sample, RDFS_LABEL, 1L, Long.MaxValue),
-        ("sample_sex_max1", sample, EMI + "hasSex", 0L, 1L))
-      val nodeKindIds =
-        Seq("intaxon_nodekind_iri", "numericvalue_datatype_integer")
-      val t = s.table(Materialized.globiTable(s, dir))
-      val cardPreds = Model.RDF_TYPE +: cardShapes.map(_._3)
-      val perSubj = t.filter(col("pred").isin(cardPreds: _*))
-        .groupBy(col("subj"))
-        .agg(
-          max(when(col("pred") === Model.RDF_TYPE &&
-            col("obj").isin(interaction, sample), col("obj"))).as("ttype"),
-          cardShapes.map { case (id, _, p, _, _) =>
-            sum(when(col("pred") === p, 1L).otherwise(0L)).as(s"c_$id")
-          }: _*)
-      val checks = array(cardShapes.map { case (id, target, _, lo, hi) =>
-        struct(lit(id).as("shape_id"),
-          (col("ttype") === target &&
-            (col(s"c_$id") < lo || col(s"c_$id") > hi)).as("bad"))
-      }: _*)
-      val cardViols = perSubj
-        .select(col("subj"), explode(checks).as("chk"))
-        .filter(col("chk.bad"))
-        .select(col("chk.shape_id").as("shape_id"), col("subj"))
-      val nodeKindViols =
-        t.filter(col("pred") === EMI + "inTaxon" && col("objIsLiteral"))
-          .select(lit("intaxon_nodekind_iri").as("shape_id"), col("subj"))
-          .union(t.filter(col("pred") === Model.QUDT + "numericValue" &&
-              (!col("objIsLiteral") ||
-                col("objDatatype") =!= Model.XSD_INTEGER))
-            .select(lit("numericvalue_datatype_integer").as("shape_id"),
-              col("subj")))
-      val agg = cardViols.union(nodeKindViols)
-        .select(col("shape_id"), graft.ops.Dedup.hash60(col("subj")).as("h"))
-        .groupBy(col("shape_id"))
-        .agg(count(lit(1)).as("n_violations"),
-          expr("bit_xor(h)").as("fp"))
-      import s.implicits._
-      val allShapes = (cardShapes.map(_._1) ++ nodeKindIds).toDF("shape_id")
-      broadcast(allShapes).join(agg, Seq("shape_id"), "left")
-        .select(col("shape_id"),
-          coalesce(col("n_violations"), lit(0L)).as("n_violations"),
-          coalesce(col("fp"), lit(0L)).as("fp"))
-        .orderBy(col("shape_id"))
+      Shacl.report(s.table(Materialized.globiTable(s, dir)),
+        card = Seq(
+          Shacl.CardShape("interaction_source_exactly1", interaction,
+            EMI + "hasSource", 1L, 1L),
+          Shacl.CardShape("interaction_target_exactly1", interaction,
+            EMI + "hasTarget", 1L, 1L),
+          Shacl.CardShape("interaction_classified_min1", interaction,
+            EMI + "isClassifiedWith", minCount = 1L),
+          Shacl.CardShape("sample_intaxon_exactly1", sample,
+            EMI + "inTaxon", 1L, 1L),
+          Shacl.CardShape("sample_label_min1", sample, RDFS_LABEL,
+            minCount = 1L),
+          Shacl.CardShape("sample_sex_max1", sample, EMI + "hasSex",
+            maxCount = 1L)),
+        iri = Seq(Shacl.IriShape("intaxon_nodekind_iri", EMI + "inTaxon")),
+        dt = Seq(Shacl.DatatypeShape("numericvalue_datatype_integer",
+          Model.QUDT + "numericValue", Model.XSD_INTEGER)))
     })
   )
 
