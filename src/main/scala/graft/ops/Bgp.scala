@@ -36,12 +36,21 @@ object Bgp {
   sealed trait Term
   final case class V(name: String) extends Term
   final case class C(value: String) extends Term
+  /** SPARQL property path `iri+` — one-or-more hops of a constant
+    * predicate. Compiles to [[Closure.transitive]] over that
+    * predicate's edge set (log-round path doubling), used as a virtual
+    * triple source in the join plan.
+    */
+  final case class Plus(value: String) extends Term
 
   final case class Pattern(s: Term, p: Term, o: Term) {
+    require(!s.isInstanceOf[Plus] && !o.isInstanceOf[Plus],
+      "property path '+' is only valid in predicate position")
     def terms: Seq[(String, Term)] =
       Seq("subj" -> s, "pred" -> p, "obj" -> o)
     def vars: Set[String] = terms.collect { case (_, V(n)) => n }.toSet
-    def nConsts: Int = terms.count(_._2.isInstanceOf[C])
+    def nConsts: Int = terms.count(t =>
+      t._2.isInstanceOf[C] || t._2.isInstanceOf[Plus])
   }
 
   /** Parse a compact BGP string: `.`-separated triples of
@@ -54,6 +63,12 @@ object Bgp {
     def term(t: String): Term = t match {
       case v if v.startsWith("?") && v.length > 1 => V(v.drop(1))
       case "a" => C(graft.kg.Model.RDF_TYPE)
+      case p if p.endsWith("+") && p.length > 1 && !p.startsWith("\"") =>
+        term(p.dropRight(1)) match {
+          case C(iri) => Plus(iri)
+          case _ => throw new IllegalArgumentException(
+            s"'+' path needs a constant predicate, got '$p'")
+        }
       case i if i.startsWith("<") && i.endsWith(">") =>
         C(i.substring(1, i.length - 1))
       case l if l.startsWith("\"") && l.endsWith("\"") && l.length >= 2 =>
@@ -84,15 +99,31 @@ object Bgp {
       "wgs84" -> m.WGS84)
   }
 
-  /** One pattern → constant-filtered, variable-projected scan. */
-  private def scan(triples: DataFrame, pat: Pattern): DataFrame = {
-    val constFiltered = pat.terms.foldLeft(triples) {
+  /** One pattern → constant-filtered, variable-projected scan. A
+    * `Plus` predicate swaps the base triple scan for the transitive
+    * closure of that predicate's edge set (computed eagerly via
+    * [[Closure.transitive]]; `plusRounds` doubling rounds cover paths
+    * up to 2^plusRounds hops).
+    */
+  private def scan(triples: DataFrame, pat: Pattern,
+      plusRounds: Int): DataFrame = {
+    val (frame, terms) = pat.p match {
+      case Plus(iri) =>
+        val edges = triples.filter(col("pred") === iri)
+          .select(col("subj").as("child"), col("obj").as("parent"))
+          .distinct()
+        (Closure.transitive(edges, plusRounds)
+          .select(col("node").as("subj"), col("anc").as("obj")),
+          Seq("subj" -> pat.s, "obj" -> pat.o))
+      case _ => (triples, pat.terms)
+    }
+    val constFiltered = terms.foldLeft(frame) {
       case (df, (pos, C(v))) => df.filter(col(pos) === v)
       case (df, _) => df
     }
     // repeated variable within the pattern → intra-row equality
     val varPositions: Seq[(String, String)] =
-      pat.terms.collect { case (pos, V(n)) => (pos, n) }
+      terms.collect { case (pos, V(n)) => (pos, n) }
     val eqFiltered = varPositions.groupBy(_._2).values
       .filter(_.length > 1)
       .foldLeft(constFiltered) { (df, dup) =>
@@ -110,7 +141,7 @@ object Bgp {
     * semantics — no implicit distinct), projected to `select`.
     */
   def compile(triples: DataFrame, patterns: Seq[Pattern],
-      select: Seq[String]): DataFrame = {
+      select: Seq[String], plusRounds: Int = 4): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
     val boundable = patterns.flatMap(_.vars).toSet
     val missing = select.filterNot(boundable)
@@ -122,7 +153,7 @@ object Bgp {
       (p.nConsts, -i)
     }._2
     var remaining = patterns.zipWithIndex.filterNot(_._2 == seedIdx)
-    var plan = scan(triples, patterns(seedIdx))
+    var plan = scan(triples, patterns(seedIdx), plusRounds)
     var bound = patterns(seedIdx).vars
     while (remaining.nonEmpty) {
       val (next, idx) = remaining.maxBy { case (p, i) =>
@@ -133,7 +164,7 @@ object Bgp {
         "disconnected BGP: pattern shares no variable with the bound set " +
           s"(bound = ${bound.toSeq.sorted.mkString(",")}); " +
           "cartesian products are refused")
-      plan = plan.join(scan(triples, next), shared)
+      plan = plan.join(scan(triples, next, plusRounds), shared)
       bound ++= next.vars
       remaining = remaining.filterNot(_._2 == idx)
     }
@@ -142,6 +173,7 @@ object Bgp {
 
   /** Parse + compile in one step. */
   def query(triples: DataFrame, bgp: String, select: Seq[String],
-      prefixes: Map[String, String] = defaultPrefixes): DataFrame =
-    compile(triples, parse(bgp, prefixes), select)
+      prefixes: Map[String, String] = defaultPrefixes,
+      plusRounds: Int = 4): DataFrame =
+    compile(triples, parse(bgp, prefixes), select, plusRounds)
 }

@@ -47,6 +47,27 @@ object CaseStudyQueries {
     */
   val WedgeCap: Int = 6
 
+  /** Parent edges (child → parent) decoded from the distinct taxon
+    * rank-path strings — the taxonomy dimension shared by the closure
+    * and property-path queries; memoized + checkpointed like
+    * [[organismEdges]] (dimension-sized: distinct lineages).
+    */
+  private def taxonomyEdges(s: SparkSession, dir: String): DataFrame =
+    Materialized.once(s, "taxonomyEdges", dir) {
+      val toks = Materialized.taxonPaths(s, dir)
+        .select(split(col("path"), "\\|").as("p"))
+        .filter(size(col("p")) >= 2)
+      toks.select(explode(transform(
+          sequence(lit(1), size(col("p")) - 1),
+          i => struct(trim(element_at(col("p"), i + lit(1))).as("child"),
+            trim(element_at(col("p"), i)).as("parent")))).as("e"))
+        .select(col("e.child"), col("e.parent"))
+        .filter(col("child") =!= "" && col("parent") =!= "" &&
+          col("child") =!= col("parent"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+
   /** Directed distinct organism→organism interaction edges via each
     * record's hasSource/hasTarget samples — the shared graph-derivation
     * of ALL seven kg_cs_* graph queries, memoized per (session, scale)
@@ -939,22 +960,27 @@ object CaseStudyQueries {
     // from the side-channel paths dump and closes them with a RECURSIVE
     // CTE — a different closure algorithm agreeing hash-exact.
     "kg_taxonomy_closure" -> ((s: SparkSession, dir: String) => {
-      val paths = Materialized.taxonPaths(s, dir)
-      val toks = paths.select(split(col("path"), "\\|").as("p"))
-        .filter(size(col("p")) >= 2)
-      val edges = toks.select(explode(transform(
-          sequence(lit(1), size(col("p")) - 1),
-          i => struct(trim(element_at(col("p"), i + lit(1))).as("child"),
-            trim(element_at(col("p"), i)).as("parent")))).as("e"))
-        .select(col("e.child"), col("e.parent"))
-        .filter(col("child") =!= "" && col("parent") =!= "" &&
-          col("child") =!= col("parent"))
-        .distinct()
-        .localCheckpoint(true)
       // 3 doubling rounds ⇒ min-depths ≤ 8 ≥ the 7-level hierarchy
       // (6 rank edges + the stale pseudo-root the dup-rank noise mints)
-      graft.ops.Closure.transitive(edges, rounds = 3)
+      graft.ops.Closure.transitive(taxonomyEdges(s, dir), rounds = 3)
         .orderBy(col("node"), col("anc"))
+    }),
+
+    // SPARQL property path `p+` through the BGP compiler: descendants
+    // of the Kingdom0 root via a TRANSITIVE predicate pattern
+    // (`?d <broader>+ "Kingdom0"`), joined with the non-transitive
+    // direct-parent pattern — Bgp compiles the `+` term to
+    // Closure.transitive over that predicate's edge set and joins it
+    // like any other pattern. Gates the compiler's path-closure arm
+    // end-to-end against a recursive-CTE re-derivation.
+    "kg_bgp_path_plus" -> ((s: SparkSession, dir: String) => {
+      val B = "urn:graft:broader"
+      val triples = taxonomyEdges(s, dir).select(
+        col("child").as("subj"), lit(B).as("pred"), col("parent").as("obj"))
+      graft.ops.Bgp.query(triples,
+        s"""?d <$B>+ "Kingdom0" . ?d <$B> ?p""",
+        Seq("d", "p"), plusRounds = 3)
+        .orderBy(col("d"), col("p"))
     }),
 
     // SHACL-lite shapes validation over the triple table: cardinality
@@ -1924,6 +1950,33 @@ object CaseStudyQueries {
            WHERE c.depth < 12)
          SELECT node, anc, CAST(MIN(depth) AS BIGINT) AS depth
          FROM c GROUP BY node, anc ORDER BY node, anc""",
+
+    // same edge re-derivation + recursive closure, restricted to the
+    // Kingdom0 ancestor, joined back to the direct-parent edges — the
+    // SQL restatement of `?d broader+ "Kingdom0" . ?d broader ?p`
+    "kg_bgp_path_plus" ->
+      s"""WITH RECURSIVE p AS (
+           SELECT DISTINCT path
+           FROM '${Materialized.SideDir}/taxon_paths_n*/*.parquet'
+           WHERE n_docs = (SELECT COUNT(*) // 3 FROM orders)),
+         toks AS (SELECT string_split(path, '|') AS t FROM p
+                  WHERE len(string_split(path, '|')) >= 2),
+         idx AS (SELECT t, i
+                 FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+         e AS (SELECT DISTINCT trim(t[i + 1]) AS child, trim(t[i]) AS parent
+               FROM idx
+               WHERE trim(t[i + 1]) <> '' AND trim(t[i]) <> ''
+                 AND trim(t[i + 1]) <> trim(t[i])),
+         c AS (
+           SELECT child AS node, parent AS anc, 1 AS depth FROM e
+           UNION ALL
+           SELECT c.node, e.parent, c.depth + 1
+           FROM c JOIN e ON e.child = c.anc
+           WHERE c.depth < 12),
+         dd AS (SELECT DISTINCT node FROM c WHERE anc = 'Kingdom0')
+         SELECT dd.node AS d, e.parent AS p
+         FROM dd JOIN e ON e.child = dd.node
+         ORDER BY d, p""",
 
     // same one-pass per-subject conditional aggregate, same shape
     // predicates, same hash60 bit_xor fingerprint; the VALUES shape

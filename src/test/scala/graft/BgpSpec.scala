@@ -103,6 +103,29 @@ class BgpSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("disconnected"))
   }
 
+  test("property path '+' closes transitively and joins with plain patterns") {
+    val hier = Seq(
+      ("a", "up", "b"), ("b", "up", "c"), ("c", "up", "d"),
+      ("a", Model.RDFS_LABEL, "leaf-a"), ("b", Model.RDFS_LABEL, "leaf-b"))
+      .toDF("subj", "pred", "obj")
+    // all ancestors of nodes that carry a label
+    val got = Bgp.query(hier, """?n <up>+ ?anc . ?n rdfs:label ?l""",
+      Seq("n", "anc", "l"), plusRounds = 2)
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("a", "b", "leaf-a"), ("a", "c", "leaf-a"), ("a", "d", "leaf-a"),
+      ("b", "c", "leaf-b"), ("b", "d", "leaf-b")))
+    // constant endpoint restricts the closure
+    val desc = Bgp.query(hier, """?n <up>+ "d"""", Seq("n"), plusRounds = 2)
+      .as[String].collect().sorted
+    assert(desc === Array("a", "b", "c"))
+    // '+' parses only in predicate position, on a constant
+    assert(Bgp.parse("?x <up>+ ?y") ===
+      Seq(Pattern(V("x"), Bgp.Plus("up"), V("y"))))
+    assertThrows[IllegalArgumentException](
+      Pattern(Bgp.Plus("up"), V("p"), V("y")))
+  }
+
   test("unbound select variable fails loudly") {
     val ex = intercept[IllegalArgumentException] {
       Bgp.query(triples, "?a emi:hasSource ?b", Seq("zzz"))
