@@ -89,6 +89,31 @@ object Streaming {
       .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
   }
 
+  /** LEFT-OUTER watermarked stream-stream join: [[clickViewJoin]] plus
+    * the clicks that never attract a view inside their attribution
+    * window, emitted with a NULL view_id — but only once the global
+    * watermark passes cts + 1 h, when the unmatched-ness is FINAL
+    * (Spark evicts the buffered click and emits the outer row at that
+    * point; a click the watermark has not yet cleared stays buffered
+    * and emits nothing). The time-range condition is what makes the
+    * outer join legal at all in streaming: without it the unmatched
+    * side could never be declared final and state would grow without
+    * bound.
+    */
+  def clickViewJoinLeft(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val v = views.select(col("user_id").as("v_user"),
+        col("event_id").as("view_id"), col("ts").as("vts"))
+      .withWatermark("vts", "2 hours")
+    c.join(v, expr(
+        "c_user = v_user AND vts > cts AND vts <= cts + interval 1 hour"),
+        "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("cts"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int)

@@ -112,6 +112,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no pairs matched — test is vacuous")
   }
 
+  test("left-outer stream-stream join emits watermark-final unmatched clicks") {
+    val tmp = java.nio.file.Files.createTempDirectory("ssjl").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    events.filter(col("event_type") === "click")
+      .write.mode("overwrite").parquet(s"$tmp/clicks")
+    events.filter(col("event_type") === "view")
+      .write.mode("overwrite").parquet(s"$tmp/views")
+    val schema = events.schema
+    val q = Streaming.clickViewJoinLeft(
+        spark.readStream.schema(schema).parquet(s"$tmp/clicks"),
+        spark.readStream.schema(schema).parquet(s"$tmp/views"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/cp")
+      .format("memory").queryName("ssjl_pairs")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT user_id, click_id, view_id FROM ssjl_pairs")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    // batch twin: inner pairs always emit; an unmatched click emits a
+    // NULL row iff the final global watermark (min over both sides'
+    // max-ts − delay) cleared its cts + 1 h; later unmatched clicks
+    // stay buffered and emit NOTHING — the documented outer-join
+    // finality rule this test pins.
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
+    val gwm = math.min(
+      c.agg(max(unix_timestamp(col("cts")))).head().getLong(0) - 3600L,
+      v.agg(max(unix_timestamp(col("vts")))).head().getLong(0) - 7200L)
+    val inner = c.join(v, Seq("user_id"))
+      .filter(col("vts") > col("cts") &&
+        col("vts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)))).toSet
+    val matchedClicks = inner.map(x => (x._1, x._2))
+    val outer = c.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime / 1000))
+      .filter { case (u, cid, cs) =>
+        !matchedClicks.contains((u, cid)) && cs + 3600 < gwm }
+      .map { case (u, cid, _) => (u, cid, None: Option[Any]) }.toSet
+    val want = inner ++ outer
+    assert(got === want,
+      s"missing=${(want -- got).size} extra=${(got -- want).size}")
+    assert(outer.nonEmpty, "no unmatched clicks evicted — test is vacuous")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) closes gap sessions") {
     val tmp = java.nio.file.Files.createTempDirectory("sess").toString
     val rows = Seq(
