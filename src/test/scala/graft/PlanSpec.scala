@@ -539,4 +539,27 @@ class PlanSpec extends AnyFunSuite {
     val occurrences = "hasSource".r.findAllIn(plan).size
     assert(occurrences == 1, s"star join subtree appears $occurrences times")
   }
+
+  test("kg_shacl: per-subject shape aggregate is exchange-free on the bucketed table") {
+    // ALL cardinality shapes evaluate from one per-subject conditional
+    // aggregate whose grouping key is the bucket key — the bucketed scan
+    // must satisfy it with NO subj exchange; the only hash exchange left
+    // is the 8-row per-shape rollup.
+    val df = SparkEntry.queries("kg_shacl")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange hashpartitioning(subj"), plan)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 hash exchange (shape_id rollup), got $hashEx:\n$plan")
+  }
+
+  test("ev_scd2: the whole SCD2 build rides ONE user_id exchange") {
+    // lag window, run-id window, run groupBy and valid_to lead window
+    // all cluster on (a superset of) user_id — Spark's subset rule must
+    // reuse the single exchange; a second hash exchange means the run
+    // groupBy re-shuffled run-scale rows for nothing.
+    val df = SparkEntry.queries("ev_scd2")(spark, dir)
+    val plan = planOf(df)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 hash exchange (user_id), got $hashEx:\n$plan")
+  }
 }
