@@ -44,6 +44,7 @@ object PipelineQueries {
     deletedDocsTable(s, dir)
     partitionedDocsTable(s, dir)
     bloomDocsTable(s, dir)
+    scd2DimTable(s, dir)
     ()
   }
 
@@ -128,6 +129,59 @@ object PipelineQueries {
           .toDF("doc_id", "source", "version"))
       SnapshotTable.merge(s, tableDir, updates, Seq("doc_id"),
         idempotencyKey = "merge-gate-upsert")
+      tableDir
+    }
+
+  /** Full-batch SCD2 SQL — the shared truth for BOTH the batch query
+    * (ev_scd2) and the incremental snapshot-table build (s8l_scd2_merge).
+    */
+  private val scd2OracleSql: String =
+    """WITH r AS (
+         SELECT user_id, ts, event_id, event_type,
+                LAG(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       rid AS (
+         SELECT user_id, ts, event_type,
+                SUM(CASE WHEN prev_type IS NULL
+                          OR prev_type <> event_type THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+         FROM r),
+       runs AS (
+         SELECT user_id, CAST(version AS BIGINT) AS version,
+                event_type AS state, MIN(ts) AS valid_from,
+                COUNT(*) AS n_events
+         FROM rid GROUP BY 1, 2, 3),
+       stitched AS (
+         SELECT *, LEAD(valid_from) OVER (
+                  PARTITION BY user_id ORDER BY version) AS valid_to
+         FROM runs)
+       SELECT user_id, version, state, valid_from, valid_to, n_events,
+              valid_to IS NULL AS is_current
+       FROM stitched ORDER BY user_id, version"""
+
+  /** Once-per-(session, scale) SCD2 dimension snapshot table: base =
+    * batch runs over the first event-id half (global ts is monotone in
+    * event_id, so the split is a time split and the increment contract
+    * holds per user), then ONE [[graft.ops.Scd2.applyIncrement]] folds
+    * the second half in. The s8l gate reads the result back against the
+    * full-batch oracle.
+    */
+  private def scd2DimTable(s: SparkSession, dir: String): String =
+    Materialized.once(s, "scd2DimTable", dir) {
+      import graft.sources.SnapshotTable
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("snap-scd2-gate").toString + "/t"
+      deleteOnExit(tableDir)
+      val e = s.read.parquet(t(dir, "events"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val cut = e.agg(max(col("event_id"))).head().getLong(0) / 2
+      val dim0 = graft.ops.Scd2.runs(e.filter(col("event_id") <= cut))
+      SnapshotTable.write(dim0.repartition(4), tableDir,
+        idempotencyKey = "scd2-base")
+      graft.ops.Scd2.applyIncrement(s, tableDir,
+        e.filter(col("event_id") > cut), idempotencyKey = "scd2-inc-1")
       tableDir
     }
 
@@ -1570,26 +1624,25 @@ object PipelineQueries {
     // from the same exchange (no re-shuffle at 100 TB either — the
     // partitioning is carried through).
     "ev_scd2" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.expressions.Window
       val e = s.read.parquet(t(dir, "events"))
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val runs = e
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .withColumn("chg",
-          when(col("prev_type").isNull ||
-            col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
-        .withColumn("version",
-          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      runs.groupBy(col("user_id"), col("version"), col("event_type"))
-        .agg(min(col("ts")).as("valid_from"),
-          count(lit(1)).as("n_events"))
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(
-          Window.partitionBy(col("user_id")).orderBy(col("version"))))
-        .select(col("user_id"), col("version"),
-          col("event_type").as("state"), col("valid_from"), col("valid_to"),
-          col("n_events"), col("valid_to").isNull.as("is_current"))
+      graft.ops.Scd2.runs(e).orderBy(col("user_id"), col("version"))
+    }),
+
+    // INCREMENTAL SCD2 maintenance under the driver gate: the dimension
+    // table is built from the FIRST HALF of the event stream, then the
+    // second half is folded in by ops.Scd2.applyIncrement — which
+    // rewrites only the affected users' OPEN rows via a stats-pruned
+    // snapshot-table MERGE (closed history is never read). The oracle is
+    // the full-batch SCD2 SQL over ALL events, so a green row proves
+    // incremental == batch exactly — the dimension-history member of the
+    // incremental-maintenance family (LSH postings, HLL, CMS, Bloom,
+    // canonical triples).
+    "s8l_scd2_merge" -> ((s: SparkSession, dir: String) => {
+      graft.sources.SnapshotTable.read(s, scd2DimTable(s, dir))
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from"), col("valid_to"), col("n_events"),
+          col("is_current"))
         .orderBy(col("user_id"), col("version"))
     }),
 
@@ -3255,31 +3308,11 @@ object PipelineQueries {
 
     // same run-collapse (lag → change flag → cumulative run id), same
     // [valid_from, valid_to) stitching via LEAD over the run rows
-    "ev_scd2" ->
-      """WITH r AS (
-           SELECT user_id, ts, event_id, event_type,
-                  LAG(event_type) OVER (
-                    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-           FROM events),
-         rid AS (
-           SELECT user_id, ts, event_type,
-                  SUM(CASE WHEN prev_type IS NULL
-                            OR prev_type <> event_type THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS version
-           FROM r),
-         runs AS (
-           SELECT user_id, CAST(version AS BIGINT) AS version,
-                  event_type AS state, MIN(ts) AS valid_from,
-                  COUNT(*) AS n_events
-           FROM rid GROUP BY 1, 2, 3),
-         stitched AS (
-           SELECT *, LEAD(valid_from) OVER (
-                    PARTITION BY user_id ORDER BY version) AS valid_to
-           FROM runs)
-         SELECT user_id, version, state, valid_from, valid_to, n_events,
-                valid_to IS NULL AS is_current
-         FROM stitched ORDER BY user_id, version""",
+    "ev_scd2" -> scd2OracleSql,
+
+    // the INCREMENTAL build is gated against the identical FULL-BATCH
+    // SQL — green ⇒ incremental == batch over the whole stream
+    "s8l_scd2_merge" -> scd2OracleSql,
 
     "ev_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
