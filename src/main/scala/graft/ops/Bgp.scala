@@ -137,18 +137,13 @@ object Bgp {
     eqFiltered.select(proj: _*)
   }
 
-  /** Compile a BGP to a DataFrame of variable bindings (SPARQL bag
-    * semantics — no implicit distinct), projected to `select`.
+  /** Greedy-selective join of a connected pattern group → (plan, bound
+    * variable set). Seed = most constants; then always the pattern
+    * sharing the most already-bound variables.
     */
-  def compile(triples: DataFrame, patterns: Seq[Pattern],
-      select: Seq[String], plusRounds: Int = 4): DataFrame = {
-    require(patterns.nonEmpty, "empty BGP")
-    val boundable = patterns.flatMap(_.vars).toSet
-    val missing = select.filterNot(boundable)
-    require(missing.isEmpty,
-      s"select variables not bound by any pattern: ${missing.mkString(",")}")
-
-    // greedy-selective order: seed = most constants (ties: input order)
+  private def joinPatterns(triples: DataFrame, patterns: Seq[Pattern],
+      plusRounds: Int): (DataFrame, Set[String]) = {
+    require(patterns.nonEmpty, "empty pattern group")
     val seedIdx = patterns.zipWithIndex.maxBy { case (p, i) =>
       (p.nConsts, -i)
     }._2
@@ -168,12 +163,54 @@ object Bgp {
       bound ++= next.vars
       remaining = remaining.filterNot(_._2 == idx)
     }
+    (plan, bound)
+  }
+
+  /** Compile a BGP to a DataFrame of variable bindings (SPARQL bag
+    * semantics — no implicit distinct), projected to `select`. Each
+    * entry of `optionals` is an OPTIONAL group: compiled independently
+    * and LEFT-joined on the variables it shares with the required part
+    * (its private variables surface as NULL on non-matches) — the
+    * SPARQL OPTIONAL arm the reference's metric queries lean on,
+    * restricted to groups that share ≥ 1 variable with the required
+    * patterns (well-designed queries; no cross-group correlation).
+    */
+  def compile(triples: DataFrame, patterns: Seq[Pattern],
+      select: Seq[String], plusRounds: Int = 4,
+      optionals: Seq[Seq[Pattern]] = Nil): DataFrame = {
+    val boundable = (patterns ++ optionals.flatten).flatMap(_.vars).toSet
+    val missing = select.filterNot(boundable)
+    require(missing.isEmpty,
+      s"select variables not bound by any pattern: ${missing.mkString(",")}")
+    var (plan, bound) = joinPatterns(triples, patterns, plusRounds)
+    optionals.foreach { group =>
+      val (g, gvars) = joinPatterns(triples, group, plusRounds)
+      val shared = (gvars & bound).toSeq.sorted
+      require(shared.nonEmpty,
+        "OPTIONAL group shares no variable with the required patterns")
+      plan = plan.join(g, shared, "left_outer")
+      bound ++= gvars
+    }
     plan.select(select.map(col): _*)
   }
 
-  /** Parse + compile in one step. */
+  /** Split `OPTIONAL { ... }` blocks (non-nested) out of a pattern
+    * string → (required patterns, optional groups).
+    */
+  def parseQuery(bgp: String,
+      prefixes: Map[String, String] = defaultPrefixes):
+      (Seq[Pattern], Seq[Seq[Pattern]]) = {
+    val optRe = "(?is)OPTIONAL\\s*\\{([^}]*)\\}".r
+    val optionals =
+      optRe.findAllMatchIn(bgp).map(m => parse(m.group(1), prefixes)).toSeq
+    (parse(optRe.replaceAllIn(bgp, " "), prefixes), optionals)
+  }
+
+  /** Parse + compile in one step (handles OPTIONAL blocks). */
   def query(triples: DataFrame, bgp: String, select: Seq[String],
       prefixes: Map[String, String] = defaultPrefixes,
-      plusRounds: Int = 4): DataFrame =
-    compile(triples, parse(bgp, prefixes), select, plusRounds)
+      plusRounds: Int = 4): DataFrame = {
+    val (required, optionals) = parseQuery(bgp, prefixes)
+    compile(triples, required, select, plusRounds, optionals)
+  }
 }

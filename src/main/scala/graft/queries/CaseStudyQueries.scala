@@ -943,6 +943,22 @@ object CaseStudyQueries {
         .limit(15)
     }),
 
+    // BGP with an OPTIONAL group: interaction-type label histogram with
+    // an optional per-record location — the left-join arm of the
+    // compiler (the SPARQL shape kg_sparql_trydb_metrics hand-writes as
+    // left joins, now produced from a pattern string).
+    "kg_bgp_optional" -> ((s: SparkSession, dir: String) => {
+      val t = s.table(Materialized.globiTable(s, dir))
+      graft.ops.Bgp.query(t,
+        """?rec emi:isClassifiedWith ?it .
+           ?it rdfs:label ?ilabel .
+           OPTIONAL { ?rec prov:atLocation ?loc }""",
+        Seq("ilabel", "loc"))
+        .groupBy(col("ilabel"))
+        .agg(count(lit(1)).as("n_recs"), count(col("loc")).as("n_located"))
+        .orderBy(col("ilabel"))
+    }),
+
     // RDFS-style taxonomy reasoning: transitive ancestor closure over
     // the parent edges encoded in the taxon rank paths (the pipe-joined
     // lineage strings matcher.py:133-180 consumes). Edges = adjacent
@@ -1923,6 +1939,20 @@ object CaseStudyQueries {
           FROM it JOIN cw USING (it) JOIN hs USING (rec)
                JOIN lbl USING (ss)
           GROUP BY 1 ORDER BY n_recs DESC, sname LIMIT 15""",
+
+    // OPTIONAL restated as an explicit LEFT JOIN
+    "kg_bgp_optional" ->
+      s"""WITH g AS (SELECT * FROM $g),
+          cw AS (SELECT subj AS rec, obj AS it FROM g
+                 WHERE pred = '${EMI}isClassifiedWith'),
+          lbl AS (SELECT subj AS it, obj AS ilabel FROM g
+                  WHERE pred = '$RDFS_LABEL'),
+          loc AS (SELECT subj AS rec, obj AS loc FROM g
+                  WHERE pred = '${PROV}atLocation')
+          SELECT ilabel, COUNT(*) AS n_recs,
+                 CAST(COUNT(loc.loc) AS BIGINT) AS n_located
+          FROM cw JOIN lbl USING (it) LEFT JOIN loc USING (rec)
+          GROUP BY 1 ORDER BY ilabel""",
 
     // independent re-derivation of BOTH the parent edges (string_split
     // over the side-channel paths dump) and the closure itself — a

@@ -126,6 +126,28 @@ class BgpSpec extends AnyFunSuite {
       Pattern(Bgp.Plus("up"), V("p"), V("y")))
   }
 
+  test("OPTIONAL group left-joins; private vars are NULL on non-match") {
+    val got = Bgp.query(triples,
+      """?r emi:hasSource ?ss . OPTIONAL { ?ss rdfs:label ?l }""",
+      Seq("r", "ss", "l"))
+      .as[(String, String, Option[String])].collect().toSet
+    assert(got === Set(
+      ("R1", "S1", Some("alpha")),
+      ("R2", "S3", None))) // S3 has no label → row survives with NULL
+    // optional group must connect to the required part
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.query(triples,
+        """?r emi:hasSource ?ss . OPTIONAL { ?x rdfs:label ?l }""",
+        Seq("r"))
+    }
+    assert(ex.getMessage.contains("OPTIONAL"))
+    // parseQuery splits blocks without disturbing required patterns
+    val (req, opts) = Bgp.parseQuery(
+      """?a emi:hasSource ?b . OPTIONAL { ?b rdfs:label ?l } . ?a emi:hasTarget ?c""")
+    assert(req.length === 2 && opts === Seq(Seq(
+      Pattern(V("b"), C(Model.RDFS_LABEL), V("l")))))
+  }
+
   test("unbound select variable fails loudly") {
     val ex = intercept[IllegalArgumentException] {
       Bgp.query(triples, "?a emi:hasSource ?b", Seq("zzz"))
