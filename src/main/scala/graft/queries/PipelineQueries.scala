@@ -570,6 +570,58 @@ object PipelineQueries {
         .orderBy(col("key"))
     }),
 
+    // KMV ("k minimum values" / bottom-k theta) sketch — the mergeable
+    // set sketch that also supports INTERSECTION (what HLL can't do):
+    // per-language bottom-64 hash sketch built by a typed Aggregator
+    // UDAF (§2.9 surface — bounded O(k) map-side state, partial-agg
+    // like any built-in), closed-form distinct estimate beside the
+    // exact rider. All integer-derived, so the estimate reproduces
+    // bit-for-bit in the oracle's window-rank re-derivation.
+    "a13_kmv_theta" -> ((s: SparkSession, dir: String) => {
+      import graft.functions.Kmv
+      val k = 64
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("lang"), Dedup.hash60(
+          concat(lit("kmv:"), col("doc_id").cast("string"))).as("h"))
+      d.groupBy(col("lang"))
+        .agg(Kmv.sketch(col("h"), k).as("sk"), count(lit(1)).as("n_exact"))
+        .select(col("lang"), col("n_exact"),
+          when(size(col("sk")) >= k, element_at(col("sk"), k)).as("kth_hash"),
+          round(Kmv.estimateDistinct(col("sk"), k), 4).as("est_distinct"))
+        .orderBy(col("lang"))
+    }),
+
+    // theta-sketch INTERSECTION: |docs containing "spark" ∩ docs
+    // containing "data"| estimated by counting common sketch hashes
+    // below θ = min of the two 64th minima, scaled back by the sampled
+    // fraction — with the exact intersection as the honesty rider. At
+    // 100 TB the two corpus scans reduce map-side to two 64-long
+    // arrays before a 1×1 join; nothing row-scale ever shuffles.
+    "a14_theta_intersect" -> ((s: SparkSession, dir: String) => {
+      import graft.functions.Kmv
+      val k = 64
+      val flags = s.read.parquet(t(dir, "documents"))
+        .select(Dedup.hash60(
+            concat(lit("kmv:"), col("doc_id").cast("string"))).as("h"),
+          col("text").contains("spark").as("in_a"),
+          col("text").contains("data").as("in_b"))
+        .localCheckpoint(true)
+      val a = flags.filter(col("in_a"))
+        .agg(Kmv.sketch(col("h"), k).as("ska"), count(lit(1)).as("n_a"))
+      val b = flags.filter(col("in_b"))
+        .agg(Kmv.sketch(col("h"), k).as("skb"), count(lit(1)).as("n_b"))
+      val exact = flags.filter(col("in_a") && col("in_b"))
+        .agg(count(lit(1)).as("n_exact_intersect"))
+      a.crossJoin(b).crossJoin(exact)
+        .select(col("n_a"), col("n_b"), col("n_exact_intersect"),
+          Kmv.theta(col("ska"), col("skb"), k).as("theta"),
+          size(filter(array_intersect(col("ska"), col("skb")),
+            x => x < Kmv.theta(col("ska"), col("skb"), k)))
+            .cast("long").as("n_common_sampled"),
+          round(Kmv.estimateIntersection(col("ska"), col("skb"), k), 4)
+            .as("est_intersect"))
+    }),
+
     "tx_heavy_hitters" -> ((s: SparkSession, dir: String) => {
       // frequent-shingle (boilerplate) detection with a count-min
       // sketch riding along: top-10 trigram shingles by exact count,
@@ -2161,6 +2213,56 @@ object PipelineQueries {
                 CAST(CASE WHEN EXISTS (SELECT 1 FROM fps WHERE fps.fp = mc.key)
                      THEN 1 ELSE 0 END AS BIGINT) AS actually_present
          FROM mc ORDER BY key""",
+
+    // window-rank re-derivation of the bottom-64 sketch: the k-th min
+    // per language + the identical (k-1)·2^60/h_k arithmetic
+    "a13_kmv_theta" ->
+      """WITH h AS (
+           SELECT lang, ('0x' || substr(md5('kmv:'
+             || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM documents),
+         r AS (SELECT lang, h,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+               FROM h)
+         SELECT lang, CAST(ANY_VALUE(n) AS BIGINT) AS n_exact,
+                MAX(CASE WHEN rn = 64 THEN h END) AS kth_hash,
+                round(CASE WHEN ANY_VALUE(n) < 64
+                           THEN CAST(ANY_VALUE(n) AS DOUBLE)
+                           ELSE 63.0 * 1152921504606846976.0
+                                / CAST(MAX(CASE WHEN rn = 64 THEN h END)
+                                       AS DOUBLE) END, 4) AS est_distinct
+         FROM r GROUP BY lang ORDER BY lang""",
+
+    // same θ threshold, same common-below-θ count, same scale-back
+    "a14_theta_intersect" ->
+      """WITH f AS (
+           SELECT ('0x' || substr(md5('kmv:'
+             || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+                  contains(text, 'spark') AS in_a,
+                  contains(text, 'data') AS in_b
+           FROM documents),
+         ra AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM f
+                WHERE in_a),
+         rb AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM f
+                WHERE in_b),
+         ka AS (SELECT h AS kth FROM ra WHERE rn = 64),
+         kb AS (SELECT h AS kth FROM rb WHERE rn = 64),
+         th AS (SELECT least(ka.kth, kb.kth) AS theta FROM ka, kb),
+         common AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_common_sampled
+           FROM ra JOIN rb USING (h) CROSS JOIN th
+           WHERE ra.rn <= 64 AND rb.rn <= 64 AND ra.h < th.theta)
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM f WHERE in_a) AS n_a,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM f WHERE in_b) AS n_b,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM f
+                 WHERE in_a AND in_b) AS n_exact_intersect,
+                th.theta,
+                common.n_common_sampled,
+                round(CAST(common.n_common_sampled AS DOUBLE)
+                      * 1152921504606846976.0
+                      / CAST(th.theta AS DOUBLE), 4) AS est_intersect
+         FROM th CROSS JOIN common""",
 
     "a9_sketch_distinct" ->
       """WITH tarr AS (
