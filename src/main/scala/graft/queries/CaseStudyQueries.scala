@@ -154,6 +154,7 @@ object CaseStudyQueries {
   def materializeShared(s: SparkSession, dir: String): Unit = {
     organismEdges(s, dir)
     organismTriangles(s, dir)
+    taxonomyEdges(s, dir)
     ()
   }
 
