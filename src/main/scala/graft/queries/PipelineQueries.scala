@@ -31,8 +31,22 @@ object PipelineQueries {
     * phase so the build cost lands on the explicit materialize line, not
     * on whichever dd_* query touches the memo first.
     */
+  /** Connected components over the verified LSH pair graph — memoized
+    * like the pair memo itself, because TWO queries consume the same
+    * mapping (dd_lsh_clusters and tx_leakage_split) and the iterative
+    * CC is the expensive part on top of the pairs.
+    */
+  private def lshComponents(s: SparkSession, dir: String): DataFrame =
+    Materialized.once(s, "lshComponents", dir) {
+      graft.kg.Canonical.connectedComponents(
+          verifiedLshPairs(s, dir)
+            .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .localCheckpoint(true)
+    }
+
   def materializeShared(s: SparkSession, dir: String): Unit = {
     verifiedLshPairs(s, dir)
+    lshComponents(s, dir)
     // snapshot-table gate fixtures (base write + DML commits) build
     // here so their construction cost lands on the materialize_tables
     // bench line — the s8* per-query numbers then time only the READ
@@ -1108,9 +1122,7 @@ object PipelineQueries {
       // per cluster (min doc id) + cluster size. The CC runs over
       // near-dup EDGES (pair-scale, not corpus-scale); docs without any
       // near-dup never enter the graph.
-      val pairs = verifiedLshPairs(s, dir)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      graft.kg.Canonical.connectedComponents(pairs)
+      lshComponents(s, dir)
         .groupBy(col("component").as("keep_id"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("keep_id"))
@@ -1709,9 +1721,7 @@ object PipelineQueries {
     // corpus-scale shuffle (the join).
     "tx_leakage_split" -> ((s: SparkSession, dir: String) => {
       val d = s.read.parquet(t(dir, "documents")).select(col("doc_id"))
-      val pairs = verifiedLshPairs(s, dir)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val comp = graft.kg.Canonical.connectedComponents(pairs)
+      val comp = lshComponents(s, dir)
         .select(col("node").as("doc_id"), col("component"))
       d.join(comp, Seq("doc_id"), "left")
         .withColumn("rep", coalesce(col("component"), col("doc_id")))
