@@ -53,6 +53,106 @@ object Bgp {
       t._2.isInstanceOf[C] || t._2.isInstanceOf[Plus])
   }
 
+  /** FILTER expression (SPARQL's group-level filter, minimal grammar):
+    * `FILTER (?a OP rhs)` with OP ∈ {=, !=, <, <=, >, >=} and rhs a
+    * variable, quoted string, or number (numeric rhs compares after a
+    * double cast on both sides), or `FILTER regex(?v, "pattern")`.
+    */
+  sealed trait FilterExpr { def vars: Set[String] }
+  final case class Cmp(lhs: String, op: String, rhs: Term)
+      extends FilterExpr {
+    def vars: Set[String] =
+      Set(lhs) ++ (rhs match { case V(n) => Set(n); case _ => Set.empty })
+  }
+  final case class NumCmp(lhs: String, op: String, value: Double)
+      extends FilterExpr { def vars: Set[String] = Set(lhs) }
+  final case class Regex(v: String, pattern: String) extends FilterExpr {
+    def vars: Set[String] = Set(v)
+  }
+
+  /** Split on top-level `.` only — dots inside quotes, parentheses, or
+    * `<iri>` angles do not separate clauses (so absolute IRIs with
+    * dots and FILTER expressions parse correctly).
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var inQ = false; var inAngle = false
+    s.foreach {
+      case '"' => inQ = !inQ; cur += '"'
+      case '<' if !inQ && depth == 0 => inAngle = true; cur += '<'
+      case '>' if !inQ && inAngle => inAngle = false; cur += '>'
+      case '(' if !inQ => depth += 1; cur += '('
+      case ')' if !inQ => depth -= 1; cur += ')'
+      case '.' if !inQ && depth == 0 && !inAngle =>
+        out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val regexRe =
+    """(?is)regex\(\s*\?(\w+)\s*,\s*"([^"]*)"\s*\)""".r
+  private val numRe = """-?\d+(\.\d+)?""".r
+
+  private def parseFilter(body: String,
+      prefixes: Map[String, String]): FilterExpr = {
+    val inner0 = body.trim
+    regexRe.findFirstMatchIn(inner0) match {
+      case Some(m) => Regex(m.group(1), m.group(2))
+      case None =>
+        val inner = inner0.stripPrefix("(").stripSuffix(")").trim
+        inner.split("\\s+", 3) match {
+          case Array(l, op, r)
+              if l.startsWith("?") &&
+                Set("=", "!=", "<", "<=", ">", ">=")(op) =>
+            if (numRe.pattern.matcher(r).matches())
+              NumCmp(l.drop(1), op, r.toDouble)
+            else {
+              val rr = r.trim
+              val t: Term =
+                if (rr.startsWith("?") && rr.length > 1) V(rr.drop(1))
+                else if (rr.startsWith("\"") && rr.endsWith("\"") &&
+                  rr.length >= 2) C(rr.substring(1, rr.length - 1))
+                else if (rr.startsWith("<") && rr.endsWith(">"))
+                  C(rr.substring(1, rr.length - 1))
+                else if (rr.contains(":")) {
+                  val Array(pre, local) = rr.split(":", 2)
+                  C(prefixes.getOrElse(pre, throw new IllegalArgumentException(
+                    s"unknown prefix '$pre:' in FILTER rhs '$rr'")) + local)
+                } else throw new IllegalArgumentException(
+                  s"unparseable FILTER rhs '$rr'")
+              Cmp(l.drop(1), op, t)
+            }
+          case _ => throw new IllegalArgumentException(
+            s"unparseable FILTER '$body' (expect ?var OP rhs or regex(?v, \"pat\"))")
+        }
+    }
+  }
+
+  private def filterColumn(f: FilterExpr, bound: Set[String]): Column = {
+    val missing = f.vars.filterNot(bound)
+    require(missing.isEmpty,
+      s"FILTER references unbound variables: ${missing.mkString(",")}")
+    def cmp(l: Column, op: String, r: Column): Column = op match {
+      case "=" => l === r
+      case "!=" => l =!= r
+      case "<" => l < r
+      case "<=" => l <= r
+      case ">" => l > r
+      case ">=" => l >= r
+    }
+    f match {
+      case Cmp(l, op, V(n)) => cmp(col(l), op, col(n))
+      case Cmp(l, op, C(v)) => cmp(col(l), op, lit(v))
+      case Cmp(l, op, other) => throw new IllegalArgumentException(
+        s"unsupported FILTER rhs $other for ?$l $op")
+      case NumCmp(l, op, v) => cmp(col(l).cast("double"), op, lit(v))
+      case Regex(v, p) => col(v).rlike(p)
+    }
+  }
+
   /** Parse a compact BGP string: `.`-separated triples of
     * whitespace-separated terms. `?x` = variable; `<iri>` = absolute
     * IRI; `"lit"` = literal; `prefix:local` expands via `prefixes`;
@@ -83,12 +183,23 @@ object Bgp {
       case other => throw new IllegalArgumentException(
         s"unparseable term '$other' (expect ?var, <iri>, \"lit\", pfx:local, or a)")
     }
-    bgp.split("\\.").map(_.trim).filter(_.nonEmpty).toSeq.map { t =>
+    splitTopLevel(bgp).map { t =>
+      require(!t.toUpperCase.startsWith("FILTER"),
+        s"FILTER clause '$t' — use query()/parseQuery(), which handle filters")
       val toks = t.split("\\s+").toSeq
       require(toks.length == 3,
         s"triple pattern must have exactly 3 terms, got ${toks.length} in '$t'")
       Pattern(term(toks(0)), term(toks(1)), term(toks(2)))
     }
+  }
+
+  /** Patterns + FILTER clauses of one group body. */
+  private def parseBody(bgp: String, prefixes: Map[String, String]):
+      (Seq[Pattern], Seq[FilterExpr]) = {
+    val (fSegs, pSegs) =
+      splitTopLevel(bgp).partition(_.toUpperCase.startsWith("FILTER"))
+    (parse(pSegs.mkString(" . "), prefixes),
+      fSegs.map(s => parseFilter(s.trim.drop("FILTER".length).trim, prefixes)))
   }
 
   val defaultPrefixes: Map[String, String] = {
@@ -177,7 +288,8 @@ object Bgp {
     */
   def compile(triples: DataFrame, patterns: Seq[Pattern],
       select: Seq[String], plusRounds: Int = 4,
-      optionals: Seq[Seq[Pattern]] = Nil): DataFrame = {
+      optionals: Seq[Seq[Pattern]] = Nil,
+      filters: Seq[FilterExpr] = Nil): DataFrame = {
     val boundable = (patterns ++ optionals.flatten).flatMap(_.vars).toSet
     val missing = select.filterNot(boundable)
     require(missing.isEmpty,
@@ -191,26 +303,33 @@ object Bgp {
       plan = plan.join(g, shared, "left_outer")
       bound ++= gvars
     }
-    plan.select(select.map(col): _*)
+    // group-level filters: Catalyst pushes single-variable predicates
+    // down into the pattern scans on its own; multi-variable ones stay
+    // at the first join where both sides are bound
+    filters.foldLeft(plan)((p, f) => p.filter(filterColumn(f, bound)))
+      .select(select.map(col): _*)
   }
 
-  /** Split `OPTIONAL { ... }` blocks (non-nested) out of a pattern
-    * string → (required patterns, optional groups).
+  /** Split `OPTIONAL { ... }` blocks (non-nested) and FILTER clauses
+    * out of a pattern string → (required patterns, optional groups,
+    * filters). Filters are group-level: they apply after every join.
     */
   def parseQuery(bgp: String,
       prefixes: Map[String, String] = defaultPrefixes):
-      (Seq[Pattern], Seq[Seq[Pattern]]) = {
+      (Seq[Pattern], Seq[Seq[Pattern]], Seq[FilterExpr]) = {
     val optRe = "(?is)OPTIONAL\\s*\\{([^}]*)\\}".r
     val optionals =
       optRe.findAllMatchIn(bgp).map(m => parse(m.group(1), prefixes)).toSeq
-    (parse(optRe.replaceAllIn(bgp, " "), prefixes), optionals)
+    val (required, filters) =
+      parseBody(optRe.replaceAllIn(bgp, " "), prefixes)
+    (required, optionals, filters)
   }
 
-  /** Parse + compile in one step (handles OPTIONAL blocks). */
+  /** Parse + compile in one step (handles OPTIONAL blocks + FILTERs). */
   def query(triples: DataFrame, bgp: String, select: Seq[String],
       prefixes: Map[String, String] = defaultPrefixes,
       plusRounds: Int = 4): DataFrame = {
-    val (required, optionals) = parseQuery(bgp, prefixes)
-    compile(triples, required, select, plusRounds, optionals)
+    val (required, optionals, filters) = parseQuery(bgp, prefixes)
+    compile(triples, required, select, plusRounds, optionals, filters)
   }
 }

@@ -944,6 +944,27 @@ object CaseStudyQueries {
         .limit(15)
     }),
 
+    // BGP with group-level FILTERs: cross-organism interactions whose
+    // source sample label matches a regex — the compiler's filter arm
+    // (var≠var comparison + regex), applied after the joins with
+    // Catalyst free to push the single-variable regex into the label
+    // scan.
+    "kg_bgp_filter_expr" -> ((s: SparkSession, dir: String) => {
+      val t = s.table(Materialized.globiTable(s, dir))
+      graft.ops.Bgp.query(t,
+        """?rec emi:hasSource ?ss .
+           ?rec emi:hasTarget ?ts .
+           ?ss sosa:isSampleOf ?sorg .
+           ?ts sosa:isSampleOf ?torg .
+           ?ss rdfs:label ?sname .
+           FILTER (?sorg != ?torg) .
+           FILTER regex(?sname, "^Taxon 1[0-9]$")""",
+        Seq("sname"))
+        .groupBy(col("sname"))
+        .agg(count(lit(1)).as("n_recs"))
+        .orderBy(col("sname"))
+    }),
+
     // BGP with an OPTIONAL group: interaction-type label histogram with
     // an optional per-record location — the left-join arm of the
     // compiler (the SPARQL shape kg_sparql_trydb_metrics hand-writes as
@@ -1940,6 +1961,26 @@ object CaseStudyQueries {
           FROM it JOIN cw USING (it) JOIN hs USING (rec)
                JOIN lbl USING (ss)
           GROUP BY 1 ORDER BY n_recs DESC, sname LIMIT 15""",
+
+    // FILTERs restated as WHERE clauses on the explicit joins
+    "kg_bgp_filter_expr" ->
+      s"""WITH g AS (SELECT * FROM $g),
+          hs AS (SELECT subj AS rec, obj AS ss FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS ts FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          so AS (SELECT subj AS samp, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          lbl AS (SELECT subj AS ss, obj AS sname FROM g
+                  WHERE pred = '$RDFS_LABEL')
+          SELECT sname, COUNT(*) AS n_recs
+          FROM hs JOIN ht USING (rec)
+               JOIN so s1 ON s1.samp = hs.ss
+               JOIN so s2 ON s2.samp = ht.ts
+               JOIN lbl ON lbl.ss = hs.ss
+          WHERE s1.org <> s2.org
+            AND regexp_matches(sname, '^Taxon 1[0-9]$$')
+          GROUP BY 1 ORDER BY sname""",
 
     // OPTIONAL restated as an explicit LEFT JOIN
     "kg_bgp_optional" ->

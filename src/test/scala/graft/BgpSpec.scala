@@ -142,10 +142,49 @@ class BgpSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("OPTIONAL"))
     // parseQuery splits blocks without disturbing required patterns
-    val (req, opts) = Bgp.parseQuery(
+    val (req, opts, fs) = Bgp.parseQuery(
       """?a emi:hasSource ?b . OPTIONAL { ?b rdfs:label ?l } . ?a emi:hasTarget ?c""")
     assert(req.length === 2 && opts === Seq(Seq(
-      Pattern(V("b"), C(Model.RDFS_LABEL), V("l")))))
+      Pattern(V("b"), C(Model.RDFS_LABEL), V("l")))) && fs.isEmpty)
+  }
+
+  test("FILTER: var-var inequality, string equality, regex, numeric compare") {
+    val got = Bgp.query(triples,
+      """?r emi:hasSource ?ss . ?r emi:hasTarget ?ts .
+         ?ss sosa:isSampleOf ?sorg . ?ts sosa:isSampleOf ?torg .
+         FILTER (?sorg != ?torg)""",
+      Seq("r")).as[String].collect().sorted
+    assert(got === Array("R1", "R2")) // both cross-organism here
+    val same = Bgp.query(triples,
+      """?r emi:hasSource ?ss . ?ss sosa:isSampleOf ?sorg .
+         FILTER (?sorg = "O1")""", Seq("r")).as[String].collect()
+    assert(same === Array("R1"))
+    val rx = Bgp.query(triples,
+      """?ss rdfs:label ?l . FILTER regex(?l, "^al")""",
+      Seq("l")).as[String].collect()
+    assert(rx === Array("alpha"))
+    // numeric FILTER casts both sides to double
+    val num = Seq(("a", "score", "10"), ("b", "score", "9"))
+      .toDF("subj", "pred", "obj")
+    val hi = Bgp.query(num, """?s <score> ?v . FILTER (?v >= 10)""",
+      Seq("s")).as[String].collect()
+    assert(hi === Array("a")) // lexicographic "10" < "9" would say b
+    // filters referencing unbound variables fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      Bgp.query(triples, """?r emi:hasSource ?ss . FILTER (?zzz != ?ss)""",
+        Seq("r"))
+    }
+    assert(ex.getMessage.contains("zzz"))
+  }
+
+  test("top-level split respects quotes, parens, and <iri> angles") {
+    val pats = Bgp.parse("?x <http://ex.org/p.q> ?y . ?y <http://ex.org/r> ?z")
+    assert(pats === Seq(
+      Pattern(V("x"), C("http://ex.org/p.q"), V("y")),
+      Pattern(V("y"), C("http://ex.org/r"), V("z"))))
+    val (_, _, fs) = Bgp.parseQuery(
+      """?x <http://ex.org/p.q> ?y . FILTER regex(?y, "a.b")""")
+    assert(fs === Seq(Bgp.Regex("y", "a.b")))
   }
 
   test("unbound select variable fails loudly") {
