@@ -747,6 +747,48 @@ object CaseStudyQueries {
         .harmonicCentrality(organismEdges(s, dir), 3, 15)
     }),
 
+    // Exact closeness centrality for the top-3 degree hubs: BFS to
+    // EXHAUSTION (while-frontier-nonempty, not a fixed unroll) over the
+    // memoized undirected organism graph — one shuffle per level over
+    // frontier-scale rows, each level localCheckpointed, the count that
+    // drives the loop riding the checkpoint action. Emits the integer
+    // (n_reached, sum_dist) pair beside the rounded closeness so the
+    // gate is integer-exact except one audited division. The oracle
+    // unrolls 8 BFS levels (empty trailing levels are no-ops; the
+    // engine's exhaustion loop proves 8 suffices — a deeper graph would
+    // hash-mismatch loudly, not silently truncate).
+    "kg_cs_closeness" -> ((s: SparkSession, dir: String) => {
+      val und = organismEdges(s, dir)
+      val sym = und.select(col("u").as("a"), col("v").as("b"))
+        .union(und.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint(true)
+      val hubs = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("a")).limit(3)
+        .select(col("a").as("hub"))
+      var visited = hubs.select(col("hub"), col("hub").as("node"),
+        lit(0L).as("dist")).localCheckpoint(true)
+      var frontier = visited
+      var level = 0L
+      var n = frontier.count()
+      while (n > 0) {
+        level += 1
+        val next = frontier.join(sym, frontier("node") === sym("a"))
+          .select(col("hub"), col("b").as("node")).distinct()
+          .join(visited, Seq("hub", "node"), "left_anti")
+          .withColumn("dist", lit(level))
+          .localCheckpoint(true)
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+        n = next.count()
+      }
+      visited.groupBy(col("hub"))
+        .agg((count(lit(1)) - 1L).as("n_reached"),
+          sum(col("dist")).as("sum_dist"))
+        .withColumn("closeness", round(
+          col("n_reached").cast("double") / col("sum_dist").cast("double"), 6))
+        .orderBy(col("hub"))
+    }),
+
     "kg_cs_bfs_reach" -> ((s: SparkSession, dir: String) => {
       val und = organismEdges(s, dir) // memo-checkpointed
       val sym = und.select(col("u").as("a"), col("v").as("b"))
@@ -1680,6 +1722,50 @@ object CaseStudyQueries {
     // same top-3 hub pick (degree desc, name), same 3 unrolled
     // frontier-expansion rounds with the anti-join against the visited
     // set — counts per exact distance
+    // same seed hubs, 8 unrolled BFS levels with per-level visited
+    // anti-joins, then the same (count-1, sum dist) aggregate
+    "kg_cs_closeness" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""f$k AS MATERIALIZED (
+            SELECT DISTINCT f${k - 1}.hub, s.b AS node
+            FROM f${k - 1} JOIN sym s ON s.a = f${k - 1}.node
+            WHERE NOT EXISTS (SELECT 1 FROM v${k - 1}
+                              WHERE v${k - 1}.hub = f${k - 1}.hub
+                                AND v${k - 1}.node = s.b)),
+          v$k AS MATERIALIZED (
+            SELECT hub, node, dist FROM v${k - 1}
+            UNION ALL SELECT hub, node, $k AS dist FROM f$k)"""
+      }.mkString(",\n          ")
+      s"""WITH g AS (SELECT * FROM $g),
+          so AS (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          und AS MATERIALIZED (
+            SELECT DISTINCT least(s1.org, s2.org) AS u,
+                   greatest(s1.org, s2.org) AS v
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          sym AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM und
+            UNION ALL SELECT v AS a, u AS b FROM und),
+          f0 AS MATERIALIZED (
+            SELECT a AS hub, a AS node FROM (
+              SELECT a, COUNT(*) AS d FROM sym GROUP BY a
+              ORDER BY d DESC, a LIMIT 3)),
+          v0 AS MATERIALIZED (SELECT hub, node, 0 AS dist FROM f0),
+          $rounds
+          SELECT hub, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+                 CAST(SUM(dist) AS BIGINT) AS sum_dist,
+                 round(CAST(COUNT(*) - 1 AS DOUBLE)
+                       / CAST(SUM(dist) AS DOUBLE), 6) AS closeness
+          FROM v8 GROUP BY hub ORDER BY hub"""
+    },
+
     "kg_cs_bfs_reach" ->
       s"""WITH g AS (SELECT * FROM $g),
           so AS (SELECT subj AS sample, obj AS org FROM g
