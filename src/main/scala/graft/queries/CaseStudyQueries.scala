@@ -789,6 +789,31 @@ object CaseStudyQueries {
         .orderBy(col("hub"))
     }),
 
+    // Sampled Brandes betweenness from the same 3 hub sources: forward
+    // BFS carrying σ (shortest-path counts — per level, σ(v) = Σ σ(u)
+    // over predecessor-level neighbors, aggregated BEFORE the visited
+    // anti-join so multiplicities are exact), then backward dependency
+    // accumulation δ(v) = Σ σ(v)/σ(w)·(1+δ(w)) over successor-level
+    // neighbors, one level per round, each round ONE frontier-scale
+    // join + aggregate, localCheckpointed (the BFS/SSSP discipline).
+    // σ stays integer end-to-end; δ is the audited double (round 6,
+    // the PageRank convention). Score = Σ over sources of δ —
+    // the standard sampled-source betweenness estimator (sources are
+    // pinned, so both engines sample identically).
+    "kg_cs_betweenness" -> ((s: SparkSession, dir: String) => {
+      val und = organismEdges(s, dir)
+      val sym = und.select(col("u").as("a"), col("v").as("b"))
+        .union(und.select(col("v").as("a"), col("u").as("b")))
+      val hubs = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("a")).limit(3)
+        .select(col("a").as("hub"))
+      graft.ops.Brandes.dependencies(und, hubs)
+        .groupBy(col("node"))
+        .agg(round(sum(col("delta")), 6).as("bc"))
+        .orderBy(col("bc").desc, col("node"))
+        .limit(15)
+    }),
+
     "kg_cs_bfs_reach" -> ((s: SparkSession, dir: String) => {
       val und = organismEdges(s, dir) // memo-checkpointed
       val sym = und.select(col("u").as("a"), col("v").as("b"))
@@ -1722,6 +1747,67 @@ object CaseStudyQueries {
     // same top-3 hub pick (degree desc, name), same 3 unrolled
     // frontier-expansion rounds with the anti-join against the visited
     // set — counts per exact distance
+    // same pinned sources; 8 unrolled σ-carrying BFS levels, then the
+    // unrolled backward dependency accumulation with the identical
+    // division/multiplication order; the deepest unrolled level seeds
+    // δ = 0 (it has no successors — the engine's exhaustion loop
+    // guarantees that or mismatches loudly)
+    "kg_cs_betweenness" -> {
+      val fwd = (1 to 8).map { k =>
+        s"""l$k AS MATERIALIZED (
+            SELECT l.hub, s.b AS node, CAST(SUM(l.sigma) AS BIGINT) AS sigma
+            FROM l${k - 1} l JOIN sym s ON s.a = l.node
+            WHERE NOT EXISTS (SELECT 1 FROM v${k - 1} v
+                              WHERE v.hub = l.hub AND v.node = s.b)
+            GROUP BY l.hub, s.b),
+          v$k AS MATERIALIZED (
+            SELECT hub, node FROM v${k - 1}
+            UNION ALL SELECT hub, node FROM l$k)"""
+      }.mkString(",\n          ")
+      val bwd = (7 to 1 by -1).map { k =>
+        s"""d$k AS MATERIALIZED (
+            SELECT c.hub, c.node,
+                   COALESCE(SUM(CAST(c.sigma AS DOUBLE) / w.sigma
+                                * (1 + dw.delta)), 0.0) AS delta
+            FROM l$k c
+            LEFT JOIN sym s ON s.a = c.node
+            LEFT JOIN l${k + 1} w ON w.hub = c.hub AND w.node = s.b
+            LEFT JOIN d${k + 1} dw ON dw.hub = w.hub AND dw.node = w.node
+            GROUP BY c.hub, c.node)"""
+      }.mkString(",\n          ")
+      val allD = (1 to 8).map(k => s"SELECT hub, node, delta FROM d$k")
+        .mkString("\n            UNION ALL ")
+      s"""WITH g AS (SELECT * FROM $g),
+          so AS (SELECT subj AS sample, obj AS org FROM g
+                 WHERE pred = '${SOSA}isSampleOf'),
+          hs AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasSource'),
+          ht AS (SELECT subj AS rec, obj AS sample FROM g
+                 WHERE pred = '${EMI}hasTarget'),
+          und AS MATERIALIZED (
+            SELECT DISTINCT least(s1.org, s2.org) AS u,
+                   greatest(s1.org, s2.org) AS v
+            FROM hs JOIN so s1 ON s1.sample = hs.sample
+                 JOIN ht ON ht.rec = hs.rec
+                 JOIN so s2 ON s2.sample = ht.sample
+            WHERE s1.org <> s2.org),
+          sym AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM und
+            UNION ALL SELECT v AS a, u AS b FROM und),
+          l0 AS MATERIALIZED (
+            SELECT a AS hub, a AS node, CAST(1 AS BIGINT) AS sigma FROM (
+              SELECT a, COUNT(*) AS d FROM sym GROUP BY a
+              ORDER BY d DESC, a LIMIT 3)),
+          v0 AS MATERIALIZED (SELECT hub, node FROM l0),
+          $fwd,
+          d8 AS MATERIALIZED (
+            SELECT hub, node, CAST(0 AS DOUBLE) AS delta FROM l8),
+          $bwd,
+          allD AS ($allD)
+          SELECT node, round(SUM(delta), 6) AS bc
+          FROM allD GROUP BY node ORDER BY bc DESC, node LIMIT 15"""
+    },
+
     // same seed hubs, 8 unrolled BFS levels with per-level visited
     // anti-joins, then the same (count-1, sum dist) aggregate
     "kg_cs_closeness" -> {
