@@ -59,6 +59,7 @@ object PipelineQueries {
     partitionedDocsTable(s, dir)
     bloomDocsTable(s, dir)
     scd2DimTable(s, dir)
+    wapDocsTable(s, dir)
     ()
   }
 
@@ -174,6 +175,52 @@ object PipelineQueries {
        SELECT user_id, version, state, valid_from, valid_to, n_events,
               valid_to IS NULL AS is_current
        FROM stitched ORDER BY user_id, version"""
+
+  /** Once-per-(session, scale) WAP (write–audit–publish) fixture over
+    * the snapshot-table refs API: base commit tagged `main`; a staged
+    * append that deliberately carries NULL langs gets an `audit` ref,
+    * FAILS the audit (null count > 0, require-checked), is abandoned
+    * via rollback; the corrected batch is appended, re-audited clean,
+    * and `main` is compare-and-set fast-forwarded onto it. The s8m
+    * gate reads through the governed `main` ref — a reader of that ref
+    * can never have observed the unaudited rows.
+    */
+  private def wapDocsTable(s: SparkSession, dir: String): String =
+    Materialized.once(s, "wapDocsTable", dir) {
+      import graft.sources.SnapshotTable
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("snap-wap-gate").toString + "/t"
+      deleteOnExit(tableDir)
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), col("source"), col("lang"))
+      val base = d.filter(col("doc_id") % 3 === 0)
+      val snapBase = SnapshotTable.write(base.repartition(4), tableDir,
+        idempotencyKey = "wap-base")
+      SnapshotTable.createRef(tableDir, "main", snapBase)
+      val bad = d.filter(col("doc_id") % 3 === 1)
+        .withColumn("lang", when(col("doc_id") % 5 === 0,
+          lit(null: String)).otherwise(col("lang")))
+      val staged = SnapshotTable.write(bad, tableDir, mode = "append",
+        idempotencyKey = "wap-stage-bad")
+      SnapshotTable.createRef(tableDir, "audit", staged)
+      require(SnapshotTable.readRef(s, tableDir, "audit")
+        .filter(col("lang").isNull).count() > 0,
+        "WAP fixture must stage a genuinely failing batch")
+      SnapshotTable.rollback(s, tableDir, snapBase,
+        idempotencyKey = "wap-rollback")
+      val corrected = bad.withColumn("lang",
+        coalesce(col("lang"), lit("und")))
+      val fixedSnap = SnapshotTable.write(corrected, tableDir,
+        mode = "append", idempotencyKey = "wap-stage-fixed")
+      SnapshotTable.updateRef(tableDir, "audit", fixedSnap,
+        expectedFrom = Some(staged))
+      require(SnapshotTable.readRef(s, tableDir, "audit")
+        .filter(col("lang").isNull).count() == 0,
+        "corrected batch must pass the audit")
+      SnapshotTable.updateRef(tableDir, "main", fixedSnap,
+        expectedFrom = Some(snapBase))
+      tableDir
+    }
 
   /** Once-per-(session, scale) SCD2 dimension snapshot table: base =
     * batch runs over the first event-id half (global ts is monotone in
@@ -1702,6 +1749,17 @@ object PipelineQueries {
     // incremental == batch exactly — the dimension-history member of the
     // incremental-maintenance family (LSH postings, HLL, CMS, Bloom,
     // canonical triples).
+    // Write–audit–publish through named refs: the gate reads the
+    // GOVERNED `main` ref of the WAP fixture — base rows plus the
+    // corrected (re-audited) batch, never the staged nulls. The ref
+    // machinery (create-new tags, CAS fast-forward, expire-honors-refs)
+    // is spec-pinned in SnapshotTableSpec; this row pins the composed
+    // WAP outcome against an independent SQL derivation.
+    "s8m_wap" -> ((s: SparkSession, dir: String) => {
+      graft.sources.SnapshotTable.readRef(s, wapDocsTable(s, dir), "main")
+        .orderBy(col("doc_id"))
+    }),
+
     "s8l_scd2_merge" -> ((s: SparkSession, dir: String) => {
       graft.sources.SnapshotTable.read(s, scd2DimTable(s, dir))
         .select(col("user_id"), col("version"), col("state"),
@@ -3425,6 +3483,16 @@ object PipelineQueries {
     // the INCREMENTAL build is gated against the identical FULL-BATCH
     // SQL — green ⇒ incremental == batch over the whole stream
     "s8l_scd2_merge" -> scd2OracleSql,
+
+    // expected content of the published ref: base thirds ∪ the
+    // corrected batch (nulls healed to 'und'), staged rows absent
+    "s8m_wap" ->
+      """SELECT doc_id, source, lang FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id, source,
+                CASE WHEN doc_id % 5 = 0 THEN 'und' ELSE lang END AS lang
+         FROM documents WHERE doc_id % 3 = 1
+         ORDER BY doc_id""",
 
     "ev_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events

@@ -1116,10 +1116,90 @@ object SnapshotTable {
     * files of superseded overwrites are the storage cost that grows
     * without this). Returns (expired snapshot ids, deleted data files).
     */
+  // ---- named refs (Iceberg-style tags + movable branch pointers) -------
+  //
+  // A ref is a named pointer at a snapshot: `metadata/refs/<name>.json`.
+  // createRef has CREATE-NEW semantics (an existing name throws — the
+  // tag discipline); updateRef atomically repoints (the branch/
+  // fast-forward discipline, with an optional compare-and-set floor).
+  // expireSnapshots honors refs: a ref'd snapshot is never expired, so
+  // a tag pins its snapshot's files exactly like Iceberg tag retention.
+  // This is what the write–audit–publish (WAP) pattern composes from:
+  // stage a commit, point an `audit` ref at it, validate through the
+  // ref, then fast-forward `main` (or roll back and restage) — readers
+  // of the governed ref never see unaudited data.
+
+  private def refPath(dir: String, name: String) = {
+    require(name.matches("[A-Za-z0-9._-]{1,64}"), s"bad ref name '$name'")
+    Paths.get(dir, "metadata", "refs", s"$name.json")
+  }
+
+  /** Create ref `name` at `snap`; throws if the name exists. */
+  def createRef(dir: String, name: String, snap: Long): Unit = {
+    require(Files.exists(versionPath(dir, snap)),
+      s"snapshot $snap is not a retained snapshot of $dir")
+    val p = refPath(dir, name)
+    Files.createDirectories(p.getParent)
+    Files.write(p, s"""{"snapshot":$snap}""".getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW)
+  }
+
+  /** Atomically repoint ref `name` to `snap`. `expectedFrom` makes the
+    * move a compare-and-set (fast-forward discipline): the update
+    * refuses when the ref no longer points where the caller audited.
+    */
+  def updateRef(dir: String, name: String, snap: Long,
+      expectedFrom: Option[Long] = None): Unit = {
+    require(Files.exists(versionPath(dir, snap)),
+      s"snapshot $snap is not a retained snapshot of $dir")
+    val p = refPath(dir, name)
+    require(Files.exists(p), s"ref '$name' does not exist in $dir")
+    expectedFrom.foreach { e =>
+      val cur = refSnapshot(dir, name)
+      require(cur == e, s"ref '$name' moved: expected $e, found $cur")
+    }
+    val tmp = p.resolveSibling(s"$name.json.tmp-$snap")
+    Files.writeString(tmp, s"""{"snapshot":$snap}""")
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Snapshot a ref points at (throws on unknown ref). */
+  def refSnapshot(dir: String, name: String): Long = {
+    val p = refPath(dir, name)
+    require(Files.exists(p), s"ref '$name' does not exist in $dir")
+    """"snapshot"\s*:\s*(\d+)""".r.findFirstMatchIn(Files.readString(p))
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"corrupt ref file $p"))
+  }
+
+  def dropRef(dir: String, name: String): Unit =
+    Files.deleteIfExists(refPath(dir, name))
+
+  def listRefs(dir: String): Seq[(String, Long)] = {
+    val d = Paths.get(dir, "metadata", "refs")
+    if (!Files.exists(d)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .map { p =>
+          val name = p.getFileName.toString.stripSuffix(".json")
+          name -> refSnapshot(dir, name)
+        }.toSeq.sortBy(_._1)
+    }
+  }
+
+  /** Read the table through a named ref — the governed read path. */
+  def readRef(spark: SparkSession, dir: String, name: String): DataFrame =
+    read(spark, dir, Some(refSnapshot(dir, name)))
+
   def expireSnapshots(spark: SparkSession, dir: String,
       keepLast: Int = 1, sweepOrphansOlderThanMs: Long = 259200000L): (Seq[Long], Long) = {
     val all = history(dir).map(_.id)
-    val keep = all.takeRight(math.max(keepLast, 1)).toSet
+    // refs pin their snapshots (Iceberg tag/branch retention)
+    val keep = all.takeRight(math.max(keepLast, 1)).toSet ++
+      (listRefs(dir).map(_._2).toSet & all.toSet)
     val expire = all.filterNot(keep)
     def files(snaps: Iterable[Long]): Set[String] =
       snaps.toSeq.flatMap { s =>

@@ -40,6 +40,43 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(hist(1).rows == 60 && hist(1).parent == 1L)
   }
 
+  test("refs: create-new tags, CAS fast-forward, expire honors refs") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("snapref").toString + "/t"
+    val s1 = SnapshotTable.write(DataGen.corpus(spark, 30, 2).toDF(), dir)
+    val s2 = SnapshotTable.write(DataGen.corpus(spark, 50, 2).toDF()
+      .filter(col("doc_id") > "DOC-000000029"), dir, mode = "append")
+    // tag discipline: create-new throws on an existing name
+    SnapshotTable.createRef(dir, "v1.0", s1)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      SnapshotTable.createRef(dir, "v1.0", s2)
+    }
+    // ref read == time travel
+    assert(SnapshotTable.readRef(spark, dir, "v1.0").count() ==
+      SnapshotTable.read(spark, dir, Some(s1)).count())
+    // branch fast-forward with CAS: wrong floor refuses, right one moves
+    SnapshotTable.createRef(dir, "main", s1)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.updateRef(dir, "main", s2, expectedFrom = Some(99L))
+    }
+    SnapshotTable.updateRef(dir, "main", s2, expectedFrom = Some(s1))
+    assert(SnapshotTable.refSnapshot(dir, "main") == s2)
+    assert(SnapshotTable.listRefs(dir).toMap ==
+      Map("v1.0" -> s1, "main" -> s2))
+    // refs pin snapshots: keepLast=1 would expire s1, but the tag holds
+    val (expired, _) = SnapshotTable.expireSnapshots(spark, dir, keepLast = 1)
+    assert(!expired.contains(s1), s"tagged snapshot expired: $expired")
+    assert(SnapshotTable.readRef(spark, dir, "v1.0").count() == 30)
+    // dropping the tag releases it on the next expire
+    SnapshotTable.dropRef(dir, "v1.0")
+    val (expired2, _) = SnapshotTable.expireSnapshots(spark, dir, keepLast = 1)
+    assert(expired2.contains(s1))
+    // refs to unretained snapshots refuse at create time
+    intercept[IllegalArgumentException] {
+      SnapshotTable.createRef(dir, "stale", s1)
+    }
+  }
+
   test("pipeline reads the interleaved doc corpus from a snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("snapdocs").toString + "/docs"
     SnapshotTable.write(DataGen.corpus(spark, 50, 4).toDF(), dir)
