@@ -27,12 +27,23 @@ object Shacl {
   /** Objects of `path` must be literals of `datatype`. */
   final case class DatatypeShape(id: String, path: String, datatype: String)
 
+  /** Objects of `path` must be instances of `cls` (sh:class — the
+    * range constraint): violation when the object node carries no
+    * `rdf:type cls` triple. One anti-join of the path's objects
+    * against the cls-typed subject set (type sets are
+    * class-cardinality-bounded, so the join's build side is the typed
+    * ids, not the corpus).
+    */
+  final case class ClassShape(id: String, path: String, cls: String)
+
   private val rdfType = graft.kg.Model.RDF_TYPE
 
   /** Long-format violations: one (shape_id, subj) row per violation. */
   def violations(triples: DataFrame, card: Seq[CardShape],
-      iri: Seq[IriShape] = Nil, dt: Seq[DatatypeShape] = Nil): DataFrame = {
-    require(card.nonEmpty || iri.nonEmpty || dt.nonEmpty, "no shapes")
+      iri: Seq[IriShape] = Nil, dt: Seq[DatatypeShape] = Nil,
+      cls: Seq[ClassShape] = Nil): DataFrame = {
+    require(card.nonEmpty || iri.nonEmpty || dt.nonEmpty || cls.nonEmpty,
+      "no shapes")
     val parts = cardViolations(triples, card) ++
       iri.map(sh => triples
         .filter(col("pred") === sh.path && col("objIsLiteral"))
@@ -40,7 +51,15 @@ object Shacl {
       dt.map(sh => triples
         .filter(col("pred") === sh.path &&
           (!col("objIsLiteral") || col("objDatatype") =!= sh.datatype))
-        .select(lit(sh.id).as("shape_id"), col("subj")))
+        .select(lit(sh.id).as("shape_id"), col("subj"))) ++
+      cls.map { sh =>
+        val typed = triples.filter(col("pred") === rdfType &&
+          col("obj") === sh.cls).select(col("subj").as("obj"))
+        triples.filter(col("pred") === sh.path)
+          .select(col("subj"), col("obj"))
+          .join(typed, Seq("obj"), "left_anti")
+          .select(lit(sh.id).as("shape_id"), col("subj"))
+      }
     parts.reduce(_ union _)
   }
 
@@ -74,14 +93,16 @@ object Shacl {
     * shipping it. Shapes with zero violations appear with (0, 0).
     */
   def report(triples: DataFrame, card: Seq[CardShape],
-      iri: Seq[IriShape] = Nil, dt: Seq[DatatypeShape] = Nil): DataFrame = {
+      iri: Seq[IriShape] = Nil, dt: Seq[DatatypeShape] = Nil,
+      cls: Seq[ClassShape] = Nil): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val agg = violations(triples, card, iri, dt)
+    val agg = violations(triples, card, iri, dt, cls)
       .select(col("shape_id"), Dedup.hash60(col("subj")).as("h"))
       .groupBy(col("shape_id"))
       .agg(count(lit(1)).as("n_violations"), expr("bit_xor(h)").as("fp"))
-    val all = (card.map(_.id) ++ iri.map(_.id) ++ dt.map(_.id)).toDF("shape_id")
+    val all = (card.map(_.id) ++ iri.map(_.id) ++ dt.map(_.id) ++
+      cls.map(_.id)).toDF("shape_id")
     broadcast(all).join(agg, Seq("shape_id"), "left")
       .select(col("shape_id"),
         coalesce(col("n_violations"), lit(0L)).as("n_violations"),

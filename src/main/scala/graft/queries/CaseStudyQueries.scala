@@ -1120,7 +1120,17 @@ object CaseStudyQueries {
             maxCount = 1L)),
         iri = Seq(Shacl.IriShape("intaxon_nodekind_iri", EMI + "inTaxon")),
         dt = Seq(Shacl.DatatypeShape("numericvalue_datatype_integer",
-          Model.QUDT + "numericValue", Model.XSD_INTEGER)))
+          Model.QUDT + "numericValue", Model.XSD_INTEGER)),
+        cls = Seq(
+          // clean range: every hasSource object is a typed Sample
+          Shacl.ClassShape("hassource_class_sample", EMI + "hasSource",
+            sample),
+          // honestly violated range: the graph never types taxon IRIs
+          // (neither does the reference), so every inTaxon object
+          // violates an `sh:class emi:Taxon` shape — the report
+          // SURFACES the modeling gap instead of hiding it
+          Shacl.ClassShape("intaxon_class_taxon", EMI + "inTaxon",
+            EMI + "Taxon")))
     })
   )
 
@@ -2270,7 +2280,17 @@ object CaseStudyQueries {
            UNION ALL
            SELECT 'numericvalue_datatype_integer', subj FROM gg
            WHERE pred = '${Model.QUDT}numericValue'
-             AND (NOT objIsLiteral OR objDatatype <> '${Model.XSD_INTEGER}')),
+             AND (NOT objIsLiteral OR objDatatype <> '${Model.XSD_INTEGER}')
+           UNION ALL
+           SELECT 'hassource_class_sample', subj FROM gg
+           WHERE pred = '${EMI}hasSource' AND obj NOT IN (
+             SELECT subj FROM gg WHERE pred = '${Model.RDF_TYPE}'
+               AND obj = '${SOSA}Sample')
+           UNION ALL
+           SELECT 'intaxon_class_taxon', subj FROM gg
+           WHERE pred = '${EMI}inTaxon' AND obj NOT IN (
+             SELECT subj FROM gg WHERE pred = '${Model.RDF_TYPE}'
+               AND obj = '${EMI}Taxon')),
          agg AS (
            SELECT shape_id, COUNT(*) AS n_violations,
              bit_xor(('0x' || substr(md5(subj), 1, 15))::BIGINT) AS fp
@@ -2279,7 +2299,8 @@ object CaseStudyQueries {
            ('interaction_source_exactly1'), ('interaction_target_exactly1'),
            ('interaction_classified_min1'), ('sample_intaxon_exactly1'),
            ('sample_label_min1'), ('sample_sex_max1'),
-           ('intaxon_nodekind_iri'), ('numericvalue_datatype_integer'))
+           ('intaxon_nodekind_iri'), ('numericvalue_datatype_integer'),
+           ('hassource_class_sample'), ('intaxon_class_taxon'))
          SELECT s.shape_id, COALESCE(n_violations, 0) AS n_violations,
                 COALESCE(fp, 0) AS fp
          FROM shapes s LEFT JOIN agg USING (shape_id)

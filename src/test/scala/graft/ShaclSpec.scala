@@ -65,6 +65,22 @@ class ShaclSpec extends AnyFunSuite {
     assert(byId("p_exactly1")._3 === expFp)
   }
 
+  test("sh:class range shape flags objects lacking the type triple") {
+    // good's q-object (http://ex/ok) is untyped → violation;
+    // typedq's object (good) IS typed Thing → clean
+    val withTyped = triples.union(Seq(
+      ("typedq", "q2", "good", false, ""))
+      .toDF("subj", "pred", "obj", "objIsLiteral", "objDatatype"))
+    val v = Shacl.violations(withTyped, Nil, Nil, Nil,
+      cls = Seq(Shacl.ClassShape("q_range_thing", "q", T),
+        Shacl.ClassShape("q2_range_thing", "q2", T)))
+      .as[(String, String)].collect().toSet
+    assert(v === Set(
+      ("q_range_thing", "good"),
+      ("q_range_thing", "bad_litq"),
+      ("q_range_thing", "untyped")))
+  }
+
   test("maxCount-only shape ignores absent property (count 0 is legal)") {
     val r = Shacl.report(triples,
       Seq(Shacl.CardShape("p_max1", T, "p", maxCount = 1L)))
