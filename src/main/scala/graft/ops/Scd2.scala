@@ -58,11 +58,33 @@ object Scd2 {
   def applyIncrement(spark: SparkSession, dimDir: String,
       newEvents: DataFrame, idempotencyKey: String): Long = {
     import graft.sources.SnapshotTable
+    // a REPLAY of an already-committed increment must no-op before the
+    // order guard runs: after the original commit the open runs have
+    // advanced past this batch, so the guard would (correctly, for a
+    // genuinely NEW batch) reject what is actually the same batch again
+    val already = SnapshotTable.snapshotWithKey(dimDir, idempotencyKey)
+    if (already.isDefined) return already.get
     val users = newEvents.select(col("user_id")).distinct()
     // ≤ 1 open row per affected user; dimension-scale, not history-scale
     val open = SnapshotTable.read(spark, dimDir)
       .filter(col("valid_to").isNull)
       .join(users, Seq("user_id"), "left_semi")
+    // ENFORCE the time-ordered-feed contract (the IncrementalDedup
+    // requireInOrderKey convention — a violated precondition must fail
+    // loudly, not corrupt silently): an increment event older than its
+    // user's OPEN run start would splice history the closed rows
+    // already encode. Detectable violations (ts < open valid_from) are
+    // refused outright; lateness WITHIN the open run is absorbed
+    // correctly by the re-fold (the open run re-enters as one
+    // valid_from-anchored pseudo event, so any event ≥ valid_from
+    // lands in or after it exactly as a full rebuild would).
+    val stale = newEvents
+      .join(open.select(col("user_id"), col("valid_from")), Seq("user_id"))
+      .filter(col("ts") < col("valid_from"))
+    val nStale = stale.count()
+    require(nStale == 0,
+      s"out-of-order increment: $nStale event(s) predate their user's " +
+        "open run — replay order violates the time-ordered-feed contract")
     // the open run re-enters the fold as ONE pseudo event carrying its
     // accumulated weight; event_id -1 sorts it before any real event at
     // the same ts, and its ts (= valid_from) precedes the increment by

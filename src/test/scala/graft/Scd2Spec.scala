@@ -63,6 +63,27 @@ class Scd2Spec extends AnyFunSuite {
       (3L, 1L, "z", ts(2), None, 1L, true)))
   }
 
+  test("out-of-order increment fails loudly instead of splicing history") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val dir = java.nio.file.Files.createTempDirectory("scd2o").toString + "/t"
+    val base = Seq((1L, ts(0), 1L, "a"), (1L, ts(5), 2L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    SnapshotTable.write(Scd2.runs(base), dir, idempotencyKey = "b")
+    // event at minute 3 predates the open "b" run (valid_from = :05)
+    val late = Seq((1L, ts(3), 9L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val ex = intercept[IllegalArgumentException] {
+      Scd2.applyIncrement(spark, dir, late, "late")
+    }
+    assert(ex.getMessage.contains("out-of-order"))
+    // lateness WITHIN the open run is legal and equals the full rebuild
+    val inRun = Seq((1L, ts(6), 10L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    Scd2.applyIncrement(spark, dir, inRun, "ok")
+    assert(sortedRows(SnapshotTable.read(spark, dir)) ===
+      sortedRows(Scd2.runs(base.unionByName(inRun))))
+  }
+
   test("replaying an increment with the same idempotency key is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("scd2r").toString + "/t"
     val e = events
