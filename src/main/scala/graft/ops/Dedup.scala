@@ -105,6 +105,42 @@ object Dedup {
     tokens.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-doc sorted distinct-token ARRAYS computed entirely in the scan
+    * stage — the zero-shuffle twin of docTokensHashed→tokenArrays: the
+    * explode → distinct → groupBy(id) chain shuffled the corpus token
+    * fan-out twice to reach this same (id, toks, n_tok) shape;
+    * array_distinct + sort_array inside the row projection reach it with
+    * zero exchanges (set-of-hashes == hashes-of-token-set, so the arrays
+    * are value-identical). Docs with no qualifying tokens produce no row,
+    * matching the exploded form. `hashed=false` keeps raw token strings
+    * (the docTokens twin, for the string-Jaccard oracles).
+    */
+  def docTokenArraysHashed(docs: DataFrame, idCol: String, textCol: String,
+      minTokenLen: Int = 1, hashed: Boolean = true): DataFrame = {
+    val toks = TextOps.tokens(TextOps.normalizeText(col(textCol)))
+    val kept =
+      if (minTokenLen <= 1) toks
+      else filter(toks, t => length(t) >= minTokenLen)
+    val arr = if (hashed) transform(kept, t => hash60(t)) else kept
+    docs
+      .select(col(idCol).as("id"),
+        sort_array(array_distinct(arr)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+  }
+
+  /** MinHash signatures from a per-doc token ARRAY column — the
+    * shuffle-free twin of [[minhashSignatures]] (array_min over md5
+    * strings == the min() aggregate over the exploded rows, same binary
+    * string ordering, so signature values are bit-identical). Runs in
+    * the same codegen stage as the array construction: corpus → banded
+    * postings without a single exchange.
+    */
+  def minhashSignaturesFromArrays(arrays: DataFrame, k: Int): DataFrame =
+    arrays.select(col("id") +: (0 until k).map(i =>
+      array_min(transform(col("toks"),
+        t => md5(concat(lit(s"$i:"), t)))).as(s"sig_$i")): _*)
+
   /** LSH band keys: split k signatures into bands of `rowsPerBand`,
     * hash each band; docs sharing any band key become candidates.
     */
@@ -200,12 +236,16 @@ object Dedup {
                  k: Int = 8, rowsPerBand: Int = 2,
                  threshold: Double = 0.5, minTokenLen: Int = 1,
                  maxBucket: Int = 1000): DataFrame = {
-    val tokens = docTokensHashed(docs, idCol, textCol, minTokenLen)
+    // arrays + signatures + banding all live in the scan stage
+    // (docTokenArraysHashed / minhashSignaturesFromArrays): the only
+    // corpus-scale exchanges left are the fundamental ones — the bucket
+    // self-join and the verify joins on the pair ids
+    val arrays = docTokenArraysHashed(docs, idCol, textCol, minTokenLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignatures(tokens, k)
+    val sigs = minhashSignaturesFromArrays(arrays, k)
     val bands = lshBands(sigs, k, rowsPerBand)
     val cands = lshCandidates(bands, maxBucket)
-    jaccardVerify(cands, tokens)
+    jaccardVerifyArrays(cands, arrays)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -143,16 +143,18 @@ object IncrementalDedup {
     requireInOrderKey(
       Seq(postingsDir(stateDir), arraysDir(stateDir), pairsDir(stateDir)),
       idempotencyKey)
-    val newTokens = Dedup
-      .docTokensHashed(docs, idCol, textCol, cfg.minTokenLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newArrays = Dedup.tokenArrays(newTokens)
+    // arrays AND postings derive from the zero-shuffle per-row array
+    // construction (Dedup.docTokenArraysHashed): the prior explode →
+    // distinct → two groupBy(id) chain shuffled the increment's token
+    // fan-out three times before any state was touched; both frames now
+    // materialize straight out of the scan stage
+    val newArrays = Dedup
+      .docTokenArraysHashed(docs, idCol, textCol, cfg.minTokenLen)
       .localCheckpoint(true) // referenced by verify join + append
     val newPostings = Dedup
-      .lshBands(Dedup.minhashSignatures(newTokens, cfg.k), cfg.k,
+      .lshBands(Dedup.minhashSignaturesFromArrays(newArrays, cfg.k), cfg.k,
         cfg.rowsPerBand)
       .localCheckpoint(true) // referenced by sizing, probe AND append
-    newTokens.unpersist(false)
 
     import spark.implicits._
     val oldPostings = tableOrEmpty(spark, postingsDir(stateDir),

@@ -52,7 +52,7 @@ object CaseStudyQueries {
     * and property-path queries; memoized + checkpointed like
     * [[organismEdges]] (dimension-sized: distinct lineages).
     */
-  private def taxonomyEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def taxonomyEdges(s: SparkSession, dir: String): DataFrame =
     Materialized.once(s, "taxonomyEdges", dir) {
       val toks = Materialized.taxonPaths(s, dir)
         .select(split(col("path"), "\\|").as("p"))
@@ -78,7 +78,7 @@ object CaseStudyQueries {
     * [[materializeShared]] forces it in Bench's materialize phase so the
     * build cost lands on the explicit materialize line.
     */
-  private def organismEdgesDirected(s: SparkSession, dir: String): DataFrame =
+  private[graft] def organismEdgesDirected(s: SparkSession, dir: String): DataFrame =
     Materialized.once(s, "orgEdgesDirected", dir) {
       val t = s.table(Materialized.globiTable(s, dir))
       val so = t.filter(col("pred") === SOSA + "isSampleOf")
@@ -103,7 +103,7 @@ object CaseStudyQueries {
     * distinct. Nested `once` calls take different locks (acyclic:
     * undirected → directed → Materialized.globiTable), so no deadlock.
     */
-  private def organismEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def organismEdges(s: SparkSession, dir: String): DataFrame =
     Materialized.once(s, "orgEdgesUndirected", dir) {
       organismEdgesDirected(s, dir)
         .select(least(col("src"), col("dst")).as("u"),
@@ -121,7 +121,7 @@ object CaseStudyQueries {
     * by Σ min-degree² instead of Σ degree² — the standard hub-safe
     * triangle plan at corpus scale.
     */
-  private def organismTriangles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def organismTriangles(s: SparkSession, dir: String): DataFrame =
     Materialized.once(s, "orgTriangles", dir) {
       val und = organismEdges(s, dir)
       val deg = und.select(col("u").as("n")).union(und.select(col("v")))

@@ -36,7 +36,7 @@ object PipelineQueries {
     * mapping (dd_lsh_clusters and tx_leakage_split) and the iterative
     * CC is the expensive part on top of the pairs.
     */
-  private def lshComponents(s: SparkSession, dir: String): DataFrame =
+  private[graft] def lshComponents(s: SparkSession, dir: String): DataFrame =
     Materialized.once(s, "lshComponents", dir) {
       graft.kg.Canonical.connectedComponents(
           verifiedLshPairs(s, dir)
@@ -101,7 +101,7 @@ object PipelineQueries {
     * boilerplate buckets blow up to 2.8M pairs / 43× the capped volume,
     * the exact pathology the cap exists for).
     */
-  private def incLshState(s: SparkSession, dir: String): String =
+  private[graft] def incLshState(s: SparkSession, dir: String): String =
     Materialized.once(s, "incLshState", dir) {
       val stateDir = java.nio.file.Files
         .createTempDirectory("dd-inc-lsh").toString
@@ -127,7 +127,7 @@ object PipelineQueries {
     * rewrite, manifest carry, and the read path are all inside the
     * hash. The idempotency key makes rebuild-after-crash replays safe.
     */
-  private def mergedDocsTable(s: SparkSession, dir: String): String =
+  private[graft] def mergedDocsTable(s: SparkSession, dir: String): String =
     Materialized.once(s, "mergedDocsTable", dir) {
       import graft.sources.SnapshotTable
       val tableDir = java.nio.file.Files
@@ -185,7 +185,7 @@ object PipelineQueries {
     * gate reads through the governed `main` ref — a reader of that ref
     * can never have observed the unaudited rows.
     */
-  private def wapDocsTable(s: SparkSession, dir: String): String =
+  private[graft] def wapDocsTable(s: SparkSession, dir: String): String =
     Materialized.once(s, "wapDocsTable", dir) {
       import graft.sources.SnapshotTable
       val tableDir = java.nio.file.Files
@@ -229,7 +229,7 @@ object PipelineQueries {
     * the second half in. The s8l gate reads the result back against the
     * full-batch oracle.
     */
-  private def scd2DimTable(s: SparkSession, dir: String): String =
+  private[graft] def scd2DimTable(s: SparkSession, dir: String): String =
     Materialized.once(s, "scd2DimTable", dir) {
       import graft.sources.SnapshotTable
       val tableDir = java.nio.file.Files
@@ -260,7 +260,7 @@ object PipelineQueries {
     * NOT-IN filter — file-level COW, verbatim carry of untouched
     * files, and the read path all sit inside the hash.
     */
-  private def deletedDocsTable(s: SparkSession, dir: String): String =
+  private[graft] def deletedDocsTable(s: SparkSession, dir: String): String =
     Materialized.once(s, "deletedDocsTable", dir) {
       import graft.sources.SnapshotTable
       val tableDir = java.nio.file.Files
@@ -297,7 +297,7 @@ object PipelineQueries {
     * min/max bounds cannot prune a doc_id probe) — the fixture for the
     * bloom point-read gate.
     */
-  private def bloomDocsTable(s: SparkSession, dir: String): String =
+  private[graft] def bloomDocsTable(s: SparkSession, dir: String): String =
     Materialized.once(s, "bloomDocsTable", dir) {
       import graft.sources.SnapshotTable
       val tableDir = java.nio.file.Files
@@ -320,7 +320,7 @@ object PipelineQueries {
     * copy-on-write, verbatim carry, and the hive-partitioned read path
     * all sit inside the hash.
     */
-  private def partitionedDocsTable(s: SparkSession, dir: String): String =
+  private[graft] def partitionedDocsTable(s: SparkSession, dir: String): String =
     Materialized.once(s, "partitionedDocsTable", dir) {
       import graft.sources.SnapshotTable
       val tableDir = java.nio.file.Files
@@ -347,7 +347,7 @@ object PipelineQueries {
     * the plain SQL filter — pruning must never change what a read
     * returns.
     */
-  private def statsDocsTable(s: SparkSession, dir: String): String =
+  private[graft] def statsDocsTable(s: SparkSession, dir: String): String =
     Materialized.once(s, "statsDocsTable", dir) {
       import graft.sources.SnapshotTable
       val tableDir = java.nio.file.Files
@@ -369,7 +369,7 @@ object PipelineQueries {
     * z-beats-1-D skip-count comparison is pinned in SnapshotTableSpec;
     * the gate hashes the RESULT against the plain two-range filter.
     */
-  private def zorderOrdersTable(s: SparkSession, dir: String): String =
+  private[graft] def zorderOrdersTable(s: SparkSession, dir: String): String =
     Materialized.once(s, "zorderOrdersTable", dir) {
       import graft.sources.SnapshotTable
       val tableDir = java.nio.file.Files
@@ -387,7 +387,7 @@ object PipelineQueries {
   /** Once-per-(session, scale) embedding sign-LSH incremental state —
     * the incLshState twin for the vector family.
     */
-  private def incCosState(s: SparkSession, dir: String): String =
+  private[graft] def incCosState(s: SparkSession, dir: String): String =
     Materialized.once(s, "incCosState", dir) {
       val stateDir = java.nio.file.Files
         .createTempDirectory("dd-inc-cos").toString
@@ -404,7 +404,7 @@ object PipelineQueries {
       stateDir
     }
 
-  private def verifiedLshPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def verifiedLshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsMemo.computeIfAbsent(
       // applicationId is unique per context — an identityHashCode key
       // can be reused after GC and would hand a later session a
@@ -953,8 +953,11 @@ object PipelineQueries {
     }),
 
     "dd_minhash_sigs" -> ((s: SparkSession, dir: String) => {
-      val tokens = Dedup.docTokens(s.read.parquet(t(dir, "documents")), "doc_id", "text")
-      Dedup.minhashSignatures(tokens, 4).orderBy(col("id"))
+      // zero-shuffle: distinct-token arrays + array_min signatures in
+      // the scan stage (value-identical to the explode→groupBy form)
+      val arrays = Dedup.docTokenArraysHashed(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text", hashed = false)
+      Dedup.minhashSignaturesFromArrays(arrays, 4).orderBy(col("id"))
     }),
 
     "dd_minhash_lsh" -> ((s: SparkSession, dir: String) => {
@@ -1129,17 +1132,23 @@ object PipelineQueries {
       // up front (engine-portable, same construction as simhashPortable)
       // so the verify arrays and every shuffle carry longs, not trigram
       // strings — at sf0.1 this is the difference between 17 s and ~6 s
-      val tokens = s.read.parquet(t(dir, "documents"))
+      // per-doc distinct shingle-hash ARRAYS built in the scan stage
+      // (sort_array ∘ array_distinct ∘ hash60, the docTokenArraysHashed
+      // construction applied to trigrams): the former explode → distinct
+      // → signature-groupBy → tokenArrays-groupBy chain shuffled the
+      // shingle fan-out three times; now the only exchanges are the
+      // bucket self-join and the pair-id verify joins
+      val arrays = s.read.parquet(t(dir, "documents"))
         .select(col("doc_id").as("id"),
           TextOps.tokens(TextOps.normalizeText(col("text"))).as("_ts"))
-        .select(col("id"), explode(Dedup.shinglesOf(col("_ts"), 3)).as("sh"))
-        // hash in the scan stage: the one distinct shuffles (id, long),
-        // never raw trigram strings
-        .select(col("id"), Dedup.hash60(col("sh")).as("token"))
-        .distinct()
-      val sigs = Dedup.minhashSignatures(tokens, 4)
+        .select(col("id"), sort_array(array_distinct(
+          transform(Dedup.shinglesOf(col("_ts"), 3),
+            sh => Dedup.hash60(sh)))).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+      val sigs = Dedup.minhashSignaturesFromArrays(arrays, 4)
       val cands = Dedup.lshCandidates(Dedup.lshBands(sigs, 4, 2), maxBucket = 1000)
-      Dedup.jaccardVerify(cands, tokens)
+      Dedup.jaccardVerifyArrays(cands, arrays)
         .filter(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
@@ -1149,14 +1158,18 @@ object PipelineQueries {
       // token-set Jaccard over blocked candidate pairs (same source, same
       // token count bucket) — relational formulation, SQL-verifiable
       val d = s.read.parquet(t(dir, "documents"))
-      val tokens = Dedup.docTokens(d, "doc_id", "text")
+      // distinct-token arrays straight from the scan (no explode →
+      // distinct → groupBy shuffles); raw strings kept because this
+      // query's Jaccard is defined over the unhashed token sets
+      val tokens = Dedup.docTokenArraysHashed(d, "doc_id", "text",
+        hashed = false)
       val block = d.select(col("doc_id"),
         col("source"), (TextOps.tokenCount(col("text")) / 10).cast("long").as("bkt"))
       val pairs = block.as("a").join(block.as("b"),
           col("a.source") === col("b.source") && col("a.bkt") === col("b.bkt") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      Dedup.jaccardVerify(pairs, tokens)
+      Dedup.jaccardVerifyArrays(pairs, tokens)
         .filter(col("jaccard") >= 0.9)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))

@@ -96,6 +96,55 @@ object SnapshotTable {
     (s""""$k":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(j)
       .map(m => jsonUnescape(m.group(1)))
 
+  private def metaLong(j: String, k: String): Option[Long] =
+    (s""""$k":(-?\\d+)""").r.findFirstMatchIn(j).map(_.group(1).toLong)
+
+  /** (data_files, rows) recorded by snapshot `snap` — every commit path
+    * writes both, so manifest totals are answerable from one metadata
+    * read instead of re-aggregating the manifest parquet.
+    */
+  private def metaCounts(dir: String, snap: Long): Option[(Long, Long)] =
+    metaJson(dir, snap).flatMap(j =>
+      for (f <- metaLong(j, "data_files"); r <- metaLong(j, "rows"))
+        yield (f, r))
+
+  /** Driver-side cache of committed manifests (rows + schema), keyed by
+    * the manifest dir — sound because a committed manifest is IMMUTABLE
+    * (writers land attempts under writer-unique names and never rewrite
+    * a committed one; expiry deletes, never edits). Re-reading the same
+    * few-KB manifest parquet cost one Spark job per table read — across
+    * the s8* fixture suite and the incremental-dedup state machinery
+    * that was hundreds of scheduler round-trips per bench run. The
+    * cached frame comes back as a LOCAL relation, so filters/projections
+    * over it constant-fold driver-side (ConvertToLocalRelation) instead
+    * of scheduling jobs. Manifests beyond [[ManifestCacheMaxRows]]
+    * entries (a 100 TB table has file counts in the millions) bypass the
+    * cache and keep the distributed read — the cache is a small-metadata
+    * fast path, not an assumption that metadata fits the driver.
+    */
+  private val ManifestCacheMaxRows = 100000
+  private val ManifestCacheMaxEntries = 1024
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Row], StructType)]()
+
+  private def manifestFrame(spark: SparkSession, dir: String,
+      snap: Long): DataFrame = {
+    val mdir = manifestDir(dir, snap)
+    val cached = manifestCache.get(mdir)
+    if (cached != null)
+      return spark.createDataFrame(
+        java.util.Arrays.asList(cached._1: _*), cached._2)
+    // the recorded data_files count IS the manifest entry count — a
+    // too-big manifest is known without collecting it
+    if (metaCounts(dir, snap).exists(_._1 > ManifestCacheMaxRows))
+      return spark.read.parquet(mdir)
+    val df = spark.read.parquet(mdir)
+    val rows = df.collect()
+    if (manifestCache.size() >= ManifestCacheMaxEntries) manifestCache.clear()
+    manifestCache.put(mdir, (rows, df.schema))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** The idempotency key recorded by snapshot `snap`, if any. */
   def committedKey(dir: String, snap: Long): Option[String] =
     metaJson(dir, snap).flatMap(metaStr(_, "idempotency_key")).filter(_.nonEmpty)
@@ -369,7 +418,12 @@ object SnapshotTable {
         .agg(sort_array(collect_set(col("bit"))).as(s"bloom_$c"))
       acc.join(bits, Seq("path"), "left")
     }.persist()
-    newEntries.count()
+    // force materialization AND capture (files, rows) in the same
+    // action — the commit totals then come from here + the parent's
+    // recorded counts instead of re-reading the written manifest
+    val newAgg = newEntries
+      .agg(count(lit(1)).as("f"), coalesce(sum(col("rows")), lit(0L)).as("r"))
+      .head()
     try {
       var attempt = 0
       while (true) {
@@ -393,15 +447,22 @@ object SnapshotTable {
             // stats-column change carry null bounds — readers treat
             // null as "unknown, cannot skip", so mixed manifests stay
             // correct
-            spark.read.parquet(manifestDir(dir, parent))
+            manifestFrame(spark, dir, parent)
               .unionByName(stamped, allowMissingColumns = true)
           else stamped
         manifest.coalesce(1).write.mode("overwrite").parquet(s"$dir/$manifestRel")
-        val stats = spark.read.parquet(s"$dir/$manifestRel")
-          .agg(count(lit(1)), coalesce(sum(col("rows")), lit(0L))).head()
+        // commit totals = parent's recorded totals (append) + this
+        // write's already-aggregated entries — no manifest re-read job
+        val (nFiles, nRows) =
+          if (mode == "append" && parent > 0) {
+            val (pf, pr) = metaCounts(dir, parent).getOrElse(
+              throw new IllegalStateException(
+                s"no data_files/rows recorded for $dir@$parent"))
+            (pf + newAgg.getLong(0), pr + newAgg.getLong(1))
+          } else (newAgg.getLong(0), newAgg.getLong(1))
         try {
           commitCas(dir, snap, mode, parent, df.schema.toDDL, partitionBy,
-            manifestRel, stats.getLong(0), stats.getLong(1), idempotencyKey,
+            manifestRel, nFiles, nRows, idempotencyKey,
             effStats)
           // reclaim this writer's own lost-CAS manifest attempts
           cleanWriterAttempts(dir, token, keepRel = Some(manifestRel))
@@ -445,10 +506,24 @@ object SnapshotTable {
       val token = java.util.UUID.randomUUID.toString.take(12)
       val snap = parent + 1
       val manifestRel = s"manifests/snap-$snap-$token"
-      val src = spark.read.parquet(manifestDir(dir, to))
-      src.coalesce(1).write.mode("overwrite").parquet(s"$dir/$manifestRel")
-      val stats = spark.read.parquet(s"$dir/$manifestRel")
-        .agg(count(lit(1)), coalesce(sum(col("rows")), lit(0L))).head()
+      // a rollback's manifest is BYTE-IDENTICAL to `to`'s (original
+      // snapshot_id stamps preserved) — copy the files on the driver
+      // instead of a Spark read+rewrite+re-aggregate (3 jobs → 0); the
+      // totals are `to`'s recorded metadata counts
+      val srcDir = Paths.get(manifestDir(dir, to))
+      val dstDir = Paths.get(s"$dir/$manifestRel")
+      Files.createDirectories(dstDir)
+      locally {
+        import scala.jdk.CollectionConverters._
+        val stream = Files.list(srcDir)
+        try stream.iterator().asScala.filter(Files.isRegularFile(_)).foreach {
+          f => Files.copy(f, dstDir.resolve(f.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING)
+        } finally stream.close()
+      }
+      val (nFiles, nRows) = metaCounts(dir, to).getOrElse(
+        throw new IllegalStateException(
+          s"no data_files/rows recorded for $dir@$to"))
       val racedKey = snapshotWithKey(dir, idempotencyKey)
       if (racedKey.isDefined) {
         cleanWriterAttempts(dir, token, keepRel = None)
@@ -457,7 +532,7 @@ object SnapshotTable {
       try {
         commitCas(dir, snap, "rollback", parent,
           schemaDdl(dir, to).get, partitionSpec(dir, to),
-          manifestRel, stats.getLong(0), stats.getLong(1), idempotencyKey,
+          manifestRel, nFiles, nRows, idempotencyKey,
           statsColumns(dir, to))
         cleanWriterAttempts(dir, token, keepRel = Some(manifestRel))
         return snap
@@ -532,7 +607,7 @@ object SnapshotTable {
         s"partition value needs hive escaping, unsupported here: '$v'"))
       // manifests are file-level metadata (one coalesced file; the
       // merge path collects them the same way) — driver-side filter
-      val manifestDf = spark.read.parquet(manifestDir(dir, parent))
+      val manifestDf = manifestFrame(spark, dir, parent)
       val keep = manifestDf.collect().filter { r =>
         val p = r.getAs[String]("path"); val b = r.getAs[String]("base")
         !affected.contains(entryPartition(p, b, partitionBy).toList)
@@ -665,7 +740,7 @@ object SnapshotTable {
       require(keyCols.forall(keys.columns.contains),
         s"keys missing columns: ${keyCols.filterNot(keys.columns.contains)}")
       val updKeys = upd.getOrElse(keys).select(keyCols.map(col): _*).distinct()
-      val manifestDf = spark.read.parquet(manifestDir(dir, parent))
+      val manifestDf = manifestFrame(spark, dir, parent)
       val allEntries = manifestDf.select(col("path"), col("base")).collect()
         .map(r => (r.getString(0), r.getString(1)))
       // stats-pruned detection: files whose [min,max] bounds on a
@@ -831,7 +906,7 @@ object SnapshotTable {
       snapshot: Option[Long] = None): DataFrame = {
     val snap = snapshot.getOrElse(currentSnapshot(dir))
     require(snap > 0, s"no snapshot in $dir")
-    val entries = spark.read.parquet(manifestDir(dir, snap))
+    val entries = manifestFrame(spark, dir, snap)
       .select(col("path"), col("base")).collect()
       .map(r => (r.getString(0), r.getString(1)))
     assemble(spark, dir, snap, entries)
@@ -846,7 +921,7 @@ object SnapshotTable {
     */
   private[graft] def pruneEntries(spark: SparkSession, dir: String,
       snap: Long, keyCol: String, lo: String, hi: String): (Array[(String, String)], Long) = {
-    val m = spark.read.parquet(manifestDir(dir, snap))
+    val m = manifestFrame(spark, dir, snap)
     val keep =
       if (!statsColumns(dir, snap).contains(keyCol) ||
           !m.columns.contains(s"min_$keyCol")) lit(true)
@@ -925,7 +1000,7 @@ object SnapshotTable {
       value: String, snapshot: Option[Long] = None): DataFrame = {
     val snap = snapshot.getOrElse(currentSnapshot(dir))
     require(snap > 0, s"no snapshot in $dir")
-    val m = spark.read.parquet(manifestDir(dir, snap))
+    val m = manifestFrame(spark, dir, snap)
     val bloomCol = s"bloom_$keyCol"
     val keep =
       if (!m.columns.contains(bloomCol)) lit(true)
@@ -959,7 +1034,7 @@ object SnapshotTable {
     require(statsColumns(dir, snap).contains(keyCol),
       s"no recorded stats on $keyCol for $dir@$snap")
     val dt = StructType.fromDDL(schemaDdl(dir, snap).get)(keyCol).dataType
-    val m = spark.read.parquet(manifestDir(dir, snap))
+    val m = manifestFrame(spark, dir, snap)
     val unknown =
       if (!m.columns.contains(s"min_$keyCol")) m.filter(col("rows") > 0)
       else m.filter(col("rows") > 0 &&
@@ -989,7 +1064,7 @@ object SnapshotTable {
       snapshot: Option[Long] = None): DataFrame = {
     val snap = snapshot.getOrElse(currentSnapshot(dir))
     require(snap > sinceSnapshot, s"no delta: $snap <= $sinceSnapshot")
-    val entries = spark.read.parquet(manifestDir(dir, snap))
+    val entries = manifestFrame(spark, dir, snap)
       .filter(col("snapshot_id") > sinceSnapshot)
       .select(col("path"), col("base")).collect()
       .map(r => (r.getString(0), r.getString(1)))
@@ -1019,7 +1094,7 @@ object SnapshotTable {
     require(fromSnapshot >= 1, s"no snapshot $fromSnapshot in $dir")
     require(to >= fromSnapshot, s"changes needs from <= to: $fromSnapshot > $to")
     def entriesOf(snap: Long): Array[(String, String)] =
-      spark.read.parquet(manifestDir(dir, snap))
+      manifestFrame(spark, dir, snap)
         .select(col("path"), col("base")).collect()
         .map(r => (r.getString(0), r.getString(1)))
     val fromE = entriesOf(fromSnapshot)
