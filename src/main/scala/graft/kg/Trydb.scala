@@ -157,17 +157,30 @@ object Trydb {
         .when(!present(unitName) && element_at(emiLit, unitStr).isNotNull,
           element_at(emiLit, unitStr))
 
+    // Inverse augmentation is INLINE: of the IRI-object triples emitted
+    // below, exactly four predicates appear in Model.inverseRelations
+    // (sosa:isSampleOf, sosa:isFeatureOfInterestOf, dcterms:isPartOf,
+    // sosa:hasResult — rdf:type, qudt:hasUnit and emi:inTaxon have no
+    // inverse entry), so their inverses ride the same array under the
+    // same guards. The former Materialize.addInverses pass referenced
+    // the emission output twice (base ∪ inverses), executing the whole
+    // datagen → match → emission subtree twice per action; TrydbSpec and
+    // the kg_trydb_triples oracle pin the result set unchanged.
     val ts = array(
       tr(lit(true), sample, RDF_TYPE, lit(SOSA + "Sample"), false, ""),
       tr(lit(true), sample, RDFS_LABEL, col("AccSpeciesName"), true, XSD_STRING),
       tr(lit(true), sample, SOSA + "isSampleOf", organism, false, ""),
+      tr(lit(true), organism, SOSA + "hasSample", sample, false, ""),
       tr(lit(true), sample, SOSA + "isFeatureOfInterestOf", observation, false, ""),
+      tr(lit(true), observation, SOSA + "hasFeatureOfInterest", sample, false, ""),
       tr(hasDataset, sample, DCTERMS + "isPartOf", dataset, false, ""),
+      tr(hasDataset, dataset, DCTERMS + "hasPart", sample, false, ""),
       tr(hasDataset, dataset, DCTERMS + "bibliographicCitation",
         col("Reference"), true, XSD_STRING),
       tr(hasDataset, dataset, DCTERMS + "identifier",
         concat(lit("TRYdb-"), q(col("DatasetID"))), true, XSD_STRING),
       tr(hasResult, observation, SOSA + "hasResult", result, false, ""),
+      tr(hasResult, result, SOSA + "isResultOf", observation, false, ""),
       tr(hasResult && traitP, result, RDF_TYPE, lit(EMI + "Trait"), false, ""),
       tr(hasResult && traitP && present(col("TraitID")),
         lit(EMI + "Trait"), DCTERMS + "identifier",
@@ -214,8 +227,8 @@ object Trydb {
         Seq("WdID"), "left_semi")
       case None => merged0
     }
-    Materialize.addInverses(
-      triples(merged, qudtUnitMap.toMap, emiUnitMap.toMap))
+    // inverses are emitted inline by triples() — see the ts array note
+    triples(merged, qudtUnitMap.toMap, emiUnitMap.toMap)
       .dropDuplicates("subj", "pred", "obj", "objIsLiteral", "objDatatype")
   }
 }

@@ -121,11 +121,23 @@ object Dedup {
     val kept =
       if (minTokenLen <= 1) toks
       else filter(toks, t => length(t) >= minTokenLen)
-    val arr = if (hashed) transform(kept, t => hash60(t)) else kept
+    // native array hash, NOT transform(kept, t => hash60(t)): the
+    // higher-order function is CodegenFallback, so the md5+conv lambda
+    // would run interpreted per element — 10× the codegen cost
+    val arr =
+      if (hashed) graft.functions.Hash60Array(docs.sparkSession, kept)
+      else kept
+    // the row-drop predicate is spelled over the RAW token array, not
+    // the hashed/sorted result (same emptiness: hashing and dedup
+    // preserve non-emptiness): a filter over the derived column would
+    // be pushed below the projection and re-evaluate the whole
+    // hash+distinct+sort chain once in the filter and again in the
+    // project — the guide-§4.4 duplicated-expensive-expression trap,
+    // measured at 3× the stage cost on the shingle variant
     docs
+      .filter(size(kept) > 0)
       .select(col(idCol).as("id"),
         sort_array(array_distinct(arr)).as("toks"))
-      .filter(size(col("toks")) > 0)
       .withColumn("n_tok", size(col("toks")).cast("long"))
   }
 
@@ -243,7 +255,11 @@ object Dedup {
     val arrays = docTokenArraysHashed(docs, idCol, textCol, minTokenLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignaturesFromArrays(arrays, k)
-    val bands = lshBands(sigs, k, rowsPerBand)
+    // eager checkpoint (the IncrementalDedup newPostings convention):
+    // bucket sizing + both sides of the bucket self-join reference the
+    // banded postings — un-materialized, the interpreted array_min(md5)
+    // signature chain would re-evaluate once per branch
+    val bands = lshBands(sigs, k, rowsPerBand).localCheckpoint(true)
     val cands = lshCandidates(bands, maxBucket)
     jaccardVerifyArrays(cands, arrays)
       .filter(col("jaccard") >= threshold)

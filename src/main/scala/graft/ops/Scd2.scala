@@ -74,10 +74,15 @@ object Scd2 {
     // loudly, not corrupt silently): an increment event older than its
     // user's OPEN run start would splice history the closed rows
     // already encode. Detectable violations (ts < open valid_from) are
-    // refused outright; lateness WITHIN the open run is absorbed
-    // correctly by the re-fold (the open run re-enters as one
-    // valid_from-anchored pseudo event, so any event ≥ valid_from
-    // lands in or after it exactly as a full rebuild would).
+    // refused outright. CONTRACT SCOPE: only events ≥ the open run's
+    // LAST ingested event are guaranteed batch-equivalent. The dimension
+    // row does not store that last ts, so an in-run late event
+    // (valid_from ≤ ts < last ingested ts) passes the guard and is
+    // folded against the open run COLLAPSED at valid_from — it cannot
+    // re-interleave with the open run's post-valid_from events the way
+    // a full rebuild would. A watermarked feed never produces such an
+    // event; feeds that can must carry a per-user high-water mark and
+    // refuse below it.
     val stale = newEvents
       .join(open.select(col("user_id"), col("valid_from")), Seq("user_id"))
       .filter(col("ts") < col("valid_from"))

@@ -321,7 +321,7 @@ object CaseStudyQueries {
       val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
       var pr = nodes.withColumn("rank", lit(1.0 / n))
-      for (_ <- 1 to 10) {
+      for (i <- 1 to 10) {
         val contrib = pr.join(deg, Seq("node"))
           .join(edges, col("node") === col("src"))
           .groupBy(col("dst").as("node"))
@@ -330,7 +330,12 @@ object CaseStudyQueries {
           .withColumn("rank",
             lit(0.15 / n) + lit(0.85) * coalesce(col("x"), lit(0.0)))
           .select(col("node"), col("rank"))
-          .localCheckpoint(true)
+        // checkpoint every SECOND round (the Canonical.connectedComponents
+        // signature cadence): `pr` enters the next round exactly once, so
+        // a two-round lineage is linear, and halving the eager-checkpoint
+        // actions halves the per-round driver round-trips that dominate
+        // on a dimension-sized graph
+        if (i % 2 == 0) pr = pr.localCheckpoint(true)
       }
       pr.select(col("node").as("organism"),
           round(col("rank") * lit(n.toDouble), 6).as("pr_scaled"))
@@ -361,7 +366,7 @@ object CaseStudyQueries {
           when(col("is_seed").isNotNull, lit(1.0)).otherwise(lit(0.0))
             .as("rank"))
         .localCheckpoint(true)
-      for (_ <- 1 to 10) {
+      for (i <- 1 to 10) {
         val contrib = pr.join(deg, Seq("node"))
           .join(edges, col("node") === col("src"))
           .groupBy(col("dst").as("node"))
@@ -371,7 +376,8 @@ object CaseStudyQueries {
           .select(col("node"),
             (when(col("is_seed").isNotNull, lit(0.15)).otherwise(lit(0.0))
               + lit(0.85) * coalesce(col("x"), lit(0.0))).as("rank"))
-          .localCheckpoint(true)
+        // every-2nd-round checkpoint cadence — see kg_cs_pagerank
+        if (i % 2 == 0) pr = pr.localCheckpoint(true)
       }
       pr.select(col("node").as("organism"), round(col("rank"), 6).as("ppr"))
         .orderBy(col("ppr").desc, col("organism")).limit(20)
@@ -464,12 +470,16 @@ object CaseStudyQueries {
         .orderBy(col("d").desc, col("a")).limit(1)
       var dist = hub.select(col("a").as("node"), lit(0L).as("dist"))
         .localCheckpoint(true)
-      for (_ <- 1 to 4) {
+      for (i <- 1 to 4) {
         val relaxed = dist.join(sym, dist("node") === sym("a"))
           .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
         dist = dist.union(relaxed)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint(true)
+        // every-2nd-round checkpoint cadence — see kg_cs_pagerank.
+        // `dist` is referenced twice per round (probe + union), so the
+        // un-checkpointed round's subtree executes twice in the next
+        // action — bounded at one doubling by the cadence
+        if (i % 2 == 0) dist = dist.localCheckpoint(true)
       }
       dist.orderBy(col("dist"), col("node")).limit(25)
     }),
@@ -565,13 +575,15 @@ object CaseStudyQueries {
         .localCheckpoint(true)
       val w = Window.partitionBy(col("a"))
         .orderBy(col("c").desc, col("label").asc)
-      for (_ <- 1 to 5) {
+      for (i <- 1 to 5) {
         labels = sym.join(labels, col("b") === col("node"))
           .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("a").as("node"), col("label"))
-          .localCheckpoint(true)
+        // every-2nd-round checkpoint cadence — see kg_cs_pagerank
+        // (labels enters the next round exactly once: linear lineage)
+        if (i % 2 == 0 || i == 5) labels = labels.localCheckpoint(true)
       }
       val comm = labels.groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_members"))

@@ -54,8 +54,10 @@ object KgQueries {
       import s.implicits._
       val d = s.read.parquet(s"$dir/documents.parquet")
       val v = vocab.toDF("term", "qid")
-      d.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
-        .distinct()
+      // (doc_id, term) duplicates are within-doc only: array_distinct
+      // in the scan row replaces the global distinct() shuffle
+      d.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), "\\s+"))).as("term"))
         .join(broadcast(v), Seq("term"))
         .select(col("doc_id"), col("term"), col("qid"))
         .orderBy(col("doc_id"), col("term"))
@@ -67,8 +69,8 @@ object KgQueries {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val v = vocab.toDF("term", "qid")
       val mentions = d
-        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), "\\s+"))).as("term"))
         .join(broadcast(v), Seq("term"))
       val docUri = concat(lit("doc:"), col("doc_id"))
       val entUri = concat(lit("wd:"), col("qid"))
@@ -127,8 +129,8 @@ object KgQueries {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val v = vocab.toDF("term", "qid")
       val mentions = d
-        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), "\\s+"))).as("term"))
         .join(broadcast(v), Seq("term"))
       mentions.agg(
         count(lit(1)).as("n_mentions"),

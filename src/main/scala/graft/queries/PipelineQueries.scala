@@ -820,12 +820,15 @@ object PipelineQueries {
       // training shingles never shuffle; only the contaminated matches
       // reach the tiny aggregate. Shingles hashed to 60-bit longs at
       // the scan (the dd_shingle_lsh convention).
+      // (id, token) duplicates can only exist WITHIN a doc, so the
+      // dedup is per-row array_distinct in the scan stage — the former
+      // global distinct() shuffled the whole 5-gram fan-out for nothing
       val sh = s.read.parquet(t(dir, "documents"))
         .select(col("doc_id").as("id"),
           TextOps.tokens(TextOps.normalizeText(col("text"))).as("_ts"))
-        .select(col("id"), explode(Dedup.shinglesOf(col("_ts"), 5)).as("sh"))
-        .select(col("id"), Dedup.hash60(col("sh")).as("token"))
-        .distinct()
+        .select(col("id"), explode(array_distinct(
+          graft.functions.Hash60Array(s,
+            Dedup.shinglesOf(col("_ts"), 5)))).as("token"))
       val evalSh = sh.filter(col("id") % 97 === 0)
         .select(col("id").as("eval_id"), col("token"))
       sh.filter(col("id") % 97 =!= 0)
@@ -851,12 +854,15 @@ object PipelineQueries {
       // exact-dedup / boilerplate-strip stages upstream, mirroring the
       // lshCandidates maxBucket policy.
       val W = 20
+      // per-doc window dedup happens in the scan row (array_distinct):
+      // (id, win) duplicates are within-doc only, so the former global
+      // distinct() was a full shuffle of the window fan-out
       val wins = s.read.parquet(t(dir, "documents"))
         .select(col("doc_id").as("id"),
           TextOps.tokens(TextOps.normalizeText(col("text"))).as("_ts"))
-        .select(col("id"), explode(Dedup.shinglesOf(col("_ts"), W)).as("w"))
-        .select(col("id"), Dedup.hash60(col("w")).as("win"))
-        .distinct()
+        .select(col("id"), explode(array_distinct(
+          graft.functions.Hash60Array(s,
+            Dedup.shinglesOf(col("_ts"), W)))).as("win"))
       val dupWins = wins.groupBy(col("win"))
         .agg(count(lit(1)).as("_ndocs"))
         .filter(col("_ndocs") >= 2 && col("_ndocs") <= 100)
@@ -1132,23 +1138,26 @@ object PipelineQueries {
       // up front (engine-portable, same construction as simhashPortable)
       // so the verify arrays and every shuffle carry longs, not trigram
       // strings — at sf0.1 this is the difference between 17 s and ~6 s
-      // per-doc distinct shingle-hash ARRAYS built in the scan stage
-      // (sort_array ∘ array_distinct ∘ hash60, the docTokenArraysHashed
-      // construction applied to trigrams): the former explode → distinct
-      // → signature-groupBy → tokenArrays-groupBy chain shuffled the
-      // shingle fan-out three times; now the only exchanges are the
-      // bucket self-join and the pair-id verify joins
-      val arrays = s.read.parquet(t(dir, "documents"))
+      // exploded (id, shingle-hash) rows with the dedup done PER ROW
+      // (array_distinct before the explode): one less exchange than the
+      // former global distinct(), while the signature groupBy and the
+      // verify-array groupBy keep their aggregate exchanges — which
+      // ReuseExchange shares across the band self-join and both verify
+      // probes, so the tokenize+shingle+md5 scan chain executes ONCE.
+      // (A fully shuffle-free per-row array formulation was tried and
+      // measured 4-14× SLOWER here: without the exchanges every branch
+      // re-evaluated the interpreted higher-order shingle chain, and a
+      // checkpoint big enough to stop that costs more than the tiny
+      // (id, long) shuffles it saves — see OPTIMIZATION_r06.md.)
+      val tokens = s.read.parquet(t(dir, "documents"))
         .select(col("doc_id").as("id"),
           TextOps.tokens(TextOps.normalizeText(col("text"))).as("_ts"))
-        .select(col("id"), sort_array(array_distinct(
-          transform(Dedup.shinglesOf(col("_ts"), 3),
-            sh => Dedup.hash60(sh)))).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .withColumn("n_tok", size(col("toks")).cast("long"))
-      val sigs = Dedup.minhashSignaturesFromArrays(arrays, 4)
+        .select(col("id"),
+          explode(array_distinct(Dedup.shinglesOf(col("_ts"), 3))).as("sh"))
+        .select(col("id"), Dedup.hash60(col("sh")).as("token"))
+      val sigs = Dedup.minhashSignatures(tokens, 4)
       val cands = Dedup.lshCandidates(Dedup.lshBands(sigs, 4, 2), maxBucket = 1000)
-      Dedup.jaccardVerifyArrays(cands, arrays)
+      Dedup.jaccardVerify(cands, tokens)
         .filter(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
