@@ -21,11 +21,16 @@ object Similarity {
   /** Elementwise dot product of two array<float/double> columns (cast to
     * double first: exact widening, associative enough to be reproducible
     * for a fixed in-array order).
+    *
+    * Native kernel, not `aggregate(zip_with(...))`: higher-order
+    * functions are CodegenFallback, so the per-element lambda ran
+    * interpreted — the dominant cost of every embedding operator. The
+    * kernel reproduces the identical element-order double accumulation
+    * (and the null-on-length-mismatch/null-element semantics), so all
+    * round-6 oracle gates hash unchanged.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotD(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -64,9 +69,20 @@ object Similarity {
 
   /** Coarse cell id from `primes.size` sign-plane bits (an IVF-style
     * deterministic quantizer: cell count = 2^planes, scales with the
-    * plane count instead of the data).
+    * plane count instead of the data). Native kernel — all planes in
+    * one compiled pass over the vector instead of `primes.size`
+    * interpreted [[signPlaneBit]] aggregates per row; bit-identical
+    * (same per-plane accumulation order, round-6 HALF_UP, Spark NaN
+    * ordering — VectorExprsSpec pins equality against this legacy
+    * formulation).
     */
   def signCell(vec: Column, primes: Seq[Int]): Column =
+    graft.functions.VectorExprs.signCell(vec, primes)
+
+  /** The pre-kernel spelling of [[signCell]], kept as the executable
+    * specification the equality spec checks the kernel against.
+    */
+  def signCellLegacy(vec: Column, primes: Seq[Int]): Column =
     primes.zipWithIndex
       .map { case (pr, b) => signPlaneBit(vec, pr) * lit(1L << b) }
       .reduce(_ + _)
@@ -310,16 +326,16 @@ object Similarity {
   def kmeansCellCol(scaledV: Column,
       cents: Array[(Long, Array[Double])]): Column = {
     val sc2 = KmeansScale.toDouble * KmeansScale.toDouble
-    array_min(array(cents.map { case (cid, cv) =>
-      struct(
-        round(aggregate(
-          zip_with(scaledV, lit(cv), (a, b) => {
-            val diff = a.cast("double") - b
-            diff * diff
-          }),
-          lit(0.0), (acc, x) => acc + x) / lit(sc2), 6).as("d2"),
-        lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    // native per-centroid squared distance (same element-order double
+    // accumulation as the former aggregate∘zip_with, which ran
+    // interpreted k times per row)
+    graft.functions.VectorExprs.field(
+      array_min(array(cents.map { case (cid, cv) =>
+        struct(
+          round(graft.functions.VectorExprs.sqDistD(scaledV, lit(cv))
+            / lit(sc2), 6).as("d2"),
+          lit(cid).as("cid"))
+      }: _*)), 1)
   }
 
   /** Lloyd update loop: `iters - 1` refinement rounds from the seed
@@ -461,14 +477,9 @@ object Similarity {
       "codebook ids must be contiguous 1..C")
     // squared L2 between a sub-vector column and a literal codeword,
     // summed in array order (bit-compatible with the oracle's
-    // list_sum over ascending j)
+    // list_sum over ascending j) — native kernel, same accumulation
     def d2(sub: Column, c: Array[Double]): Column =
-      aggregate(
-        zip_with(sub, lit(c), (x, y) => {
-          val t = x.cast("double") - y
-          t * t
-        }),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorExprs.sqDistD(sub, lit(c))
     val codeCols = (0 until subspaces).map { s =>
       val sub = slice(col(vecCol), s * dsub + 1, dsub)
       array_min(array(cw.map { case (cid, cv) =>

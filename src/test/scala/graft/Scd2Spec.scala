@@ -76,7 +76,11 @@ class Scd2Spec extends AnyFunSuite {
       Scd2.applyIncrement(spark, dir, late, "late")
     }
     assert(ex.getMessage.contains("out-of-order"))
-    // lateness WITHIN the open run is legal and equals the full rebuild
+    // an event at/after the open run's LAST ingested event is legal and
+    // equals the full rebuild (the guaranteed contract scope — see the
+    // applyIncrement comment: an in-run event EARLIER than the last
+    // ingested one passes the guard but is folded against the collapsed
+    // open run, which a full rebuild would interleave differently)
     val inRun = Seq((1L, ts(6), 10L, "b"))
       .toDF("user_id", "ts", "event_id", "event_type")
     Scd2.applyIncrement(spark, dir, inRun, "ok")
