@@ -390,7 +390,23 @@ object SnapshotTable {
     val statAggs = effStats.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"min_$c"),
       max(col(c)).cast("string").as(s"max_$c")))
-    val plainEntries = spark.read.parquet(dataDir)
+    // stats-free writes (the streaming-append common case) read per-file
+    // row counts from the parquet FOOTERS on the driver — metadata-sized
+    // work that replaces a full Spark re-read of the just-written data
+    // (one scheduler round-trip per commit, the dominant cost of the
+    // fixture/state-table builds). Writes that declare stats or bloom
+    // columns keep the distributed aggregate, which must see the rows.
+    val footerPlan: Option[(DataFrame, (Long, Long))] =
+      if (effStats.isEmpty && bloomCols.isEmpty) {
+        val entries = footerEntries(spark, dataDir)
+        val schema = StructType.fromDDL(
+          "path STRING, rows BIGINT, base STRING")
+        val rows: java.util.List[Row] = java.util.Arrays.asList(
+          entries.map { case (p, r) => Row(p, r, dataDir) }: _*)
+        Some((spark.createDataFrame(rows, schema),
+          (entries.size.toLong, entries.map(_._2).sum)))
+      } else None
+    lazy val plainEntries = spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"), statAggs: _*)
       .withColumn("base", lit(dataDir))
@@ -407,23 +423,29 @@ object SnapshotTable {
       s"bloomCols not in df: ${bloomCols.filterNot(df.columns.contains)}")
     require(bloomCols.intersect(partitionBy).isEmpty,
       s"bloomCols must not be partition columns")
-    val newEntries = bloomCols.foldLeft(plainEntries) { (acc, c) =>
-      val bits = spark.read.parquet(dataDir)
-        .select(input_file_name().as("path"),
-          explode(array((0 until graft.ops.Sketches.BloomK).map(j =>
-            graft.ops.Sketches.bloomBit(j, col(c).cast("string"))): _*))
-            .as("bit"))
-        .distinct()
-        .groupBy(col("path"))
-        .agg(sort_array(collect_set(col("bit"))).as(s"bloom_$c"))
-      acc.join(bits, Seq("path"), "left")
-    }.persist()
+    val newEntries = footerPlan.map(_._1).getOrElse {
+      bloomCols.foldLeft(plainEntries) { (acc, c) =>
+        val bits = spark.read.parquet(dataDir)
+          .select(input_file_name().as("path"),
+            explode(array((0 until graft.ops.Sketches.BloomK).map(j =>
+              graft.ops.Sketches.bloomBit(j, col(c).cast("string"))): _*))
+              .as("bit"))
+          .distinct()
+          .groupBy(col("path"))
+          .agg(sort_array(collect_set(col("bit"))).as(s"bloom_$c"))
+        acc.join(bits, Seq("path"), "left")
+      }.persist()
+    }
     // force materialization AND capture (files, rows) in the same
     // action — the commit totals then come from here + the parent's
     // recorded counts instead of re-reading the written manifest
-    val newAgg = newEntries
-      .agg(count(lit(1)).as("f"), coalesce(sum(col("rows")), lit(0L)).as("r"))
-      .head()
+    // (driver-side for the footer path: its entries are a local relation)
+    val newAgg: (Long, Long) = footerPlan.map(_._2).getOrElse {
+      val r = newEntries
+        .agg(count(lit(1)).as("f"), coalesce(sum(col("rows")), lit(0L)).as("r"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
     try {
       var attempt = 0
       while (true) {
@@ -458,8 +480,8 @@ object SnapshotTable {
             val (pf, pr) = metaCounts(dir, parent).getOrElse(
               throw new IllegalStateException(
                 s"no data_files/rows recorded for $dir@$parent"))
-            (pf + newAgg.getLong(0), pr + newAgg.getLong(1))
-          } else (newAgg.getLong(0), newAgg.getLong(1))
+            (pf + newAgg._1, pr + newAgg._2)
+          } else newAgg
         try {
           commitCas(dir, snap, mode, parent, df.schema.toDDL, partitionBy,
             manifestRel, nFiles, nRows, idempotencyKey,
@@ -478,6 +500,36 @@ object SnapshotTable {
       }
       throw new IllegalStateException("unreachable")
     } finally newEntries.unpersist()
+  }
+
+  /** Per-file (path, rows) entries of a freshly-written data dir, read
+    * from the parquet footers ON THE DRIVER (metadata-sized, no Spark
+    * job). Paths use the same file:// URI spelling input_file_name()
+    * produces, and zero-row (schema-only) part files list no entry —
+    * mirroring the distributed groupBy(input_file_name) exactly.
+    */
+  private def footerEntries(spark: SparkSession,
+      dataDir: String): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dataDir)
+    val stream = Files.walk(root)
+    val files =
+      try stream.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && n.endsWith(".parquet") &&
+          !n.startsWith(".") && !n.startsWith("_")
+      }.toSeq.sortBy(_.toString)
+      finally stream.close()
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val rows =
+        try reader.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+        finally reader.close()
+      ("file://" + p.toAbsolutePath, rows)
+    }.filter(_._2 > 0)
   }
 
   /** ROLLBACK: revert the table to the logical content of snapshot
@@ -741,8 +793,9 @@ object SnapshotTable {
         s"keys missing columns: ${keyCols.filterNot(keys.columns.contains)}")
       val updKeys = upd.getOrElse(keys).select(keyCols.map(col): _*).distinct()
       val manifestDf = manifestFrame(spark, dir, parent)
-      val allEntries = manifestDf.select(col("path"), col("base")).collect()
-        .map(r => (r.getString(0), r.getString(1)))
+      val entRows = manifestDf.select(col("path"), col("base"), col("rows"))
+        .collect()
+      val allEntries = entRows.map(r => (r.getString(0), r.getString(1)))
       // stats-pruned detection: files whose [min,max] bounds on a
       // stats-covered key column intersect NO update key cannot be
       // affected — skip scanning them entirely. Null/absent bounds are
@@ -795,22 +848,47 @@ object SnapshotTable {
       val mergeStatAggs = mergeStats.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c")))
-      // explicit schema: a delete that empties every affected file
-      // leaves dataDir with zero part files, which a schema-less
-      // parquet read rejects — with the table schema it reads empty
-      val newEntries = spark.read
-        .schema(StructType.fromDDL(schemaDdl(dir, parent).get))
-        .parquet(dataDir)
-        .groupBy(input_file_name().as("path"))
-        .agg(count(lit(1)).as("rows"), mergeStatAggs: _*)
-        .withColumn("base", lit(dataDir))
-        .withColumn("snapshot_id", lit(snap))
+      // stats-free tables take the driver-side footer path (the write()
+      // convention — no Spark re-read of the rewrite); stats-carrying
+      // tables keep the distributed aggregate, which must see the rows.
+      // A delete that empties every affected file leaves dataDir with
+      // zero part files: footers list none, and the schema'd read reads
+      // empty.
+      val newFooter: Option[(DataFrame, (Long, Long))] =
+        if (mergeStats.isEmpty) {
+          val entries = footerEntries(spark, dataDir)
+          val eschema = StructType.fromDDL(
+            "path STRING, rows BIGINT, base STRING, snapshot_id BIGINT")
+          val rows: java.util.List[Row] = java.util.Arrays.asList(
+            entries.map { case (pth, r) => Row(pth, r, dataDir, snap) }: _*)
+          Some((spark.createDataFrame(rows, eschema),
+            (entries.size.toLong, entries.map(_._2).sum)))
+        } else None
+      val newEntries = newFooter.map(_._1).getOrElse {
+        spark.read
+          .schema(StructType.fromDDL(schemaDdl(dir, parent).get))
+          .parquet(dataDir)
+          .groupBy(input_file_name().as("path"))
+          .agg(count(lit(1)).as("rows"), mergeStatAggs: _*)
+          .withColumn("base", lit(dataDir))
+          .withColumn("snapshot_id", lit(snap))
+      }
       val manifestRel = s"manifests/snap-$snap-$token"
       keptDf.unionByName(newEntries, allowMissingColumns = true).coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/$manifestRel")
       upd.foreach(_.unpersist())
-      val stats = spark.read.parquet(s"$dir/$manifestRel")
-        .agg(count(lit(1)), coalesce(sum(col("rows")), lit(0L))).head()
+      // commit totals: kept entries (from the already-collected parent
+      // manifest rows) + this rewrite's entries — no manifest re-read
+      val affectedSet = affected.toSet
+      val keptRows = entRows.filterNot(r => affectedSet.contains(r.getString(0)))
+      val newTotals: (Long, Long) = newFooter.map(_._2).getOrElse {
+        val r = spark.read.parquet(s"$dir/$manifestRel")
+          .filter(col("snapshot_id") === snap)
+          .agg(count(lit(1)), coalesce(sum(col("rows")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val stats = (keptRows.length.toLong + newTotals._1,
+        keptRows.map(_.getLong(2)).sum + newTotals._2)
       // a racer may have committed our key while we computed: our files
       // are unreferenced — reclaim them and return the racer's snapshot
       val racedKey = snapshotWithKey(dir, idempotencyKey)
@@ -822,7 +900,7 @@ object SnapshotTable {
       try {
         commitCas(dir, snap, operation, parent,
           StructType.fromDDL(schemaDdl(dir, parent).get).toDDL, partitionBy,
-          manifestRel, stats.getLong(0), stats.getLong(1), idempotencyKey,
+          manifestRel, stats._1, stats._2, idempotencyKey,
           mergeStats)
         cleanWriterAttempts(dir, token, keepRel = Some(manifestRel))
         return snap
