@@ -152,10 +152,13 @@ object CaseStudyQueries {
     * touches the memo first.
     */
   def materializeShared(s: SparkSession, dir: String): Unit = {
-    organismEdges(s, dir)
-    organismTriangles(s, dir)
-    taxonomyEdges(s, dir)
-    ()
+    // the organism-graph chain (edges → triangles) and the taxonomy
+    // edge build consume different upstreams (bucketed triple table vs
+    // the records-derived taxon paths) — run them concurrently (guide
+    // §2.6); within the chain order is preserved
+    Materialized.inParallel(
+      "graph" -> (() => { organismEdges(s, dir); organismTriangles(s, dir); () }),
+      "taxonomy" -> (() => { taxonomyEdges(s, dir); () }))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -68,6 +68,64 @@ object Materialized {
     }
   }
 
+  /** Run independent shared-table builders concurrently (guide §2.6 —
+    * overlap independent jobs): Spark's scheduler happily runs several
+    * jobs at once inside one application, and the sequential build left
+    * 31 of 32 cores idle during every driver-side segment (the
+    * LocalMatcher refinement, manifest/commit IO, planning) and every
+    * job tail. Each thunk still builds through its own [[once]] memo,
+    * so dependencies resolve by blocking on the dependency's per-key
+    * lock and nothing is ever built twice. Failures propagate: the
+    * first exception rethrows after all threads finish (a failed
+    * builder leaves its memo empty, so the caller's next direct call
+    * re-runs it and reports the real error).
+    */
+  private[queries] def inParallel(tasks: (String, () => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = tasks.map { case (n, t) =>
+      val th = new Thread(() => {
+        try t() catch { case e: Throwable => errs.add(e); () }
+      }, s"mat-$n")
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
+  /** Launch the rest of the shared-build DAG in the background the
+    * first time a harness-context build starts (guide §2.6): Bench and
+    * Verify materialize the shared tables through four sequential
+    * top-level calls, so the only way the TRY-db build or the fixture
+    * pack can overlap the records→globi critical path is for the FIRST
+    * build to start them. Gated on SPARK_GRAFT_SF_DIR == dir (the
+    * external-harness data-directory contract) so unit tests building
+    * one shared table do not drag the whole fixture set in. The
+    * incremental-dedup STATE BUILDS are deliberately NOT prefetched:
+    * Bench times them as their own line, and building them here would
+    * smear that line's cost into materialize_tables. Failures are
+    * swallowed — the memo stays empty and the harness's own sequential
+    * call re-runs the build and reports the real error.
+    */
+  private val prefetched =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[queries] def prefetchShared(spark: SparkSession, dir: String): Unit = {
+    if (!sys.env.get("SPARK_GRAFT_SF_DIR").contains(dir)) return
+    val key = s"${spark.sparkContext.applicationId}:$dir"
+    if (prefetched.putIfAbsent(key, java.lang.Boolean.TRUE) != null) return
+    Seq[(String, () => Unit)](
+      "trydb" -> (() => { trydbTable(spark, dir); () }),
+      "pipeline" -> (() => PipelineQueries.materializeShared(spark, dir)),
+      "casestudy" -> (() => CaseStudyQueries.materializeShared(spark, dir))
+    ).foreach { case (n, t) =>
+      val th = new Thread(() => { try t() catch { case _: Throwable => () } },
+        s"prefetch-$n")
+      th.setDaemon(true)
+      th.start()
+    }
+  }
+
   /** Physically clear a managed table's leftover warehouse directory
     * from a previous JVM (the in-memory catalog forgets the table, and
     * CTAS into a non-empty location throws).
@@ -117,6 +175,7 @@ object Materialized {
     */
   def globiTable(spark: SparkSession, dir: String): String =
     once(spark, "globiTable", dir) {
+      prefetchShared(spark, dir)
       val n = KgQueries.nDocsFor(dir)
       val (records, matched) = recordsAndMatched(spark, dir)
       val (dictId, dictName) = Materialize.wdMapDicts(matched)

@@ -45,22 +45,27 @@ object PipelineQueries {
     }
 
   def materializeShared(s: SparkSession, dir: String): Unit = {
-    verifiedLshPairs(s, dir)
-    lshComponents(s, dir)
     // snapshot-table gate fixtures (base write + DML commits) build
     // here so their construction cost lands on the materialize_tables
     // bench line — the s8* per-query numbers then time only the READ
     // paths they gate (snapshot read, stats-pruned range read, z-order
-    // box read, post-delete read, CDF diff)
-    mergedDocsTable(s, dir)
-    statsDocsTable(s, dir)
-    zorderOrdersTable(s, dir)
-    deletedDocsTable(s, dir)
-    partitionedDocsTable(s, dir)
-    bloomDocsTable(s, dir)
-    scd2DimTable(s, dir)
-    wapDocsTable(s, dir)
-    ()
+    // box read, post-delete read, CDF diff). The ten builds are
+    // mutually independent (separate temp table dirs; the LSH chain is
+    // its own two-step dependency), so they run CONCURRENTLY (guide
+    // §2.6): each build alternates executor jobs with driver-side
+    // commit/manifest work, and overlapping them fills both gaps —
+    // the sequential build paid every fixture's driver segment with
+    // all executors idle.
+    Materialized.inParallel(
+      "lsh" -> (() => { verifiedLshPairs(s, dir); lshComponents(s, dir); () }),
+      "merged" -> (() => { mergedDocsTable(s, dir); () }),
+      "stats" -> (() => { statsDocsTable(s, dir); () }),
+      "zorder" -> (() => { zorderOrdersTable(s, dir); () }),
+      "deleted" -> (() => { deletedDocsTable(s, dir); () }),
+      "partitioned" -> (() => { partitionedDocsTable(s, dir); () }),
+      "bloom" -> (() => { bloomDocsTable(s, dir); () }),
+      "scd2" -> (() => { scd2DimTable(s, dir); () }),
+      "wap" -> (() => { wapDocsTable(s, dir); () }))
   }
 
   /** Force the persisted incremental-dedup state builds (two
@@ -72,9 +77,14 @@ object PipelineQueries {
     * numbers, which now time only the emission-log SERVE.
     */
   def materializeIncrementalState(s: SparkSession, dir: String): Unit = {
-    incLshState(s, dir)
-    incCosState(s, dir)
-    ()
+    // the two families keep disjoint state dirs and never read each
+    // other's tables — increments are serial WITHIN a family (the
+    // in-order ingest contract) but the families build concurrently
+    // (guide §2.6), overlapping one family's driver-side commit
+    // segments with the other's executor jobs
+    Materialized.inParallel(
+      "incLsh" -> (() => { incLshState(s, dir); () }),
+      "incCos" -> (() => { incCosState(s, dir); () }))
   }
 
   /** Recursively reclaim a temp state dir when the JVM exits — the
