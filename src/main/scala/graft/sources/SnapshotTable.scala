@@ -390,21 +390,31 @@ object SnapshotTable {
     val statAggs = effStats.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"min_$c"),
       max(col(c)).cast("string").as(s"max_$c")))
-    // stats-free writes (the streaming-append common case) read per-file
-    // row counts from the parquet FOOTERS on the driver — metadata-sized
-    // work that replaces a full Spark re-read of the just-written data
-    // (one scheduler round-trip per commit, the dominant cost of the
-    // fixture/state-table builds). Writes that declare stats or bloom
-    // columns keep the distributed aggregate, which must see the rows.
+    // stats-free writes (the streaming-append common case) AND writes
+    // whose stats columns are integral read per-file row counts and
+    // min/max bounds from the parquet FOOTERS on the driver —
+    // metadata-sized work that replaces a full Spark re-read of the
+    // just-written data (one scheduler round-trip per commit, the
+    // dominant cost of the fixture/state-table builds). Footer INT
+    // statistics are exact and string-format-identical to the
+    // distributed min/max cast; string/fractional stats columns and
+    // bloom indexes keep the distributed aggregate, which must see the
+    // rows. A footer missing usable statistics falls back too.
     val footerPlan: Option[(DataFrame, (Long, Long))] =
-      if (effStats.isEmpty && bloomCols.isEmpty) {
-        val entries = footerEntries(spark, dataDir)
-        val schema = StructType.fromDDL(
-          "path STRING, rows BIGINT, base STRING")
-        val rows: java.util.List[Row] = java.util.Arrays.asList(
-          entries.map { case (p, r) => Row(p, r, dataDir) }: _*)
-        Some((spark.createDataFrame(rows, schema),
-          (entries.size.toLong, entries.map(_._2).sum)))
+      if (bloomCols.isEmpty &&
+          effStats.forall(c => footerExactType(df.schema(c).dataType))) {
+        footerStatEntries(spark, dataDir, effStats).map { entries =>
+          val ddl = (Seq("path STRING", "rows BIGINT") ++
+            effStats.flatMap(c => Seq(s"min_$c STRING", s"max_$c STRING")) ++
+            Seq("base STRING")).mkString(", ")
+          val rows: java.util.List[Row] = java.util.Arrays.asList(
+            entries.map { case (p, r, bounds) =>
+              Row.fromSeq(Seq(p, r) ++ bounds.flatMap(b => Seq(b._1, b._2)) ++
+                Seq(dataDir))
+            }: _*)
+          (spark.createDataFrame(rows, StructType.fromDDL(ddl)),
+            (entries.size.toLong, entries.map(_._2).sum))
+        }
       } else None
     lazy val plainEntries = spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("path"))
@@ -500,6 +510,92 @@ object SnapshotTable {
       }
       throw new IllegalStateException("unreachable")
     } finally newEntries.unpersist()
+  }
+
+  /** Statistics columns whose per-file min/max can be read EXACTLY
+    * from parquet footers: integral primitives only. INT32/INT64
+    * footer statistics are never truncated and their decimal string
+    * form equals Spark's cast-to-string; binary (string) footer stats
+    * may be truncated and fractional types format differently, so
+    * those keep the distributed aggregate.
+    */
+  private def footerExactType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+
+  /** Per-file (path, rows, min/max strings per stats column) read from
+    * the parquet footers on the driver — the statsCols extension of
+    * [[footerEntries]]: a snapshot commit with integral stats columns
+    * needs no Spark re-read of the data it just wrote, because the
+    * footers already carry exact per-row-group min/max. Returns None
+    * (caller falls back to the distributed aggregate) if any
+    * non-empty file lacks usable statistics for a requested column —
+    * correctness never depends on footers being present. All-null
+    * columns yield null bounds, matching min/max over nulls.
+    */
+  private def footerStatEntries(spark: SparkSession, dataDir: String,
+      statsCols: Seq[String]): Option[Seq[(String, Long, Seq[(String, String)])]] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    var usable = true
+    val out = footerFiles(dataDir).map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount.toLong).sum
+        val bounds = if (rows == 0) Nil else statsCols.map { c =>
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var seen = false
+          blocks.foreach { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+              case Some(chunk) =>
+                val s = chunk.getStatistics
+                if (s == null) usable = false
+                else if (s.hasNonNullValue) {
+                  (s.genericGetMin, s.genericGetMax) match {
+                    case (mn: Number, mx: Number) =>
+                      if (mn.longValue < lo) lo = mn.longValue
+                      if (mx.longValue > hi) hi = mx.longValue
+                      seen = true
+                    case _ => usable = false
+                  }
+                } else if (!s.isNumNullsSet ||
+                    s.getNumNulls != b.getRowCount) {
+                  // not an all-null chunk, yet min/max absent: stats
+                  // were not written — cannot commit from metadata
+                  usable = false
+                }
+              case None => usable = false
+            }
+          }
+          if (seen) (lo.toString, hi.toString)
+          else (null: String, null: String)
+        }
+        ("file://" + p.toAbsolutePath, rows, bounds)
+      } finally reader.close()
+    }.filter(_._2 > 0)
+    if (usable) Some(out) else None
+  }
+
+  /** Data files of a freshly-written dir, sorted — shared walk of the
+    * two footer readers. */
+  private def footerFiles(dataDir: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val stream = Files.walk(Paths.get(dataDir))
+    try stream.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && n.endsWith(".parquet") &&
+        !n.startsWith(".") && !n.startsWith("_")
+    }.toSeq.sortBy(_.toString)
+    finally stream.close()
   }
 
   /** Per-file (path, rows) entries of a freshly-written data dir, read
@@ -848,21 +944,28 @@ object SnapshotTable {
       val mergeStatAggs = mergeStats.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c")))
-      // stats-free tables take the driver-side footer path (the write()
-      // convention — no Spark re-read of the rewrite); stats-carrying
-      // tables keep the distributed aggregate, which must see the rows.
-      // A delete that empties every affected file leaves dataDir with
-      // zero part files: footers list none, and the schema'd read reads
-      // empty.
+      // stats-free tables AND tables whose stats columns are integral
+      // take the driver-side footer path (the write() convention — no
+      // Spark re-read of the rewrite); string/fractional stats columns
+      // keep the distributed aggregate, which must see the rows. A
+      // delete that empties every affected file leaves dataDir with
+      // zero part files: footers list none, and the schema'd read
+      // reads empty.
+      val tableSchema = StructType.fromDDL(schemaDdl(dir, parent).get)
       val newFooter: Option[(DataFrame, (Long, Long))] =
-        if (mergeStats.isEmpty) {
-          val entries = footerEntries(spark, dataDir)
-          val eschema = StructType.fromDDL(
-            "path STRING, rows BIGINT, base STRING, snapshot_id BIGINT")
-          val rows: java.util.List[Row] = java.util.Arrays.asList(
-            entries.map { case (pth, r) => Row(pth, r, dataDir, snap) }: _*)
-          Some((spark.createDataFrame(rows, eschema),
-            (entries.size.toLong, entries.map(_._2).sum)))
+        if (mergeStats.forall(c => footerExactType(tableSchema(c).dataType))) {
+          footerStatEntries(spark, dataDir, mergeStats).map { entries =>
+            val ddl = (Seq("path STRING", "rows BIGINT") ++
+              mergeStats.flatMap(c => Seq(s"min_$c STRING", s"max_$c STRING")) ++
+              Seq("base STRING", "snapshot_id BIGINT")).mkString(", ")
+            val rows: java.util.List[Row] = java.util.Arrays.asList(
+              entries.map { case (pth, r, bounds) =>
+                Row.fromSeq(Seq(pth, r) ++
+                  bounds.flatMap(b => Seq(b._1, b._2)) ++ Seq(dataDir, snap))
+              }: _*)
+            (spark.createDataFrame(rows, StructType.fromDDL(ddl)),
+              (entries.size.toLong, entries.map(_._2).sum))
+          }
         } else None
       val newEntries = newFooter.map(_._1).getOrElse {
         spark.read

@@ -1115,6 +1115,50 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.readRange(spark, dir, "id", "0", "5").count() == 6)
   }
 
+  test("footer-stats commit: bounds equal the distributed aggregate, incl nulls") {
+    // integral stats columns commit from parquet footers (no Spark
+    // re-read); the recorded bounds must be byte-identical to the
+    // distributed min/max cast-to-string formulation, including a
+    // partly-null and an ALL-null stats column file
+    val dir = java.nio.file.Files.createTempDirectory("snapfoot").toString + "/t"
+    val base = spark.range(0, 300, 1, 3)
+      .select(
+        when(col("id") < 100, col("id") * 7 - 50)          // file 1: mixed
+          .when(col("id") < 200, lit(null).cast("long"))   // file 2: all-null
+          .otherwise(col("id")).as("k"),
+        col("id").as("id"), concat(lit("v"), col("id")).as("v"))
+    SnapshotTable.write(base, dir, statsCols = Seq("k"), idempotencyKey = "f-1")
+    val manifest = spark.read.parquet(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir, "manifests"))
+        .iterator().next().toString)
+    val want = spark.read.parquet(s"$dir/data/w-*")
+      .groupBy(input_file_name().as("path"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("k")).cast("string").as("min_k"),
+        max(col("k")).cast("string").as("max_k"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSet
+    val got = manifest.select("path", "rows", "min_k", "max_k")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSet
+    assert(got == want)
+    assert(got.exists(e => e._3 == null && e._4 == null), "all-null file bounds")
+    assert(got.exists(e => e._3 != null && e._3.toLong < 0), "negative min kept")
+    // a STRING stats column must fall back to the distributed pass and
+    // still record exact (untruncated) bounds
+    val sdir = java.nio.file.Files.createTempDirectory("snapfootS").toString + "/t"
+    val longVal = "z" * 100
+    SnapshotTable.write(
+      spark.range(0, 10, 1, 1).select(col("id"),
+        concat(lit(longVal), col("id")).as("s")),
+      sdir, statsCols = Seq("s"), idempotencyKey = "f-2")
+    val smanifest = spark.read.parquet(
+      java.nio.file.Files.list(java.nio.file.Paths.get(sdir, "manifests"))
+        .iterator().next().toString)
+    val srow = smanifest.select("min_s", "max_s").head()
+    assert(srow.getString(0) == longVal + "0" && srow.getString(1) == longVal + "9")
+  }
+
   test("mixed manifests: null bounds never skip; merge keeps stats pruning") {
     val dir = java.nio.file.Files.createTempDirectory("snapstatsmix").toString + "/t"
     // snapshot 1 predates stats — its entries carry NO bounds
