@@ -37,7 +37,11 @@ object KgQueries {
     // (generate_series), reuses only the matcher side-channel, and
     // reproduces resolution + emission + inverses + dedup in SQL.
     "kg_pipeline_triples" -> ((s: SparkSession, dir: String) =>
-      s.table(Materialized.globiTable(s, dir)).drop("n_docs")),
+      // explicit canonical column order: the pred-partitioned table
+      // surfaces its partition column last, the emitted schema must not
+      s.table(Materialized.globiTable(s, dir))
+        .select(col("subj"), col("pred"), col("obj"), col("objIsLiteral"),
+          col("objDatatype"))),
 
     "kg_pipeline_canonical" -> ((s: SparkSession, dir: String) => {
       val (_, matched) = Materialized.recordsAndMatched(s, dir)
@@ -46,7 +50,10 @@ object KgQueries {
     }),
 
     "kg_trydb_triples" -> ((s: SparkSession, dir: String) =>
-      s.table(Materialized.trydbTable(s, dir)).drop("n_docs")),
+      // same canonical-order select as kg_pipeline_triples
+      s.table(Materialized.trydbTable(s, dir))
+        .select(col("subj"), col("pred"), col("obj"), col("objIsLiteral"),
+          col("objDatatype"))),
 
     // dictionary + word-boundary mention detection over documents (the
     // extraction archetype, SQL-verifiable)

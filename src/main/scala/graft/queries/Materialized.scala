@@ -192,8 +192,12 @@ object Materialized {
       // dump back makes the two sides bit-identical by construction.
       val tbl = s"graft_globi_triples_n$n"
       dropTable(spark, tbl)
+      // partitioned by pred + bucketed by subj: every pred-filtered
+      // pattern scan (the SPARQL/BGP/case-study workload) prunes to its
+      // predicate's files, subject joins stay exchange-free
       Bucketing.writeBucketed(
-        spark.read.parquet(s"$SideDir/globi_triples_n$n"), tbl, "subj", 16)
+        spark.read.parquet(s"$SideDir/globi_triples_n$n"), tbl, "subj", 16,
+        partitionCols = Seq("pred"))
       tbl
     }
 
@@ -209,8 +213,10 @@ object Materialized {
       // built from the re-read side-channel parquet
       val tbl = s"graft_trydb_triples_n$n"
       dropTable(spark, tbl)
+      // same pred-partitioned + subj-bucketed layout as globiTable
       Bucketing.writeBucketed(
-        spark.read.parquet(s"$SideDir/trydb_triples_n$n"), tbl, "subj", 16)
+        spark.read.parquet(s"$SideDir/trydb_triples_n$n"), tbl, "subj", 16,
+        partitionCols = Seq("pred"))
       tbl
     }
 
