@@ -316,6 +316,13 @@ object Link {
       lineageRows: Seq[Seq[String]], nDocs: Long,
       maxDriverRows: Long = 2000000L): DataFrame = {
     val spark = records.sparkSession
+    // a non-positive threshold FORCES the distributed formulation (the
+    // kg_pipeline_triples_dist production-path gate): the guard count
+    // can never choose the driver path, so skip building + counting the
+    // guard's stacked-taxa table entirely — matchTaxa stacks and
+    // persists its own
+    if (maxDriverRows <= 0)
+      return matchTaxaDistributed(records, wdSparqlRows, lineageRows, nDocs)
     val taxa = stackTaxa(records, nDocs)
       .select(col("TaxonId"), col("TaxonName"), col("TaxonPathName"),
         col("TaxonRankName"), col("rowIdx"))
@@ -328,27 +335,34 @@ object Link {
           .sortBy(_.rowIdx)
         matchedRowsToDf(spark,
           LocalMatcher.matchTaxa(rows.toSeq, wdSparqlRows, lineageRows))
-      } else {
-        // beyond driver memory: rebuild the dimension DataFrames from
-        // the same fixture rows and run the distributed formulation
-        import org.apache.spark.sql.types.{StructField, StructType, StringType}
-        val wdCols = Seq("WdID", "eol", "gbif", "ncbi", "ott", "itis",
-          "irmng", "col", "nbn", "worms", "bold", "plazi", "apni", "msw3",
-          "iNat", "eppo", "WdName")
-        val wdSchema = StructType(wdCols.map(StructField(_, StringType, true)))
-        val wd = spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            wdSparqlRows.map(org.apache.spark.sql.Row.fromSeq), 1), wdSchema)
-        val linCols = Seq("WdID", "WdName", "kingdom", "phylum", "class",
-          "order", "family", "genus", "species")
-        val linSchema = StructType(linCols.map(StructField(_, StringType, true)))
-        val lin = spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            lineageRows.map(org.apache.spark.sql.Row.fromSeq), 1), linSchema)
-        matchTaxa(records, wd, lin, nDocs)
-      }
+      } else matchTaxaDistributed(records, wdSparqlRows, lineageRows, nDocs)
     taxa.unpersist()
     out
+  }
+
+  /** Fully distributed matcher over the fixture dimension rows — the
+    * beyond-driver-memory arm of [[matchTaxaAdaptive]]: rebuild the
+    * dimension DataFrames from the same fixture rows and run the
+    * distributed formulation.
+    */
+  def matchTaxaDistributed(records: DataFrame, wdSparqlRows: Seq[Seq[String]],
+      lineageRows: Seq[Seq[String]], nDocs: Long): DataFrame = {
+    val spark = records.sparkSession
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    val wdCols = Seq("WdID", "eol", "gbif", "ncbi", "ott", "itis",
+      "irmng", "col", "nbn", "worms", "bold", "plazi", "apni", "msw3",
+      "iNat", "eppo", "WdName")
+    val wdSchema = StructType(wdCols.map(StructField(_, StringType, true)))
+    val wd = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        wdSparqlRows.map(org.apache.spark.sql.Row.fromSeq), 1), wdSchema)
+    val linCols = Seq("WdID", "WdName", "kingdom", "phylum", "class",
+      "order", "family", "genus", "species")
+    val linSchema = StructType(linCols.map(StructField(_, StringType, true)))
+    val lin = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        lineageRows.map(org.apache.spark.sql.Row.fromSeq), 1), linSchema)
+    matchTaxa(records, wd, lin, nDocs)
   }
 
   /** Full matcher pipeline: records → matched-taxa table (matcher.py:432-478).

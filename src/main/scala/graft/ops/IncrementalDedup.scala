@@ -223,12 +223,24 @@ object IncrementalDedup {
         round(col("jaccard"), 6).as("jaccard"))
       .localCheckpoint(true) // referenced by the append AND the return
 
-    SnapshotTable.write(newPostings, postingsDir(stateDir), mode = "append",
-      idempotencyKey = idempotencyKey)
-    SnapshotTable.write(newArrays, arraysDir(stateDir), mode = "append",
-      idempotencyKey = idempotencyKey)
-    SnapshotTable.write(verified, pairsDir(stateDir), mode = "append",
-      idempotencyKey = idempotencyKey)
+    // the three appends target disjoint tables and every input frame is
+    // already an eagerly-materialized checkpoint, so they commit
+    // CONCURRENTLY (guide §2.6). Ordering among them was never
+    // load-bearing: requireInOrderKey's recovery audit and the
+    // union-dedupe derivations accept ANY committed subset after a
+    // crash (the retry recomputes identical frames; completed appends
+    // no-op on the shared key, missing ones complete) — exactly the
+    // prefix-crash discipline, generalized.
+    Par.run(
+      "postings" -> (() => { SnapshotTable.write(newPostings,
+        postingsDir(stateDir), mode = "append",
+        idempotencyKey = idempotencyKey); () }),
+      "arrays" -> (() => { SnapshotTable.write(newArrays,
+        arraysDir(stateDir), mode = "append",
+        idempotencyKey = idempotencyKey); () }),
+      "pairs" -> (() => { SnapshotTable.write(verified,
+        pairsDir(stateDir), mode = "append",
+        idempotencyKey = idempotencyKey); () }))
     verified
   }
 
@@ -316,12 +328,17 @@ object IncrementalDedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .localCheckpoint(true) // referenced by the append AND the return
 
-    SnapshotTable.write(newPostings, vecPostingsDir(stateDir),
-      mode = "append", idempotencyKey = idempotencyKey)
-    SnapshotTable.write(newVectors, vectorsDir(stateDir),
-      mode = "append", idempotencyKey = idempotencyKey)
-    SnapshotTable.write(verified, vecPairsDir(stateDir),
-      mode = "append", idempotencyKey = idempotencyKey)
+    // concurrent disjoint-table appends — same discipline as [[update]]
+    Par.run(
+      "vecPostings" -> (() => { SnapshotTable.write(newPostings,
+        vecPostingsDir(stateDir), mode = "append",
+        idempotencyKey = idempotencyKey); () }),
+      "vectors" -> (() => { SnapshotTable.write(newVectors,
+        vectorsDir(stateDir), mode = "append",
+        idempotencyKey = idempotencyKey); () }),
+      "vecPairs" -> (() => { SnapshotTable.write(verified,
+        vecPairsDir(stateDir), mode = "append",
+        idempotencyKey = idempotencyKey); () }))
     verified
   }
 
