@@ -454,6 +454,23 @@ object Sketches {
             expr("shiftright(v, cast(bl - 5 as int)) - 16")))
       .groupBy(col("qb")).agg(count(lit(1)).as("cnt"))
 
+  /** [[qsketchCells]] over a pre-aggregated (value, count) histogram:
+    * identical cells with the weights summed — a caller that already
+    * built the exact distinct-value histogram derives the sketch cells
+    * from it (dimension-sized input) instead of re-scanning and
+    * re-shuffling the corpus a second time.
+    */
+  def qsketchCellsFromHist(hist: DataFrame, valCol: String,
+      cntCol: String): DataFrame =
+    hist
+      .select(col(valCol).cast("long").as("v"), col(cntCol).as("_w"))
+      .withColumn("bl", length(bin(col("v"))).cast("long"))
+      .withColumn("qb",
+        when(col("v") < 32, col("v"))
+          .otherwise(lit(32L) + (col("bl") - 6L) * 16L +
+            expr("shiftright(v, cast(bl - 5 as int)) - 16")))
+      .groupBy(col("qb")).agg(sum(col("_w")).as("cnt"))
+
   /** Reconstruct a bucket's lower bound from its key (inverse of the
     * [[qsketchCells]] bucketing at the bucket's left edge).
     */

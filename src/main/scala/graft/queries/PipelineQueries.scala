@@ -758,9 +758,13 @@ object PipelineQueries {
     // three exact integer-ratio divisions spelled identically in both
     // engines; round-6 absorbs libm drift.
     "tx_pmi" -> ((s: SparkSession, dir: String) => {
+      // tokenize ONCE: both the unigram and the bigram aggregates
+      // consume the regex normalize+split lineage — unchecked, the
+      // expensive scan stage runs per consumer (the a9 convention)
       val arr = s.read.parquet(t(dir, "documents"))
         .select(TextOps.tokens(TextOps.normalizeText(col("text"))).as("l"))
         .filter(size(col("l")) >= 2)
+        .localCheckpoint(true)
       val uni = arr.select(explode(col("l")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
       val nUni = uni.agg(sum(col("c")).cast("double").as("n_uni"))
@@ -793,10 +797,14 @@ object PipelineQueries {
     // as tx_pmi: bigrams minted in the token array, count tables are
     // vocab-sized broadcasts, ONE per-doc aggregate.
     "tx_bigram_lm" -> ((s: SparkSession, dir: String) => {
+      // tokenize ONCE (the tx_pmi/a9 convention): the tokenized arrays
+      // feed the bigram fan-out twice (count build + probe) and the
+      // unigram counts — four recomputes of the regex scan otherwise
       val arr = s.read.parquet(t(dir, "documents"))
         .select(col("doc_id"),
           TextOps.tokens(TextOps.normalizeText(col("text"))).as("l"))
         .filter(size(col("l")) >= 2)
+        .localCheckpoint(true)
       val bigr = arr.select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(l) - 1)," +
             " i -> struct(l[i-1] AS w1, l[i] AS w2))")).as("b"))

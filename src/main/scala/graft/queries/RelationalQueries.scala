@@ -366,9 +366,16 @@ object RelationalQueries {
       val cents = s.read.parquet(t(dir, "lineitem"))
         .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("long").as("v"))
-      val est = graft.ops.Sketches
-        .qsketchQuantiles(graft.ops.Sketches.qsketchCells(cents, "v"), pcts)
+      // ONE corpus scan + shuffle: the exact rider's distinct-value
+      // histogram is built first (dimension-sized: distinct cents) and
+      // the sketch cells aggregate the HISTOGRAM's weighted values —
+      // identical cell counts, no second pass over lineitem. The
+      // checkpoint materializes the shared histogram once for both
+      // consumers.
       val hist = cents.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val est = graft.ops.Sketches.qsketchQuantiles(
+        graft.ops.Sketches.qsketchCellsFromHist(hist, "v", "cnt"), pcts)
       val exact = graft.ops.Sketches.quantileDisc(hist, "v", pcts)
         .select(col("pct"), col("v").as("exact_cents"))
       est.select(col("pct"), col("est").as("est_cents"))

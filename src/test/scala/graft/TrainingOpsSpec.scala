@@ -226,6 +226,13 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(est(p) <= exact(p) && (exact(p) - est(p)) * 16 <= est(p),
         s"pct $p: est=${est(p)} exact=${exact(p)}")
     }
+    // 1b) histogram-derived cells (the single-corpus-scan w7 path)
+    //     equal the value-scan cells exactly, cell by cell
+    val fromVals = Sketches.qsketchCells(cents, "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromHist = Sketches.qsketchCellsFromHist(hist, "v", "cnt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromHist == fromVals, "hist-derived cells diverge from value scan")
     // 2) exhaustive sweep over [0, 2^20): for range data the exact
     //    pct-quantile is rank−1 in closed form, so the bound is checked
     //    against ground truth across every bucket shape incl. the
