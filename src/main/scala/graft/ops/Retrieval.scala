@@ -96,6 +96,10 @@ object Retrieval {
       (Seq(col(idCol).as("doc_id"),
         TextOps.tokenCount(col(textCol)).cast("long").as("dl")) ++
         terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf$i") }): _*)
+      // materialized once: the corpus-stats aggregate AND the scoring
+      // probe both consume the tokenize scan — narrow per-doc rows, so
+      // the checkpoint is doc-count-sized, never token-sized
+      .localCheckpoint(true)
     // the single exchange: one corpus-wide row (map-side combined)
     val statAggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sdl")) ++
       terms.indices.map(i =>

@@ -875,12 +875,16 @@ object PipelineQueries {
       // per-doc window dedup happens in the scan row (array_distinct):
       // (id, win) duplicates are within-doc only, so the former global
       // distinct() was a full shuffle of the window fan-out
+      // materialized once: three consumers (the doc-frequency
+      // aggregate and both partner-join sides) would each re-run the
+      // tokenize+shingle+hash scan otherwise
       val wins = s.read.parquet(t(dir, "documents"))
         .select(col("doc_id").as("id"),
           TextOps.tokens(TextOps.normalizeText(col("text"))).as("_ts"))
         .select(col("id"), explode(array_distinct(
           graft.functions.Hash60Array(s,
             Dedup.shinglesOf(col("_ts"), W)))).as("win"))
+        .localCheckpoint(true)
       val dupWins = wins.groupBy(col("win"))
         .agg(count(lit(1)).as("_ndocs"))
         .filter(col("_ndocs") >= 2 && col("_ndocs") <= 100)
@@ -1188,8 +1192,11 @@ object PipelineQueries {
       // distinct-token arrays straight from the scan (no explode →
       // distinct → groupBy shuffles); raw strings kept because this
       // query's Jaccard is defined over the unhashed token sets
+      // materialized once: the verify join probes the arrays from BOTH
+      // pair sides, re-running the tokenize scan per side otherwise
       val tokens = Dedup.docTokenArraysHashed(d, "doc_id", "text",
         hashed = false)
+        .localCheckpoint(true)
       val block = d.select(col("doc_id"),
         col("source"), (TextOps.tokenCount(col("text")) / 10).cast("long").as("bkt"))
       val pairs = block.as("a").join(block.as("b"),
@@ -1224,7 +1231,10 @@ object PipelineQueries {
       val d = s.read.parquet(t(dir, "documents"))
       val tok = d.select(col("doc_id"),
         explode(TextOps.tokens(TextOps.normalizeText(col("text")))).as("term"))
+      // materialized once: both the df aggregate and the ranking join
+      // consume the tokenize+explode+groupBy lineage
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term").asc)
