@@ -60,16 +60,26 @@ object Kmv {
 
   /** θ = the smaller k-th min of two FULL sketches — the common
     * sampling threshold below which both sketches are exhaustive.
+    * NULL when either sketch holds fewer than k hashes: a non-full
+    * sketch has no sampling threshold (it is exhaustive), and an
+    * unguarded element_at(sk, k) would throw under ANSI mode (ADVICE
+    * r05). Full-sketch values are unchanged by the guard.
     */
   def theta(a: Column, b: Column, k: Int): Column =
-    least(element_at(a, k), element_at(b, k))
+    when(size(a) >= k && size(b) >= k,
+      least(element_at(a, k), element_at(b, k)))
 
-  /** Intersection-cardinality estimate of two full sketches: hashes
-    * below θ present in BOTH, scaled back by the sampled fraction.
+  /** Intersection-cardinality estimate: hashes below θ present in
+    * BOTH, scaled back by the sampled fraction. When either sketch is
+    * non-full (θ NULL) both sketches are exhaustive sets, so the EXACT
+    * intersection size is returned instead of a NULL estimate — the
+    * expression is total and never divides by a null θ.
     */
   def estimateIntersection(a: Column, b: Column, k: Int): Column = {
     val th = theta(a, b, k)
     val common = size(filter(array_intersect(a, b), x => x < th))
-    common.cast("double") * lit(HashSpace) / th.cast("double")
+    when(th.isNotNull,
+      common.cast("double") * lit(HashSpace) / th.cast("double"))
+      .otherwise(size(array_intersect(a, b)).cast("double"))
   }
 }

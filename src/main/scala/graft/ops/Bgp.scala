@@ -78,9 +78,16 @@ object Bgp {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0; var inQ = false; var inAngle = false
+    // a top-level '<' inside a FILTER segment is a comparison operator,
+    // not an IRI opener (ADVICE r05: an unparenthesized `FILTER ?a < 5`
+    // set inAngle and swallowed the following '.'-separators, silently
+    // mis-merging clauses)
+    def inFilterSegment: Boolean =
+      cur.toString.trim.regionMatches(true, 0, "FILTER", 0, 6)
     s.foreach {
       case '"' => inQ = !inQ; cur += '"'
-      case '<' if !inQ && depth == 0 => inAngle = true; cur += '<'
+      case '<' if !inQ && depth == 0 && !inFilterSegment =>
+        inAngle = true; cur += '<'
       case '>' if !inQ && inAngle => inAngle = false; cur += '>'
       case '(' if !inQ => depth += 1; cur += '('
       case ')' if !inQ => depth -= 1; cur += ')'

@@ -1400,9 +1400,21 @@ object SnapshotTable {
       StandardOpenOption.CREATE_NEW)
   }
 
+  /** Per-ref intra-process monitors: two threads of one JVM racing the
+    * same ref serialize here (an OS file lock alone would throw
+    * OverlappingFileLockException intra-process, not block).
+    */
+  private val refLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Atomically repoint ref `name` to `snap`. `expectedFrom` makes the
     * move a compare-and-set (fast-forward discipline): the update
     * refuses when the ref no longer points where the caller audited.
+    * The expectedFrom check and the move are serialized under a per-ref
+    * monitor plus an OS file lock, so two racing updaters can no longer
+    * both observe the expected floor and silently last-write-win
+    * (ADVICE r05: the read-check + separate move was a TOCTOU weaker
+    * than the CAS the docstring advertises).
     */
   def updateRef(dir: String, name: String, snap: Long,
       expectedFrom: Option[Long] = None): Unit = {
@@ -1410,14 +1422,25 @@ object SnapshotTable {
       s"snapshot $snap is not a retained snapshot of $dir")
     val p = refPath(dir, name)
     require(Files.exists(p), s"ref '$name' does not exist in $dir")
-    expectedFrom.foreach { e =>
-      val cur = refSnapshot(dir, name)
-      require(cur == e, s"ref '$name' moved: expected $e, found $cur")
+    val mon = refLocks.computeIfAbsent(p.toString, _ => new Object)
+    mon.synchronized {
+      val lockP = p.resolveSibling(s"$name.lock")
+      val ch = java.nio.channels.FileChannel.open(lockP,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          expectedFrom.foreach { e =>
+            val cur = refSnapshot(dir, name)
+            require(cur == e, s"ref '$name' moved: expected $e, found $cur")
+          }
+          val tmp = p.resolveSibling(s"$name.json.tmp-$snap")
+          Files.writeString(tmp, s"""{"snapshot":$snap}""")
+          Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        } finally lock.release()
+      } finally ch.close()
     }
-    val tmp = p.resolveSibling(s"$name.json.tmp-$snap")
-    Files.writeString(tmp, s"""{"snapshot":$snap}""")
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Snapshot a ref points at (throws on unknown ref). */

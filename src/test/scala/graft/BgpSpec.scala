@@ -185,6 +185,15 @@ class BgpSpec extends AnyFunSuite {
     val (_, _, fs) = Bgp.parseQuery(
       """?x <http://ex.org/p.q> ?y . FILTER regex(?y, "a.b")""")
     assert(fs === Seq(Bgp.Regex("y", "a.b")))
+    // an UNPARENTHESIZED comparison FILTER must not open IRI-angle mode
+    // and swallow the following '.' separator (ADVICE r05)
+    import spark.implicits._
+    val num = Seq(("b", "p", "x"), ("a", "score", "10"), ("b", "score", "9"))
+      .toDF("subj", "pred", "obj")
+    val got = Bgp.query(num,
+      """?s <score> ?v . FILTER ?v < 10 . ?s <p> ?b""",
+      Seq("s")).as[String].collect()
+    assert(got === Array("b"))
   }
 
   test("unbound select variable fails loudly") {

@@ -40,4 +40,30 @@ class KmvSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(math.abs(est - n) / n < 0.3, s"est=$est for n=$n")
   }
+
+  test("non-full sketches: theta NULL, intersection exact, full unchanged") {
+    val k = 16
+    // two overlapping sets SMALLER than k: sketches are exhaustive
+    val a = (1 to 10).map(i => (i * 7919L) & ((1L << 60) - 1))
+    val b = (6 to 12).map(i => (i * 7919L) & ((1L << 60) - 1))
+    val row = Seq((a, b)).toDF("ska", "skb")
+      .select(sort_array(col("ska")).as("ska"), sort_array(col("skb")).as("skb"))
+      .select(Kmv.theta(col("ska"), col("skb"), k).as("th"),
+        Kmv.estimateIntersection(col("ska"), col("skb"), k).as("est"))
+      .head()
+    assert(row.isNullAt(0), "theta must be NULL on non-full sketches")
+    assert(row.getDouble(1) === 5.0, "exact intersection expected")
+    // full sketches keep the sampled-fraction estimate (guard is a no-op)
+    val fa = (1 to 40).map(i => (i * 7919L) & ((1L << 60) - 1)).sorted.take(k)
+    val fb = (20 to 60).map(i => (i * 7919L) & ((1L << 60) - 1)).sorted.take(k)
+    val fr = Seq((fa, fb)).toDF("ska", "skb")
+      .select(Kmv.theta(col("ska"), col("skb"), k).as("th"),
+        Kmv.estimateIntersection(col("ska"), col("skb"), k).as("est"))
+      .head()
+    val thWant = math.min(fa(k - 1), fb(k - 1))
+    assert(fr.getLong(0) == thWant)
+    val commonWant = fa.toSet.intersect(fb.toSet).count(_ < thWant)
+    assert(fr.getDouble(1) ===
+      commonWant.toDouble * math.pow(2, 60) / thWant.toDouble)
+  }
 }

@@ -61,6 +61,21 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
     SnapshotTable.updateRef(dir, "main", s2, expectedFrom = Some(s1))
     assert(SnapshotTable.refSnapshot(dir, "main") == s2)
+    // CAS is race-proof: N threads fast-forwarding from the same audited
+    // floor — exactly ONE wins, every loser refuses (the check+move is
+    // serialized, not a read-then-move TOCTOU)
+    val s3 = SnapshotTable.write(DataGen.corpus(spark, 10, 1).toDF(), dir,
+      mode = "append", idempotencyKey = "ref-race-s3")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losers = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ths = (1 to 4).map(_ => new Thread(() =>
+      try { SnapshotTable.updateRef(dir, "main", s3, Some(s2)); wins.incrementAndGet(); () }
+      catch { case _: IllegalArgumentException => losers.incrementAndGet(); () }))
+    ths.foreach(_.start()); ths.foreach(_.join())
+    assert(wins.get() == 1 && losers.get() == 3,
+      s"CAS race: ${wins.get()} winners / ${losers.get()} losers")
+    assert(SnapshotTable.refSnapshot(dir, "main") == s3)
+    SnapshotTable.updateRef(dir, "main", s2, expectedFrom = Some(s3))
     assert(SnapshotTable.listRefs(dir).toMap ==
       Map("v1.0" -> s1, "main" -> s2))
     // refs pin snapshots: keepLast=1 would expire s1, but the tag holds
