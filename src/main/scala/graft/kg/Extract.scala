@@ -17,8 +17,32 @@ import Model._
   */
 object Extract {
 
-  /** docs(doc_id, spans) → one row per document with all record fields. */
+  /** docs(doc_id, spans) → one row per document with all record fields.
+    *
+    * The span walk runs through the native [[graft.functions.SpanRecord]]
+    * kernel: ONE compiled pass per document instead of per-element
+    * interpreted higher-order lambdas plus a linear map scan per field
+    * (`filter`/`transform`/`map_from_entries` are CodegenFallback).
+    * `CollapseProject` keeps the struct build and its field expansion in
+    * separate projections (the kernel is non-cheap and referenced 24×),
+    * so the walk executes once per row. [[recordsLegacy]] is the
+    * executable specification; SpanRecordSpec pins kernel == legacy.
+    */
   def records(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      regexp_extract(col("doc_id"), "DOC-(\\d+)", 1).cast("long").as("recNum"),
+      graft.functions.SpanRecord(col("spans"), DataGen.fieldOrder).as("_r"))
+    val fields = DataGen.fieldOrder.map(f => col(s"_r.$f").as(f))
+    base.select((col("doc_id") +: col("recNum") +: fields)
+      :+ col("_r.mediaRefs").as("mediaRefs"): _*)
+  }
+
+  /** The original higher-order-function span walk — kept as the
+    * executable specification of [[records]]'s semantics (the
+    * VectorExprs convention: the kernel must equal this row-by-row).
+    */
+  def recordsLegacy(docs: DataFrame): DataFrame = {
     val textSpans = filter(col("spans"), s => s.getField("kind") === "text")
     val kv = map_from_entries(transform(textSpans, s => {
       val t = s.getField("text")
