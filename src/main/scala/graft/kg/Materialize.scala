@@ -80,16 +80,30 @@ object Materialize {
         regexp_replace(regexp_replace(col(c), "Wikidata:", ""), "\"", "").as(c))
         :+ col("rowIdx"): _*)
       .filter(col("Mapped_ID_WD").isNotNull && col("Mapped_ID_WD") =!= "")
-    def dict(keyCol: String): DataFrame =
-      cleaned.filter(col(keyCol).isNotNull && col(keyCol) =!= "")
-        .groupBy(col(keyCol).as("key"))
-        .agg(max_by(struct(col("Mapped_ID_WD").as("wd"),
-          col("Mapped_Value").as("mv")), col("rowIdx")).as("v"))
-        .select(col("key"), col("v.wd").as("wd"), col("v.mv").as("mv"))
-        // dimension-sized; each dict is broadcast twice (source + target
-        // probes) — persist so it is computed once
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (dict("TaxonId"), dict("TaxonName"))
+    // ONE aggregation pass builds both dictionaries (explode the two
+    // key kinds, group by (kind, key)) — the per-dict formulation ran
+    // the matcher-output scan + a shuffle + a persist twice for the
+    // same max_by(rowIdx) semantics. Both dicts are cheap filters of
+    // the single cached aggregate; column names and last-wins
+    // tie-breaks are unchanged.
+    val both = cleaned
+      .select(explode(array(
+          struct(lit("id").as("kind"), col("TaxonId").as("key")),
+          struct(lit("name").as("kind"), col("TaxonName").as("key")))).as("k"),
+        col("Mapped_ID_WD"), col("Mapped_Value"), col("rowIdx"))
+      .select(col("k.kind").as("kind"), col("k.key").as("key"),
+        col("Mapped_ID_WD"), col("Mapped_Value"), col("rowIdx"))
+      .filter(col("key").isNotNull && col("key") =!= "")
+      .groupBy(col("kind"), col("key"))
+      .agg(max_by(struct(col("Mapped_ID_WD").as("wd"),
+        col("Mapped_Value").as("mv")), col("rowIdx")).as("v"))
+      .select(col("kind"), col("key"), col("v.wd").as("wd"),
+        col("v.mv").as("mv"))
+      // dimension-sized; each dict is broadcast twice (source + target
+      // probes) — persist so the aggregate is computed once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (both.filter(col("kind") === "id").select(col("key"), col("wd"), col("mv")),
+      both.filter(col("kind") === "name").select(col("key"), col("wd"), col("mv")))
   }
 
   /** Two-tier resolution (globi_kg_generator.py:184-209): raw id in the

@@ -792,7 +792,10 @@ object CaseStudyQueries {
           .join(visited, Seq("hub", "node"), "left_anti")
           .withColumn("dist", lit(level))
           .localCheckpoint(true)
-        visited = visited.union(next).localCheckpoint(true)
+        // union of materialized checkpoints — no re-checkpoint (the
+        // Brandes convention: re-materializing the accumulated set
+        // copied all visited rows again every level)
+        visited = visited.union(next)
         frontier = next
         n = next.count()
       }
@@ -844,7 +847,8 @@ object CaseStudyQueries {
           .select(col("hub"), col("b").as("node")).distinct()
           .join(visited, Seq("hub", "node"), "left_anti")
           .localCheckpoint(true)
-        visited = visited.union(next).localCheckpoint(true)
+        // union of materialized checkpoints — no re-checkpoint
+        visited = visited.union(next)
         frontier = next
         next.groupBy(col("hub"))
           .agg(count(lit(1)).as("n_nodes"))
